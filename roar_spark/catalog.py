@@ -1,0 +1,63 @@
+"""Test-corpus catalog: load the driver-generated parquet tables.
+
+The reference's "catalog" is a topic→stream map served over Flight
+(stream/manager.go:33-54, flight/server.go:82-130); the relational corpus
+here is the surface those streams get queried with. Tables are the
+driver-provided TPC-H-ish star schema plus ``events`` (stream-shaped),
+``documents`` and ``embeddings`` (LLM-pipeline fixtures) — see TESTDATA.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at EVERY scale factor —
+# region/nation are fixed-cardinality (5/25 rows) regardless of SF, exactly
+# the shape broadcast-hash-join exists for.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, name: str, directory: str | None = None) -> DataFrame:
+    """Read one corpus table. Plain parquet scan → full Catalyst pushdown
+    (predicate pushdown, column pruning, partition pruning all apply)."""
+    directory = directory or sf_dir()
+    return spark.read.parquet(f"{directory}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, directory: str | None = None) -> dict[str, DataFrame]:
+    """Register every corpus table as a temp view (idempotent).
+
+    Views keep the plan declarative: Catalyst sees the parquet scan directly,
+    so filters written against the view still push down to the file source.
+    """
+    directory = directory or sf_dir()
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = f"{directory}/{name}.parquet"
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,112 @@
+"""Scalar coercion layer: the reference's append-time cast rules as Spark
+column expressions.
+
+The reference coerces every JSON value into the frozen stream schema at
+Arrow-append time (appendValue kafka/consumer.go:698-798, appendTimestamp
+kafka/consumer.go:801-825). The rules, per target type:
+
+- string   : any scalar → its text form; nested → stringified  (go:705-711)
+- int8..64 : JSON number → truncate toward zero; anything else → null
+             (go:713-766 — float64→intN is Go conversion = truncation)
+- float    : JSON number → float; anything else → null          (go:768-786)
+- boolean  : JSON bool only; anything else → null               (go:788-793)
+- timestamp: RFC3339 string / epoch-ns number → timestamp; else null
+             (go:801-825 — int64/float64 interpreted as NANOSECONDS)
+- binary   : bytes/string → bytes; else null                    (go:795-798)
+- JSON null / missing field → null                              (go:700-703, 630-634)
+
+Spark design: we parse payloads ONCE with `from_json` against a "carrier"
+schema (each field at its lossless wire type: numbers→double, strings→string,
+bools→boolean, nested→string), then apply these deterministic cast
+expressions to reach the target schema. Both stages are built-in Catalyst
+expressions — whole-stage-codegen'd, no Python in the hot path — and the
+two-step keeps Spark's own (different) JSON coercion rules out of the
+semantics. Precision note: like the reference (Go json → float64), integers
+beyond 2^53 lose precision; parity preserved by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from roar_spark.inference import KAFKA_METADATA_FIELDS
+
+__all__ = ["carrier_type", "carrier_schema", "coerce_expr", "coerce_to_schema"]
+
+# Matches inference.is_rfc3339 (Go time.RFC3339) as a SQL-side regex; range
+# validation beyond the pattern is delegated to to_timestamp's parser.
+RFC3339_SQL_RE = (
+    r"^\d{4}-\d{2}-\d{2}T([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+
+_METADATA_NAMES = {name for name, _, _ in KAFKA_METADATA_FIELDS}
+
+
+def carrier_type(target: T.DataType) -> T.DataType:
+    """Wire-side type used to parse a payload field before coercion.
+
+    Numbers ride as double (Go json.Unmarshal decodes all numbers to
+    float64 — same carrier, kafka/consumer.go:919), timestamps as the raw
+    string/number, everything non-scalar as its JSON text.
+    """
+    if isinstance(target, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                           T.FloatType, T.DoubleType)):
+        return T.DoubleType()
+    if isinstance(target, T.BooleanType):
+        return T.BooleanType()
+    if isinstance(target, T.TimestampType):
+        return T.StringType()
+    if isinstance(target, T.BinaryType):
+        return T.BinaryType()
+    return T.StringType()
+
+
+def carrier_schema(target: T.StructType) -> T.StructType:
+    """Carrier StructType for `from_json` over the payload fields (metadata
+    columns come from the Kafka source itself, not the payload)."""
+    return T.StructType(
+        [
+            T.StructField(f.name, carrier_type(f.dataType), True)
+            for f in target.fields
+            if f.name not in _METADATA_NAMES
+        ]
+    )
+
+
+def coerce_expr(col: Column, target: T.DataType) -> Column:
+    """Cast a carrier column to its target type with reference semantics."""
+    if isinstance(target, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # Go intN(float64) truncates toward zero; Spark double→integral cast
+        # does the same. Out-of-range → Spark nulls (try_cast), reference
+        # wraps (Go conversion) — documented divergence, null is saner.
+        return col.try_cast(target)
+    if isinstance(target, (T.FloatType, T.DoubleType)):
+        return col.try_cast(target)
+    if isinstance(target, T.BooleanType):
+        return col.try_cast(T.BooleanType())
+    if isinstance(target, T.TimestampType):
+        # RFC3339 string → timestamp; bare number → epoch NANOSECONDS
+        # (appendTimestamp kafka/consumer.go:816-821). µs truncation is the
+        # documented ns→µs divergence.
+        as_num = col.try_cast(T.DoubleType())
+        return (
+            F.when(col.rlike(RFC3339_SQL_RE), F.to_timestamp(col))
+            .when(as_num.isNotNull(), F.timestamp_micros((as_num / 1000.0).cast(T.LongType())))
+            .otherwise(F.lit(None).cast(T.TimestampType()))
+        )
+    if isinstance(target, T.BinaryType):
+        return col.cast(T.BinaryType())
+    return col.cast(T.StringType())
+
+
+def coerce_to_schema(struct_col: str, target: T.StructType) -> list[Column]:
+    """Expand a parsed carrier struct column into target-typed payload
+    columns (the Spark analog of the per-builder appendValue loop,
+    kafka/consumer.go:583-648)."""
+    return [
+        coerce_expr(F.col(f"{struct_col}.{f.name}"), f.dataType).alias(f.name)
+        for f in target.fields
+        if f.name not in _METADATA_NAMES
+    ]

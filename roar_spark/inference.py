@@ -1,0 +1,235 @@
+"""Schema inference + type-promotion parity module.
+
+Re-implements (in pure Python, over Spark types) the reference's dynamic
+schema machinery — the part of TFMV/roar that is genuinely its own IP:
+
+- payload format detection            (kafka/consumer.go:651-665)
+- per-value JSON field typing         (kafka/consumer.go:913-943)
+- type-promotion ("supertype") lattice(kafka/consumer.go:946-982)
+- sampled schema inference with the 4 Kafka metadata columns
+                                      (kafka/consumer.go:828-910)
+
+Semantics matched exactly (and unit-tested in tests/test_inference.py):
+
+- JSON number → long when integral *as a float64* (``1.0`` infers long,
+  because Go json.Unmarshal decodes every number to float64 and the
+  reference tests ``v == float64(int64(v))``, kafka/consumer.go:919-924);
+  otherwise double.
+- string parsing as RFC3339 (Go ``time.Parse(time.RFC3339, …)``) → timestamp
+  (kafka/consumer.go:927-931). Go accepts an uppercase 'T' separator,
+  optional fractional seconds, and 'Z'/'z' or ±hh:mm offsets; everything
+  else (dates without time, space separators, missing zone) is a string.
+- bool → boolean; nested object/array → *stringified* string
+  (kafka/consumer.go:932-939); JSON null → nullable string
+  (kafka/consumer.go:914-916).
+- promotion lattice: int widening byte<short<int<long, float widening
+  float<double, int ⊔ float → the float, anything else → string
+  (kafka/consumer.go:946-982); nullability OR-ed across the sample
+  (kafka/consumer.go:893-894).
+- sample size ≤ 10 messages (kafka/consumer.go:841-843); schema is decided
+  once from the first batch's sample and then frozen (stream/manager.go:282-284).
+- every stream carries ``kafka_key string, kafka_timestamp timestamp,
+  kafka_offset long, kafka_partition int`` (kafka/consumer.go:834-839).
+- non-JSON payloads → metadata columns + ``value binary``
+  (kafka/consumer.go:858-861).
+
+Documented divergences (SURVEY.md §2.3):
+- Arrow ``timestamp[ns]`` maps to Spark ``TimestampType`` (µs precision).
+- Field order: the reference iterates a Go map (random order,
+  kafka/consumer.go:896-905); we use deterministic first-seen order.
+- Nested values stringify as canonical JSON, not Go's ``fmt.Sprintf("%v")``
+  rendering (``map[a:1]``) — the Go form is an artifact, not a contract.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import types as T
+
+__all__ = [
+    "KAFKA_METADATA_FIELDS",
+    "InferredField",
+    "detect_format",
+    "is_rfc3339",
+    "infer_json_field_type",
+    "common_super_type",
+    "infer_json_fields",
+    "infer_schema",
+    "stringify_json_value",
+]
+
+# The 4 metadata columns every stream carries (kafka/consumer.go:834-839).
+KAFKA_METADATA_FIELDS: tuple[tuple[str, T.DataType, bool], ...] = (
+    ("kafka_key", T.StringType(), True),
+    ("kafka_timestamp", T.TimestampType(), False),
+    ("kafka_offset", T.LongType(), False),
+    ("kafka_partition", T.IntegerType(), False),
+)
+
+_INT_ORDER = {T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2, T.LongType(): 3}
+_FLOAT_ORDER = {T.FloatType(): 0, T.DoubleType(): 1}
+
+# Go time.RFC3339: 'T' literal (case-sensitive), seconds required, optional
+# '.fraction', zone 'Z'/'z' or ±hh:mm (Go's parse accepts lowercase z for the
+# zone but not lowercase t for the separator).
+_RFC3339_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(\.\d+)?(?:[Zz]|[+-]\d{2}:\d{2})$"
+)
+
+
+@dataclass(frozen=True)
+class InferredField:
+    """One inferred payload field. ``nullable`` follows the reference's
+    OR-across-sample rule (kafka/consumer.go:893-894): only an explicit JSON
+    null marks a field nullable; a field merely *missing* from some sampled
+    messages does not (quirk preserved for parity — missing values still
+    materialize as nulls at append time, kafka/consumer.go:630-634)."""
+
+    name: str
+    dtype: T.DataType
+    nullable: bool
+
+
+def detect_format(data: bytes | str) -> str:
+    """Classify a payload as ``"json"`` or ``"binary"``.
+
+    Parity with detectMessageFormat (kafka/consumer.go:651-665): first byte
+    must be ``{`` or ``[`` AND the whole payload must parse as JSON.
+    """
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    if data and data[:1] in (b"{", b"["):
+        try:
+            json.loads(data)
+            return "json"
+        except (ValueError, UnicodeDecodeError):
+            pass
+    return "binary"
+
+
+def is_rfc3339(value: str) -> bool:
+    """True iff Go's ``time.Parse(time.RFC3339, value)`` would succeed
+    (kafka/consumer.go:928): strict grammar + real calendar validation."""
+    m = _RFC3339_RE.match(value)
+    if not m:
+        return False
+    year, month, day, hour, minute, sec = (int(m.group(i)) for i in range(1, 7))
+    if not (1 <= month <= 12 and 0 <= hour <= 23 and 0 <= minute <= 59 and 0 <= sec <= 59):
+        return False
+    try:
+        datetime(year, month, day)
+    except ValueError:
+        return False
+    return True
+
+
+def _is_integral_number(v: float) -> bool:
+    """Go: ``v == float64(int64(v))`` (kafka/consumer.go:921). Out-of-int64-
+    range floats are not integral (Go's conversion would be undefined)."""
+    return (
+        float(v) == float(v).__floor__()
+        and -(2.0**63) <= float(v) < 2.0**63
+        and float(v) == float(int(v))
+    )
+
+
+def infer_json_field_type(value: object) -> tuple[T.DataType, bool]:
+    """Type a single JSON value. Parity: inferJsonFieldType
+    (kafka/consumer.go:913-943). Returns (dtype, nullable)."""
+    if value is None:
+        return T.StringType(), True
+    if isinstance(value, bool):  # bool before int: Python bool subclasses int
+        return T.BooleanType(), False
+    if isinstance(value, (int, float)):
+        # Go decodes every JSON number as float64 first; mirror that.
+        if _is_integral_number(float(value)):
+            return T.LongType(), False
+        return T.DoubleType(), False
+    if isinstance(value, str):
+        if is_rfc3339(value):
+            return T.TimestampType(), False
+        return T.StringType(), False
+    if isinstance(value, (dict, list)):
+        return T.StringType(), False
+    return T.StringType(), False
+
+
+def common_super_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Promotion lattice, parity with commonSuperType
+    (kafka/consumer.go:946-982): same→same, int-widening, float-widening,
+    int⊔float→float, everything else→string."""
+    if a == b:
+        return a
+    if a in _INT_ORDER and b in _INT_ORDER:
+        return a if _INT_ORDER[a] > _INT_ORDER[b] else b
+    if a in _FLOAT_ORDER and b in _FLOAT_ORDER:
+        return a if _FLOAT_ORDER[a] > _FLOAT_ORDER[b] else b
+    if a in _INT_ORDER and b in _FLOAT_ORDER:
+        return b
+    if b in _INT_ORDER and a in _FLOAT_ORDER:
+        return a
+    return T.StringType()
+
+
+def infer_json_fields(payloads: list[bytes | str]) -> list[InferredField]:
+    """Merge field types across a sample of JSON payloads. Parity:
+    inferJsonSchema (kafka/consumer.go:867-910) — invalid JSON is skipped,
+    conflicting types join through the lattice, nullability ORs. Field
+    order is deterministic first-seen (divergence note in module doc)."""
+    field_types: dict[str, T.DataType] = {}
+    field_nullable: dict[str, bool] = {}
+    order: list[str] = []
+    for payload in payloads:
+        try:
+            data = json.loads(payload)
+        except (ValueError, UnicodeDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue  # top-level arrays carry no named fields
+        for key, value in data.items():
+            dtype, nullable = infer_json_field_type(value)
+            if key not in field_types:
+                field_types[key] = dtype
+                field_nullable[key] = nullable
+                order.append(key)
+            else:
+                field_types[key] = common_super_type(field_types[key], dtype)
+                field_nullable[key] = field_nullable[key] or nullable
+    return [InferredField(k, field_types[k], field_nullable[k]) for k in order]
+
+
+def infer_schema(payloads: list[bytes | str], sample_size: int = 10) -> T.StructType:
+    """Full stream schema from a batch of payloads. Parity: inferSchema
+    (kafka/consumer.go:828-864) — 4 metadata columns always; format decided
+    by the FIRST sampled message; JSON → inferred fields, else → ``value
+    binary``. ``sample_size`` defaults to the reference's 10."""
+    if not payloads:
+        raise ValueError("no messages to infer schema from")
+    sample = payloads[: min(len(payloads), sample_size)]
+    fields = [T.StructField(n, t, nullable) for n, t, nullable in KAFKA_METADATA_FIELDS]
+    if detect_format(sample[0]) == "json":
+        inferred = infer_json_fields(sample)
+        fields.extend(T.StructField(f.name, f.dtype, f.nullable) for f in inferred)
+    else:
+        fields.append(T.StructField("value", T.BinaryType(), True))
+    return T.StructType(fields)
+
+
+def stringify_json_value(value: object) -> str | None:
+    """Render a JSON value for a string-typed column. Scalars render
+    naturally; nested values render as canonical JSON (divergence from Go's
+    ``fmt.Sprintf("%v")``, documented above). Integral floats render without
+    a trailing ``.0`` to match Go's ``%v`` of float64 (``1.0`` → ``"1"``)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and _is_integral_number(value):
+        return str(int(value))
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, separators=(",", ":"), ensure_ascii=False)
+    return str(value)

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from roar_spark.session import get_spark
+
+    spark = get_spark(app_name="roar_spark_tests", shuffle_partitions=8)
+    yield spark
