@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -38,11 +39,31 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+# Columns written as parquet TIMESTAMP(NANOS) — Spark has no ns timestamp,
+# so they are read as raw nano longs (legacy conf) and normalized to µs
+# TimestampType here (floor division; matches DuckDB's ns→µs cast). This is
+# the same ns→µs precision mapping the reference's Arrow timestamp[ns]
+# columns get (SURVEY.md §1.3).
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, name: str, directory: str | None = None) -> DataFrame:
     """Read one corpus table. Plain parquet scan → full Catalyst pushdown
     (predicate pushdown, column pruning, partition pruning all apply)."""
     directory = directory or sf_dir()
-    return spark.read.parquet(f"{directory}/{name}.parquet")
+    if name in _NANO_TS_COLUMNS:
+        # Set at runtime too: the driver's harness builds its own session,
+        # which won't have gone through roar_spark.session.get_spark().
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — conf removed/renamed: proceed
+            pass
+    df = spark.read.parquet(f"{directory}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer div — epoch-ns (~1.7e18) overflows double precision
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, directory: str | None = None) -> dict[str, DataFrame]:

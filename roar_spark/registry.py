@@ -1,0 +1,431 @@
+"""Query registry: name → (spark callable, DuckDB oracle SQL).
+
+This is the correctness contract consumed by ``__spark_entry__.py``: the
+driver runs each Spark query and its oracle side by side at sf=0.01 and
+hash-compares row count + schema + order-insensitive values. Column names
+and value determinism rules are documented in operators/relational.py.
+
+Oracle dialect notes (kept portable between Spark SQL and DuckDB):
+- exact money sums:  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+- epoch arithmetic in integral MICROSECONDS (epoch_us ↔ unix_micros)
+- explicit NULLS FIRST/LAST wherever ordering feeds a LIMIT
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from roar_spark.operators import relational as R
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+# price × (1−disc) [× (1+tax)] in exact decimal arithmetic — see
+# operators/relational.py revenue_expr() for why computed doubles must not
+# be cast to decimal directly.
+_REV = "(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))"
+_CHG = f"({_REV} * CAST(1 + l_tax AS DECIMAL(8,2)))"
+
+
+def _dsum(x: str) -> str:
+    return _DSUM.format(x=x)
+
+
+def _decsum(x: str) -> str:
+    return f"CAST(SUM({x}) AS DOUBLE)"
+
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: SparkQuery, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# --- TPC-H-flavored -------------------------------------------------------
+
+_register(
+    "q1_pricing_summary",
+    R.q1_pricing_summary,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_decsum(_REV)} AS sum_disc_price,
+           {_decsum(_CHG)} AS sum_charge,
+           {_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           {_dsum('l_discount')} / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_register(
+    "q3_shipping_priority",
+    R.q3_shipping_priority,
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_decsum(_REV)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+_register(
+    "q5_local_supplier_volume",
+    R.q5_local_supplier_volume,
+    f"""
+    SELECT n_name, {_decsum(_REV)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+
+_register(
+    "q10_returned_items",
+    R.q10_returned_items,
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_decsum(_REV)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+
+# --- joins ----------------------------------------------------------------
+
+_ORDER_COUNTS = f"""
+    (SELECT o_custkey, COUNT(*) AS n_orders,
+            {_dsum('o_totalprice')} AS total_spent
+     FROM orders GROUP BY o_custkey) oc
+"""
+
+_register(
+    "join_inner",
+    R.join_inner,
+    f"""
+    SELECT c_custkey, c_name, n_orders, total_spent
+    FROM customer JOIN {_ORDER_COUNTS} ON c_custkey = oc.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+
+_register(
+    "join_left_outer",
+    R.join_left_outer,
+    f"""
+    SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders, total_spent
+    FROM customer LEFT JOIN {_ORDER_COUNTS} ON c_custkey = oc.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+
+_register(
+    "join_full_outer",
+    R.join_full_outer,
+    """
+    SELECT COALESCE(o.flag, i.flag) AS flag, n_orders, n_items
+    FROM (SELECT o_orderstatus AS flag, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT l_returnflag AS flag, COUNT(*) AS n_items FROM lineitem GROUP BY 1) i
+    ON o.flag = i.flag
+    ORDER BY flag
+    """,
+)
+
+_register(
+    "join_semi",
+    R.join_semi,
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+
+_register(
+    "join_anti",
+    R.join_anti,
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+
+_register(
+    "join_non_equi",
+    R.join_non_equi,
+    f"""
+    SELECT bracket, COUNT(*) AS n_parts,
+           {_dsum('p_retailprice')} / COUNT(p_retailprice) AS avg_price
+    FROM part
+    JOIN (VALUES ('budget', 0.0, 500.0),
+                 ('mid', 500.0, 1200.0),
+                 ('premium', 1200.0, 1000000000.0)) AS b(bracket, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY bracket
+    ORDER BY bracket
+    """,
+)
+
+# --- aggregation variants -------------------------------------------------
+
+_register(
+    "agg_distinct",
+    R.agg_distinct,
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_quantity) AS min_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+_register(
+    "agg_rollup",
+    R.agg_rollup,
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+
+_register(
+    "agg_cube",
+    R.agg_cube,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+
+_register(
+    "agg_grouping_sets",
+    R.agg_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+
+_register(
+    "agg_pivot",
+    R.agg_pivot,
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# --- windows --------------------------------------------------------------
+
+_register(
+    "window_rank",
+    R.window_rank,
+    """
+    SELECT * FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+    ) WHERE rn <= 5
+    ORDER BY p_brand, rn
+    """,
+)
+
+_register(
+    "window_running",
+    R.window_running,
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+
+_register(
+    "window_topk_per_group",
+    R.window_topk_per_group,
+    """
+    SELECT p_type, rn, p_partkey, p_name, p_retailprice FROM (
+      SELECT p_type, p_partkey, p_name, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+                 ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    ORDER BY p_type, rn
+    """,
+)
+
+# --- sorts / set ops ------------------------------------------------------
+
+_register(
+    "topk_global",
+    R.topk_global,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+_register(
+    "setop_union_distinct",
+    R.setop_union_distinct,
+    """
+    SELECT DISTINCT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    ) ORDER BY custkey
+    """,
+)
+
+_register(
+    "setop_intersect",
+    R.setop_intersect,
+    """
+    SELECT p_partkey FROM part WHERE p_retailprice > 1000
+    INTERSECT
+    SELECT p_partkey FROM part WHERE p_size >= 25
+    ORDER BY p_partkey
+    """,
+)
+
+_register(
+    "setop_except",
+    R.setop_except,
+    """
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY custkey
+    """,
+)
+
+# --- scalar functions / stream-shaped -------------------------------------
+
+_register(
+    "scalar_string_date",
+    R.scalar_string_date,
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderstatus) AS status_u,
+           SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+           CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+           LENGTH(o_orderpriority) AS prio_len,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           ROUND(o_totalprice, 0) AS price_rounded,
+           CAST(o_totalprice > 100000 AS INT) AS is_large
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+
+_register(
+    "events_hourly",
+    R.events_hourly,
+    f"""
+    SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events, {_dsum('"value"')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+
+_register(
+    "events_sessionize",
+    R.events_sessionize,
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)

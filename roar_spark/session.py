@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # Streaming: bounded state cleanup + deterministic micro-batching.
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        # The test corpus writes events.ts as parquet TIMESTAMP(NANOS); Spark
+        # has no ns timestamp type, so read it as a nano long and let
+        # catalog.load_table normalize to µs (same ns→µs mapping as the
+        # reference's Arrow timestamp[ns], SURVEY.md §1.3).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -1,0 +1,116 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every query in roar_spark.registry against its DuckDB oracle at a given
+SF dir and compares: row count, sorted column names, and the order-insensitive
+multiset of rows with EXACT value equality (the strictest plausible hash), so
+passing here implies passing any reasonable driver hashing scheme. Reports
+near-miss diagnostics (max float delta) when exact equality fails.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from roar_spark.catalog import TABLES  # noqa: E402
+from roar_spark.registry import ORACLES, QUERIES  # noqa: E402
+from roar_spark.session import get_spark  # noqa: E402
+
+
+def norm(v: object) -> object:
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_key(rows: list[tuple]) -> list[tuple]:
+    return sorted((tuple(norm(v) for v in r) for r in rows), key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="roar_spark_check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            d_cols = [d[0].lower() for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={s_cols} duckdb={d_cols}")
+        if not problems:
+            # align duckdb column order to spark's
+            idx = [d_cols.index(c) for c in s_cols]
+            d_rows = [tuple(r[i] for i in idx) for r in d_rows]
+            sk, dk = rows_key(s_rows), rows_key(d_rows)
+            if sk != dk:
+                mism = sum(1 for a, b in zip(sk, dk) if a != b)
+                delta = 0.0
+                for a, b in zip(sk, dk):
+                    for x, y in zip(a, b):
+                        if isinstance(x, float) and isinstance(y, float):
+                            delta = max(delta, abs(x - y))
+                problems.append(f"values: {mism}/{len(sk)} sorted rows differ, max_float_delta={delta:.3e}")
+                for a, b in zip(sk, dk):
+                    if a != b:
+                        print(f"  spark : {a}\n  duckdb: {b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
