@@ -1,0 +1,54 @@
+"""Text-analysis column expressions: tokenization, shingling, portable
+hashing. All built-in Catalyst expressions (split/transform/md5) — the
+same primitives the DuckDB oracles mirror, so results hash-match exactly.
+
+Portable-hash design note: cross-engine minhash/simhash needs a hash both
+engines compute identically. Integer hashes differ (Spark xxhash64 vs
+DuckDB's hash), but ``md5`` of a UTF-8 string is standard everywhere, so:
+
+- minhash uses MIN over *hex-string prefixes* of salted md5 — string min is
+  total-ordered and portable, no hex→int conversion needed;
+- simhash extracts bits arithmetically from md5 hex digits via
+  ``strpos('0123456789abcdef', digit)`` (1-based in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (DuckDB: string_split_regex)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Overlapping word n-grams as space-joined strings. Caller filters
+    docs with fewer than ``n`` tokens (F.sequence would run backwards)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+
+
+def minhash_str(shingle: Column, salt: int, width: int = 16) -> Column:
+    """Salted md5 hex prefix — the per-shingle value whose MIN is the
+    minhash component. Pure strings end to end (portable)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{salt}|"), shingle)), 1, width)
+
+
+def hex_digit_val(token_md5: Column, pos: int) -> Column:
+    """Value 0-15 of the ``pos``-th (1-based) hex digit of an md5 string."""
+    return F.instr(F.lit(HEX_DIGITS), F.substring(token_md5, pos, 1)) - 1
+
+
+def simhash_bit_sign(token_md5: Column, bit: int) -> Column:
+    """±1 contribution of one token to simhash bit ``bit`` (0-based,
+    bit = (digit_index * 4) + bit_in_digit over the md5 hex digits)."""
+    digit = hex_digit_val(token_md5, bit // 4 + 1)
+    bit_val = (digit / (2 ** (bit % 4))).cast("int") % 2
+    return bit_val * 2 - 1

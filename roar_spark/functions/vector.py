@@ -1,0 +1,34 @@
+"""Vector math over ``array<float|double>`` columns, as built-in Catalyst
+expressions (zip_with/aggregate fold) — whole-stage-codegen'd, no UDFs.
+
+Determinism: dot products fold left-to-right in DOUBLE (element order), so
+results are bit-identical across engines that do ordered folds (the DuckDB
+oracles use list_transform + list_reduce with the same ordering). This is
+what lets similarity queries hash-match exactly.
+
+At 100 TB these expressions stream through codegen per row with no Python
+boundary; pair generation strategy (the quadratic part) lives in
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    """L2 norm (same fold as :func:`dot`, so bit-stable)."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a precomputed-norm pair (norms are computed once per
+    vector, not once per pair — O(n) not O(n²) sqrt calls)."""
+    return dot(a, b) / (norm_a * norm_b)

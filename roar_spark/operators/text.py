@@ -1,0 +1,88 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, document fingerprinting (the text side of a
+training-data pipeline).
+
+Everything is a single projection/aggregation of built-in string/array
+expressions: per-row, embarrassingly parallel, no shuffle except the final
+orderBy (dropped under a streaming/pipeline context). Ratios are double
+divisions of exact integers and get round(…, 6) → deterministic across
+engines (ties like 1/128 are exact binary fractions and round identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roar_spark.catalog import load_table
+from roar_spark.functions.text_fns import tokens
+
+EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "it")
+ES_STOP = ("el", "la", "de", "los", "que", "y", "en", "un")
+DE_STOP = ("der", "die", "das", "und", "ist", "von", "ein", "mit")
+
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals: lengths, type-token ratio,
+    punctuation ratio, stopword ratio, mean token length."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    n_stop = _count_in(toks, EN_STOP)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tok.cast("double"), 6).alias("stopword_ratio"),
+        F.round(n_nonspace.cast("double") / n_tok.cast("double"), 6).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram-free heuristic): count hits per
+    language list, argmax with deterministic tie order en > es > de."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    s_en, s_es, s_de = (_count_in(toks, w) for w in (EN_STOP, ES_STOP, DE_STOP))
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        s_en.alias("score_en"),
+        s_es.alias("score_es"),
+        s_de.alias("score_de"),
+        pred.alias("lang_pred"),
+        F.col("lang").alias("lang_tagged"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed) — the digest exact-dedup
+    and incremental-crawl pipelines key on."""
+    docs = load_table(spark, "documents", sf_dir)
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), PUNCT_CLASS, ""), r"\s+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("n_norm_chars"),
+    ).orderBy("doc_id")

@@ -429,3 +429,11 @@ _register(
     ORDER BY user_id, session_id
     """,
 )
+
+# --- LLM-data-pipeline operators (dedup / similarity / text / multimodal) --
+# Registered last; oracle-less entries (ann_lsh_topk, multimodal_decode_stub)
+# get the driver's rows-only check by design.
+from roar_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLES)

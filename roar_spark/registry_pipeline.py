@@ -1,0 +1,216 @@
+"""Registry section 2: LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal) with their DuckDB oracles.
+
+The oracle SQL mirrors the exact portable primitives the Spark operators
+use (md5-based hashing, ordered double folds, integer ratio rounding) —
+see functions/text_fns.py and functions/vector.py for why each is
+cross-engine deterministic. SQL for simhash/minhash is generated
+programmatically (32 bit-aggregates / 8 minhash mins are mechanical).
+"""
+
+from __future__ import annotations
+
+from roar_spark.operators import dedup as D
+from roar_spark.operators import multimodal as M
+from roar_spark.operators import similarity as S
+from roar_spark.operators import text as X
+from roar_spark.operators.dedup import N_BANDS, N_MINHASH, SIMHASH_BITS
+
+# --- shared SQL fragments -------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_SHINGLE_CTES = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3) raw),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_id_a, doc_id_b,
+             round(CAST(n_common AS DOUBLE)
+                   / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_id_a = sa.doc_id
+      JOIN sizes sb ON doc_id_b = sb.doc_id)
+"""
+
+# ordered left-fold dot product in double (matches functions/vector.py)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+_EMB_NORM_CTE = f"""
+    e AS (SELECT vec_id, embedding,
+                 sqrt({_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings)
+"""
+
+PIPELINE_ORACLES: dict[str, str] = {}
+PIPELINE_QUERIES = {
+    "dedup_exact": D.dedup_exact,
+    "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": D.dedup_minhash_lsh,
+    "dedup_simhash": D.dedup_simhash,
+    "sim_brute_topk": S.sim_brute_topk,
+    "sim_cosine_pairs": S.sim_cosine_pairs,
+    "ann_lsh_topk": S.ann_lsh_topk,  # approximate by design → rows-only
+    "text_stats": X.text_stats,
+    "text_langid": X.text_langid,
+    "text_fingerprint": X.text_fingerprint,
+    "multimodal_meta": M.multimodal_meta,
+    "multimodal_decode_stub": M.multimodal_decode_stub,  # STUB codec → rows-only
+}
+
+PIPELINE_ORACLES["dedup_exact"] = """
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY text_md5
+"""
+
+PIPELINE_ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_SHINGLE_CTES}
+    SELECT doc_id_a, doc_id_b, jaccard FROM jac
+    WHERE jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b
+"""
+
+_rows_per_band = N_MINHASH // N_BANDS
+_sig_cols = ",\n             ".join(
+    f"MIN(substr(md5('{j}|' || s), 1, 16)) AS h{j}" for j in range(N_MINHASH)
+)
+_band_selects = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+        b=b,
+        key=" || ".join(f"h{b * _rows_per_band + r}" for r in range(_rows_per_band)),
+    )
+    for b in range(N_BANDS)
+)
+PIPELINE_ORACLES["dedup_minhash_lsh"] = f"""
+    WITH {_SHINGLE_CTES},
+    sig AS (SELECT doc_id,
+             {_sig_cols}
+            FROM sh GROUP BY doc_id),
+    bands AS (
+      {_band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)
+    SELECT c.doc_id_a, c.doc_id_b, j.jaccard
+    FROM cand c JOIN jac j ON c.doc_id_a = j.doc_id_a AND c.doc_id_b = j.doc_id_b
+    WHERE j.jaccard >= 0.5
+    ORDER BY c.doc_id_a, c.doc_id_b
+"""
+
+_bit_sums = ",\n           ".join(
+    "SUM(((((strpos('0123456789abcdef', substr(h, {d}, 1)) - 1) // {p}) % 2) * 2) - 1)"
+    " AS s{b}".format(d=b // 4 + 1, p=2 ** (b % 4), b=b)
+    for b in range(SIMHASH_BITS)
+)
+_sim_terms = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+PIPELINE_ORACLES["dedup_simhash"] = f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest({_TOKS})) AS h FROM documents),
+    bits AS (
+      SELECT doc_id,
+           {_bit_sums}
+      FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ORDER BY doc_id_a, doc_id_b
+"""
+
+PIPELINE_ORACLES["sim_brute_topk"] = f"""
+    WITH {_EMB_NORM_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM e WHERE vec_id < {S.N_QUERIES}),
+    scored AS (
+      SELECT query_id, vec_id,
+             round({_dot('q_emb', 'embedding')} / (q_nrm * nrm), 6) AS cos
+      FROM e CROSS JOIN q WHERE vec_id != query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos
+    FROM ranked WHERE rank <= {S.TOP_K}
+    ORDER BY query_id, rank
+"""
+
+PIPELINE_ORACLES["sim_cosine_pairs"] = f"""
+    WITH {_EMB_NORM_CTE}
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round({_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.4
+    ORDER BY vec_id_a, vec_id_b
+"""
+
+_EN = "['the','and','of','to','a','in','is','it']"
+_ES = "['el','la','de','los','que','y','en','un']"
+_DE = "['der','die','das','und','ist','von','ein','mit']"
+
+PIPELINE_ORACLES["text_stats"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
+           round(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                 / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+           round(CAST(len(list_filter(toks, x -> list_contains({_EN}, x))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+           round(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
+    FROM t ORDER BY doc_id
+"""
+
+PIPELINE_ORACLES["text_langid"] = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 len(list_filter(toks, x -> list_contains({_EN}, x))) AS score_en,
+                 len(list_filter(toks, x -> list_contains({_ES}, x))) AS score_es,
+                 len(list_filter(toks, x -> list_contains({_DE}, x))) AS score_de
+          FROM t)
+    SELECT doc_id, score_en, score_es, score_de,
+           CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_de THEN 'es'
+                ELSE 'de' END AS lang_pred,
+           lang AS lang_tagged
+    FROM s ORDER BY doc_id
+"""
+
+PIPELINE_ORACLES["text_fingerprint"] = """
+    WITH n AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                                    '\\s+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS fingerprint, LENGTH(norm) AS n_norm_chars
+    FROM n ORDER BY doc_id
+"""
+
+PIPELINE_ORACLES["multimodal_meta"] = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(hex(encode(text)), 1, 8) AS magic_hex,
+           md5(text) AS payload_md5
+    FROM documents ORDER BY doc_id
+"""
