@@ -1,0 +1,48 @@
+"""Real Kafka source (requires a broker + the spark-sql-kafka package).
+
+Option mapping from the reference's reader config (SURVEY.md §2 A1-A4):
+
+- one consumer group for all topics: ``kafka.group.id`` ← "roar-consumer"
+  (kafka/consumer.go:226)
+- start at latest offset (StartOffset: LastOffset, kafka/consumer.go:231)
+  ← ``startingOffsets=latest``
+- fetch window 1 KB – 10 MB (kafka/consumer.go:229-230)
+  ← ``kafka.fetch.min.bytes`` / ``kafka.fetch.max.bytes``
+- count trigger ``batchSize`` (consumer.go:385-387) ← ``maxOffsetsPerTrigger``
+  (micro-batch row bound); the 5 s flush timer (consumer.go:319) becomes the
+  processing-time trigger set by the stream manager at start().
+
+The Kafka source already emits exactly the envelope the reference reads
+per message (kafka/consumer.go:672-675): key, value, timestamp, offset,
+partition — no projection needed beyond column selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from roar_spark.config import EngineConfig
+
+ENVELOPE_COLS = ["key", "value", "timestamp", "offset", "partition"]
+
+
+def kafka_envelope_stream(
+    spark: SparkSession, config: EngineConfig, topics: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Streaming DataFrame of Kafka envelopes for the configured topics.
+    The per-topic split (one Stream per topic, stream/manager.go:33-54)
+    happens downstream in the manager via ``topic`` column routing."""
+    topics = topics or config.topics
+    if not topics:
+        raise ValueError("no topics configured")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", config.brokers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", config.starting_offsets)
+        .option("kafka.group.id", config.group_id)
+        .option("kafka.fetch.min.bytes", str(config.fetch_min_bytes))
+        .option("kafka.fetch.max.bytes", str(config.fetch_max_bytes))
+        .option("maxOffsetsPerTrigger", str(config.batch_size))
+    )
+    return reader.load().select("topic", *ENVELOPE_COLS)

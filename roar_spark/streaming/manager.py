@@ -1,0 +1,350 @@
+"""Stream registry + bounded retention + TTL expiry + serving facade —
+the Spark-native re-expression of the reference's stream manager and
+Flight server (stream/manager.go, flight/server.go).
+
+Semantics matched (SURVEY.md §1.4, §2 A15-A28):
+
+- registry: topic → stream, create-on-ingest (Manager.GetStream,
+  stream/manager.go:217-241; we deliberately do NOT create on read —
+  divergence §2.3.7, the reference's probe-created empty streams are a bug)
+- byte-capped buffer with DROP-OLDEST whole-batch eviction
+  (Stream.AddBatch, stream/manager.go:286-310) — drops, never spills
+- TTL: janitor every ttl/2 deletes streams idle > ttl
+  (stream/manager.go:117-184); READS REFRESH THE TTL (GetBatches bumps
+  LastUpdated, stream/manager.go:376-386 — §2.3.4, replicated on purpose:
+  the retention clock is last *activity*)
+- snapshot reads: fetch() serves a copy of the batch list as of call time
+  (stream/manager.go:383-385) — a long client read never blocks appends
+- serving facade = the Flight surface re-expressed:
+  list_streams (A22/A27), describe/get_schema (A23/A24), fetch+limit
+  (A25/A28 — limit is the reference client's only row operator), health +
+  list-topics actions (A26)
+
+Retention store design (engine-specific custom code — the one part of the
+reference Catalyst can't subsume, SURVEY.md §4):
+
+- ``MemoryStore``: Arrow tables in a driver-side deque — the reference's
+  exact single-node model (its Stream.Batches slice). Byte accounting uses
+  REAL Arrow buffer sizes, not the reference's rows×cols×8 estimate
+  (improvement noted §2.3.8).
+- ``ParquetStore``: batch-id-keyed parquet directories; eviction = delete
+  oldest directory, sizes from file metadata. This is the 100 TB path: the
+  buffer lives in the object store, executors write micro-batches directly
+  (no driver collect), serving is a parquet scan of live batch dirs, and
+  eviction is an O(1) metadata delete per batch. The drop-oldest policy and
+  TTL semantics are identical across both stores.
+
+Clock injection (``time_fn``) keeps TTL behavior unit-testable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from roar_spark.config import EngineConfig
+from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
+
+__all__ = ["StreamEngine", "MemoryStore", "ParquetStore", "StreamHandle"]
+
+
+class MemoryStore:
+    """Driver-side Arrow buffer with drop-oldest byte cap (reference
+    parity model; single-node by definition, like the reference)."""
+
+    def __init__(self, spark: SparkSession, schema: T.StructType, max_bytes: int) -> None:
+        self._spark = spark
+        self._schema = schema
+        self._max_bytes = max_bytes
+        self._batches: deque = deque()  # (arrow_table, nbytes)
+        self._bytes = 0
+        self.records_dropped = 0
+        self._lock = threading.Lock()
+
+    def append(self, batch_df: DataFrame) -> None:
+        table = batch_df.toArrow()
+        size = table.nbytes
+        with self._lock:
+            # eviction loop parity: stream/manager.go:288-310
+            while self._batches and self._bytes + size > self._max_bytes:
+                old, old_size = self._batches.popleft()
+                self._bytes -= old_size
+                self.records_dropped += old.num_rows
+            if self._bytes + size <= self._max_bytes:
+                self._batches.append((table, size))
+                self._bytes += size
+            else:  # single batch larger than the cap → dropped whole
+                self.records_dropped += table.num_rows
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        import pyarrow as pa
+
+        with self._lock:
+            tables = [t for t, _ in self._batches]
+        if not tables:
+            return spark.createDataFrame([], self._schema)
+        return spark.createDataFrame(pa.concat_tables(tables))
+
+    @property
+    def current_bytes(self) -> int:
+        return self._bytes
+
+    @property
+    def batch_count(self) -> int:
+        return len(self._batches)
+
+    def close(self) -> None:
+        with self._lock:
+            self._batches.clear()
+            self._bytes = 0
+
+
+class ParquetStore:
+    """Batch-directory parquet buffer — the distributed retention path.
+    Executors write micro-batches straight to storage; the driver tracks
+    only (batch_id, nbytes) metadata."""
+
+    def __init__(self, spark: SparkSession, schema: T.StructType, max_bytes: int, base: str) -> None:
+        self._spark = spark
+        self._schema = schema
+        self._max_bytes = max_bytes
+        self._base = base
+        self._batches: deque = deque()  # (path, nbytes, num_rows)
+        self._bytes = 0
+        self._next_id = 0
+        self.records_dropped = 0
+        self._lock = threading.Lock()
+        os.makedirs(base, exist_ok=True)
+
+    @staticmethod
+    def _dir_size(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def append(self, batch_df: DataFrame) -> None:
+        with self._lock:
+            path = os.path.join(self._base, f"batch_id={self._next_id}")
+            self._next_id += 1
+        batch_df.write.mode("overwrite").parquet(path)
+        size = self._dir_size(path)
+        rows = None  # count lazily only if this batch gets dropped
+        with self._lock:
+            while self._batches and self._bytes + size > self._max_bytes:
+                old_path, old_size, old_rows = self._batches.popleft()
+                self._bytes -= old_size
+                self.records_dropped += old_rows
+                shutil.rmtree(old_path, ignore_errors=True)
+            if self._bytes + size <= self._max_bytes:
+                rows = self._spark.read.parquet(path).count()
+                self._batches.append((path, size, rows))
+                self._bytes += size
+            else:
+                self.records_dropped += self._spark.read.parquet(path).count()
+                shutil.rmtree(path, ignore_errors=True)
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        with self._lock:
+            paths = [p for p, _, _ in self._batches]
+        if not paths:
+            return spark.createDataFrame([], self._schema)
+        return spark.read.schema(self._schema).parquet(*paths)
+
+    @property
+    def current_bytes(self) -> int:
+        return self._bytes
+
+    @property
+    def batch_count(self) -> int:
+        return len(self._batches)
+
+    def close(self) -> None:
+        shutil.rmtree(self._base, ignore_errors=True)
+        self._batches.clear()
+        self._bytes = 0
+
+
+@dataclass
+class StreamHandle:
+    topic: str
+    schema: T.StructType
+    store: object
+    last_updated: float
+    query: object | None = None  # StreamingQuery once started
+    records_total: int = field(default=0)
+
+
+class StreamEngine:
+    """Registry + janitor + serving facade (the process the reference's
+    `roar serve` runs, minus the wire protocol)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig | None = None,
+        *,
+        store_base: str | None = None,
+        time_fn=time.monotonic,
+    ) -> None:
+        self._spark = spark
+        self.config = config or EngineConfig()
+        self._streams: dict[str, StreamHandle] = {}
+        self._lock = threading.Lock()
+        self._time = time_fn
+        self._store_base = store_base
+        self._janitor: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    # --- ingestion --------------------------------------------------------
+
+    def _make_store(self, topic: str, schema: T.StructType):
+        if self._store_base:
+            return ParquetStore(
+                self._spark, schema, self.config.buffer_limit_bytes,
+                os.path.join(self._store_base, topic),
+            )
+        return MemoryStore(self._spark, schema, self.config.buffer_limit_bytes)
+
+    def register_stream(self, topic: str, sample_payloads: list[bytes | str]) -> StreamHandle:
+        """Create the stream entry with a frozen inferred schema (the
+        dummy-batch bootstrap A14 is NOT replicated — schema is metadata
+        here, no spurious null row; SURVEY.md §2.3.3)."""
+        schema = bootstrap_schema(sample_payloads, self.config.schema_sample_size)
+        with self._lock:
+            if topic in self._streams:
+                return self._streams[topic]
+            handle = StreamHandle(topic, schema, self._make_store(topic, schema), self._time())
+            self._streams[topic] = handle
+            return handle
+
+    def ingest(self, topic: str, envelope: DataFrame, sample_payloads: list[bytes | str]):
+        """Start the per-topic streaming query:
+        envelope → parse (frozen schema) → foreachBatch append-with-retention.
+        Trigger = the reference's 5 s flush timer."""
+        handle = self.register_stream(topic, sample_payloads)
+        parsed = parse_envelope(envelope, handle.schema)
+
+        def _append(batch_df: DataFrame, _batch_id: int) -> None:
+            n = batch_df.count()
+            if n == 0:
+                return
+            handle.store.append(batch_df)
+            handle.records_total += n
+            handle.last_updated = self._time()
+
+        query = (
+            parsed.writeStream.foreachBatch(_append)
+            .trigger(processingTime=f"{self.config.flush_interval_seconds} seconds")
+            .option("checkpointLocation", self._checkpoint_dir(topic))
+            .queryName(f"roar-{topic}")
+            .start()
+        )
+        handle.query = query
+        self._ensure_janitor()
+        return handle
+
+    def append_batch(self, topic: str, envelope_batch: DataFrame) -> None:
+        """Batch-mode append (tests / backfill): same parse + retention
+        path without a StreamingQuery."""
+        handle = self._streams[topic]
+        handle.store.append(parse_envelope(envelope_batch, handle.schema))
+        handle.last_updated = self._time()
+
+    def _checkpoint_dir(self, topic: str) -> str:
+        base = self.config.checkpoint_path or os.path.join(
+            self._store_base or "/tmp/roar_spark", "_checkpoints"
+        )
+        return os.path.join(base, topic)
+
+    # --- TTL janitor (A18) ------------------------------------------------
+
+    def _ensure_janitor(self) -> None:
+        if self._janitor is None or not self._janitor.is_alive():
+            self._stop.clear()
+            self._janitor = threading.Thread(target=self._cleanup_loop, daemon=True)
+            self._janitor.start()
+
+    def _cleanup_loop(self) -> None:
+        # tick every ttl/2 (stream/manager.go:118)
+        while not self._stop.wait(self.config.ttl_seconds / 2):
+            self.cleanup_expired()
+
+    def cleanup_expired(self) -> list[str]:
+        """Delete streams idle longer than ttl (stream/manager.go:150-184).
+        Exposed for deterministic tests."""
+        now = self._time()
+        expired: list[StreamHandle] = []
+        with self._lock:
+            for topic, handle in list(self._streams.items()):
+                if now - handle.last_updated > self.config.ttl_seconds:
+                    expired.append(handle)
+                    del self._streams[topic]
+        for handle in expired:  # release resources outside the lock
+            if handle.query is not None:
+                try:
+                    handle.query.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+            handle.store.close()
+        return [h.topic for h in expired]
+
+    # --- serving facade (A19, A22-A28) ------------------------------------
+
+    def list_streams(self) -> list[str]:
+        with self._lock:
+            return sorted(self._streams)
+
+    def get_schema(self, topic: str) -> T.StructType:
+        return self._handle(topic).schema
+
+    def describe_stream(self, topic: str) -> dict:
+        h = self._handle(topic)
+        return {
+            "topic": h.topic,
+            "schema": h.schema.simpleString(),
+            "batches": h.store.batch_count,
+            "bytes": h.store.current_bytes,
+            "records_dropped": h.store.records_dropped,
+            "total_records": -1,  # unbounded stream (flight/server.go:120-121)
+        }
+
+    def fetch(self, topic: str, limit: int = 10) -> DataFrame:
+        """Snapshot read with the client's default limit of 10
+        (cmd/client.go:65). Refreshes the TTL — §2.3.4 parity."""
+        handle = self._handle(topic)
+        handle.last_updated = self._time()
+        df = handle.store.snapshot(self._spark)
+        return df.limit(limit) if limit is not None and limit >= 0 else df
+
+    def health(self) -> str:
+        return "OK"  # DoAction health (flight/server.go:236-239)
+
+    def _handle(self, topic: str) -> StreamHandle:
+        with self._lock:
+            if topic not in self._streams:
+                raise KeyError(f"stream not found: {topic}")  # NotFound, no
+                # create-on-read (divergence §2.3.7)
+            return self._streams[topic]
+
+    # --- lifecycle --------------------------------------------------------
+
+    def stop(self) -> None:
+        self._stop.set()
+        with self._lock:
+            handles = list(self._streams.values())
+            self._streams.clear()
+        for h in handles:
+            if h.query is not None:
+                try:
+                    h.query.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+            h.store.close()

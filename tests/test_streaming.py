@@ -1,0 +1,254 @@
+"""Streaming stack tests: ingest parsing, retention (byte cap, drop-oldest),
+TTL (expiry, read-refresh), serving facade, sink DDL parity, and one real
+end-to-end Structured Streaming run over the file-simulated source.
+SURVEY.md §5.1/§5.3."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from roar_spark.config import EngineConfig
+from roar_spark.sources.files import (
+    file_envelope_stream,
+    read_envelope_batch,
+    write_envelope_file,
+)
+from roar_spark.streaming.ingest import is_json_schema, parse_envelope
+from roar_spark.streaming.manager import StreamEngine
+from roar_spark.streaming.sink import create_table_ddl, spark_type_to_sql
+
+
+def _msgs(n, start_offset=0, value_fn=None, partition=0):
+    value_fn = value_fn or (lambda i: json.dumps({"n": i, "s": f"v{i}"}))
+    return [
+        {
+            "key": f"k{i}",
+            "value": value_fn(i),
+            "timestamp": f"2026-08-13T10:00:{i % 60:02d}Z",
+            "offset": start_offset + i,
+            "partition": partition,
+        }
+        for i in range(n)
+    ]
+
+
+# --- parse pipeline -------------------------------------------------------
+
+
+def test_parse_json_envelope(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    write_envelope_file(path, _msgs(5))
+    env = read_envelope_batch(spark, path)
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("t1", [json.dumps({"n": 1, "s": "x"})])
+    out = parse_envelope(env, handle.schema)
+    rows = {r.kafka_offset: r for r in out.collect()}
+    assert set(rows) == set(range(5))
+    assert rows[3].n == 3 and rows[3].s == "v3"
+    assert rows[0].kafka_key == "k0"
+    assert rows[0].kafka_partition == 0
+
+
+def test_parse_binary_envelope(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    write_envelope_file(path, _msgs(3, value_fn=lambda i: bytes([0, 1, i])))
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("t2", [b"\x00\x01"])
+    assert not is_json_schema(handle.schema)
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    rows = sorted(out.collect(), key=lambda r: r.kafka_offset)
+    assert bytes(rows[2].value) == bytes([0, 1, 2])
+
+
+def test_parse_coercion_semantics(spark, tmp_path):
+    """appendValue parity: float→long truncates, string into long → null,
+    RFC3339 → timestamp, non-RFC3339 string stays string, missing → null,
+    unknown fields silently dropped (frozen schema)."""
+    path = str(tmp_path / "t3")
+    write_envelope_file(
+        path,
+        _msgs(
+            4,
+            value_fn=lambda i: json.dumps(
+                [
+                    {"a": 1, "ts": "2026-08-13T10:00:00Z", "s": "x"},
+                    {"a": 2.7, "ts": "2026-08-13T11:00:00Z", "s": "y"},
+                    {"a": "notnum", "ts": "not a ts", "extra": 9},
+                    {},
+                ][i]
+            ),
+        ),
+    )
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream(
+        "t3", [json.dumps({"a": 1, "ts": "2026-08-13T10:00:00Z", "s": "x"})]
+    )
+    by = {f.name: f.dataType for f in handle.schema.fields}
+    assert by["a"] == T.LongType() and by["ts"] == T.TimestampType()
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    rows = {r.kafka_offset: r for r in out.collect()}
+    assert rows[0].a == 1
+    assert rows[1].a == 2  # float64 → int64 truncation (consumer.go:754)
+    assert rows[2].a is None  # string into long → null (consumer.go:756)
+    assert rows[2].ts is None  # non-RFC3339 → null (consumer.go:822-824)
+    assert rows[3].a is None and rows[3].s is None  # missing → null
+    assert "extra" not in out.columns  # frozen schema drops new fields
+
+
+# --- retention ------------------------------------------------------------
+
+
+def _engine_with_stream(spark, tmp_path, topic, cap_bytes, sample=None, **cfg):
+    engine = StreamEngine(
+        spark,
+        EngineConfig(buffer_limit_bytes=cap_bytes, **cfg),
+        time_fn=time.monotonic,
+    )
+    engine.register_stream(topic, sample or [json.dumps({"n": 1, "s": "x"})])
+    return engine
+
+
+def test_retention_drop_oldest(spark, tmp_path):
+    engine = _engine_with_stream(spark, tmp_path, "r1", cap_bytes=4000)
+    for batch in range(6):
+        path = str(tmp_path / f"r1_{batch}")
+        write_envelope_file(path, _msgs(20, start_offset=batch * 20))
+        engine.append_batch("r1", read_envelope_batch(spark, path))
+    served = engine.fetch("r1", limit=-1)
+    offsets = sorted(r.kafka_offset for r in served.collect())
+    handle = engine._handle("r1")
+    assert handle.store.records_dropped > 0
+    # drop-oldest: surviving offsets are the LARGEST, contiguous to the end
+    assert offsets[-1] == 119
+    assert offsets == list(range(120 - len(offsets), 120))
+    assert handle.store.current_bytes <= 4000
+
+
+def test_retention_oversized_batch_dropped(spark, tmp_path):
+    engine = _engine_with_stream(spark, tmp_path, "r2", cap_bytes=100)
+    path = str(tmp_path / "r2_big")
+    write_envelope_file(path, _msgs(50))
+    engine.append_batch("r2", read_envelope_batch(spark, path))
+    assert engine.fetch("r2", limit=-1).count() == 0
+    assert engine._handle("r2").store.records_dropped == 50
+
+
+def test_ttl_expiry_and_read_refresh(spark, tmp_path):
+    clock = [0.0]
+    engine = StreamEngine(
+        spark, EngineConfig(ttl_seconds=10), time_fn=lambda: clock[0]
+    )
+    engine.register_stream("ttl1", [json.dumps({"n": 1})])
+    engine.register_stream("ttl2", [json.dumps({"n": 1})])
+    clock[0] = 8.0
+    engine.fetch("ttl1", limit=1)  # read refreshes ttl1 only (§2.3.4)
+    clock[0] = 12.0
+    expired = engine.cleanup_expired()
+    assert expired == ["ttl2"]
+    assert engine.list_streams() == ["ttl1"]
+    clock[0] = 19.0  # ttl1 last activity at 8.0 → expires at 18+
+    assert engine.cleanup_expired() == ["ttl1"]
+    assert engine.list_streams() == []
+
+
+def test_fetch_limit_and_not_found(spark, tmp_path):
+    engine = _engine_with_stream(spark, tmp_path, "f1", cap_bytes=10_000_000)
+    path = str(tmp_path / "f1_data")
+    write_envelope_file(path, _msgs(30))
+    engine.append_batch("f1", read_envelope_batch(spark, path))
+    assert engine.fetch("f1").count() == 10  # client default limit (client.go:65)
+    assert engine.fetch("f1", limit=5).count() == 5
+    with pytest.raises(KeyError):
+        engine.fetch("nope")  # NotFound; no create-on-read (§2.3.7)
+    assert engine.health() == "OK"
+    desc = engine.describe_stream("f1")
+    assert desc["total_records"] == -1 and desc["batches"] >= 1
+
+
+def test_parquet_store_retention(spark, tmp_path):
+    engine = StreamEngine(
+        spark,
+        EngineConfig(buffer_limit_bytes=6000),
+        store_base=str(tmp_path / "store"),
+    )
+    engine.register_stream("p1", [json.dumps({"n": 1, "s": "x"})])
+    for batch in range(5):
+        path = str(tmp_path / f"p1_{batch}")
+        write_envelope_file(path, _msgs(20, start_offset=batch * 20))
+        engine.append_batch("p1", read_envelope_batch(spark, path))
+    handle = engine._handle("p1")
+    assert handle.store.current_bytes <= 6000
+    offsets = sorted(r.kafka_offset for r in engine.fetch("p1", limit=-1).collect())
+    assert offsets[-1] == 99 and offsets == list(range(100 - len(offsets), 100))
+    assert handle.store.records_dropped > 0
+    engine.stop()
+
+
+# --- sink DDL / type-map parity (duckdb/sink.go:184-250) ------------------
+
+
+def test_sink_type_mapping():
+    assert spark_type_to_sql(T.LongType()) == "BIGINT"
+    assert spark_type_to_sql(T.IntegerType()) == "INTEGER"
+    assert spark_type_to_sql(T.StringType()) == "VARCHAR"
+    assert spark_type_to_sql(T.BinaryType()) == "BLOB"
+    assert spark_type_to_sql(T.TimestampType()) == "TIMESTAMP"
+    assert spark_type_to_sql(T.BooleanType()) == "BOOLEAN"
+    assert spark_type_to_sql(T.DoubleType()) == "DOUBLE"
+    assert spark_type_to_sql(T.DateType()) == "DATE"
+    assert spark_type_to_sql(T.ArrayType(T.LongType())) == "VARCHAR"  # fallback
+
+
+def test_sink_ddl_generation():
+    schema = T.StructType(
+        [
+            T.StructField("kafka_key", T.StringType(), True),
+            T.StructField("kafka_offset", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    ddl = create_table_ddl("events", schema)
+    assert ddl == (
+        'CREATE TABLE IF NOT EXISTS "events" '
+        '("kafka_key" VARCHAR, "kafka_offset" BIGINT NOT NULL, "v" DOUBLE)'
+    )
+    import duckdb
+
+    duckdb.connect().execute(ddl)  # the DDL actually runs
+
+
+# --- end-to-end streaming run --------------------------------------------
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """Real Structured Streaming: file source → parse → foreachBatch
+    retention → serve. The whole reference pipeline shape (SURVEY.md §3
+    entry point 1) in one test."""
+    src = str(tmp_path / "stream_src")
+    write_envelope_file(src, _msgs(40), file_name="a.json")
+    engine = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, buffer_limit_bytes=10_000_000,
+                     checkpoint_path=str(tmp_path / "ckpt")),
+        store_base=str(tmp_path / "store"),
+    )
+    handle = engine.ingest(
+        "e2e", file_envelope_stream(spark, src), [json.dumps({"n": 1, "s": "x"})]
+    )
+    try:
+        handle.query.processAllAvailable()
+        assert engine.fetch("e2e", limit=-1).count() == 40
+        # late data: a second producer flush lands in a later micro-batch
+        write_envelope_file(src, _msgs(10, start_offset=40), file_name="b.json")
+        handle.query.processAllAvailable()
+        served = engine.fetch("e2e", limit=-1)
+        assert served.count() == 50
+        assert served.agg(F.max("kafka_offset")).first()[0] == 49
+        assert handle.records_total == 50
+    finally:
+        engine.stop()
