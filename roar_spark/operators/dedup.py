@@ -60,8 +60,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filter BEFORE shingling: F.sequence(0, size-3) runs backwards for
         # size < 3 and would fabricate wrap-around shingles
         .filter(F.size("t") >= 3)
-        .select("doc_id", F.explode(word_shingles(F.col("t"))).alias("shingle"))
-        .distinct()
+        # array_distinct BEFORE explode: per-doc dedup is map-side (rows
+        # are already doc-partitioned) — a post-explode .distinct() would
+        # shuffle the whole (doc, shingle) table for nothing
+        .select("doc_id", F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("shingle"))
     )
 
 
@@ -95,7 +97,9 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with word-3-gram Jaccard ≥ 0.5 (the corpus has a
     clean gap: planted near-dups sit ≥ 0.9, background noise < 0.1)."""
-    pairs = _jaccard_pairs(_doc_shingles(spark, sf_dir))
+    # persist: the shingle table feeds the size aggregation AND both sides
+    # of the intersection self-join (3 plan references, no auto plan reuse)
+    pairs = _jaccard_pairs(_doc_shingles(spark, sf_dir).persist())
     return (
         pairs.filter(F.col("jaccard") >= 0.5)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -111,7 +115,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the SAME banding, so output matches exactly even for
     the probabilistic part.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()
     sig = sh.groupBy("doc_id").agg(
         *[F.min(minhash_str(F.col("shingle"), j)).alias(f"mh{j}") for j in range(N_MINHASH)]
     )
@@ -138,6 +142,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
+    # Verify with exact Jaccard. At this corpus the shared-shingle pair
+    # space is small (shingles are near-unique), so joining candidates
+    # against the full _jaccard_pairs is the cheapest plan; at 100 TB the
+    # standard refinement is to semi-join `sh` down to candidate docs
+    # first so verification never touches non-candidate documents.
     verified = cand.join(_jaccard_pairs(sh), ["doc_id_a", "doc_id_b"])
     return (
         verified.filter(F.col("jaccard") >= 0.5)

@@ -38,41 +38,52 @@ from pyspark.sql import types as T
 from roar_spark.catalog import load_table
 
 DEC = T.DecimalType(18, 4)
-DEC2 = T.DecimalType(18, 2)
-FAC = T.DecimalType(8, 2)  # (1±rate) factors — rates are 2-decimal values
+
+
+def _scaled(col: F.Column, scale_digits: int = 2) -> F.Column:
+    """A 2-decimal double measure as an exact scaled integer (×10^digits).
+
+    Every money/rate column in the corpus carries exactly 2 decimals, so
+    x·100 lands within ~1e-7 of an integer; ROUND then cast is exact and
+    unambiguous in both engines. From here on everything is int64
+    arithmetic: exact, order-insensitive, and fully whole-stage-codegen'd
+    (≈5× faster than decimal aggregation, which allocates BigDecimals).
+    """
+    return F.round(col * (10**scale_digits)).cast(T.LongType())
 
 
 def dsum(col: F.Column) -> F.Column:
-    """Order-insensitive exact sum of a double measure (see module doc)."""
-    return F.sum(col.cast(DEC)).cast(T.DoubleType())
+    """Order-insensitive exact sum of a 2-decimal double measure: sum the
+    ×100 integers, divide once at the end. The final long→double division
+    rounds the same exact rational in both engines → bit-identical."""
+    return F.sum(_scaled(col)) / F.lit(100.0)
 
 
 def davg(col: F.Column) -> F.Column:
-    """Deterministic average: exact decimal sum ÷ count, in double."""
-    return dsum(col) / F.count(col)
+    """Deterministic average: exact integer sum ÷ count, in double."""
+    return F.sum(_scaled(col)) / F.lit(100.0) / F.count(col)
 
 
 def revenue_expr() -> F.Column:
-    """price × (1 − discount), computed in DECIMAL so the product is exact.
+    """price × (1 − discount) as an exact integer scaled by 10⁴.
 
-    Casting a *computed double* to decimal is not cross-engine deterministic
-    (Spark rounds the shortest decimal repr, DuckDB rounds the scaled
-    double), so each 2-decimal factor is cast to decimal first and the
-    multiplication itself is exact decimal arithmetic: dec(18,2) × dec(8,2)
-    → dec(27,4), no rounding anywhere.
+    A *computed double* can't be cast/rounded to fixed decimals portably at
+    high scales, but each 2-decimal FACTOR scales to an exact integer, and
+    the integer product is exact: (price·100) × ((1−disc)·100) ≤ ~1.1e9
+    per row, summing to ≤ ~1e15 per group — comfortably int64.
     """
-    return F.col("l_extendedprice").cast(DEC2) * (1 - F.col("l_discount")).cast(FAC)
+    return _scaled(F.col("l_extendedprice")) * _scaled(1 - F.col("l_discount"))
 
 
 def charge_expr() -> F.Column:
-    """price × (1 − discount) × (1 + tax), exact: dec(27,4) × dec(8,2) →
-    dec(36,6) stays under the precision-38 cap in both engines."""
-    return revenue_expr() * (1 + F.col("l_tax")).cast(FAC)
+    """price × (1 − discount) × (1 + tax) as an exact integer scaled by
+    10⁶ (≤ ~1.2e11 per row; int64 sums stay exact to ~7.6e7 rows/group)."""
+    return revenue_expr() * _scaled(1 + F.col("l_tax"))
 
 
-def decsum(col: F.Column) -> F.Column:
-    """Exact sum of an already-decimal expression, surfaced as double."""
-    return F.sum(col).cast(T.DoubleType())
+def decsum(col: F.Column, scale_digits: int = 4) -> F.Column:
+    """Exact sum of a scaled-integer money product, surfaced as double."""
+    return F.sum(col) / F.lit(float(10**scale_digits))
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +104,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             decsum(disc_price).alias("sum_disc_price"),
-            decsum(charge).alias("sum_charge"),
+            decsum(charge, scale_digits=6).alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
             davg(F.col("l_discount")).alias("avg_disc"),
@@ -372,10 +383,11 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast(DEC))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast(T.DoubleType())
-        .alias("running_spend"),
+        (
+            F.sum(_scaled(F.col("o_totalprice")))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            / F.lit(100.0)
+        ).alias("running_spend"),
         F.lag("o_orderkey", 1).over(w).alias("prev_order"),
         F.lead("o_orderkey", 1).over(w).alias("next_order"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")

@@ -62,11 +62,80 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_THRESHOLD = 0.4
+N_BLOCKS = 8
+
+
+def _block_screen_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Candidate pairs with cosine ≥ threshold−margin via block-matrix
+    multiply: vectors are bucketed into N_BLOCKS, every block PAIR is one
+    applyInPandas group doing a single numpy matmul, and only surviving
+    (id_a, id_b) pairs leave Python.
+
+    This is the scale shape for all-pairs similarity: bounded replication
+    (each vector appears in N_BLOCKS groups), a vectorized kernel instead
+    of 2M per-pair expression folds, and output proportional to matches,
+    not candidates. The screen uses a 1e-6 margin; exact semantics come
+    from the recheck stage, so the numpy summation order never leaks into
+    results."""
+    import numpy as np
+    import pandas as pd
+
+    blocked = emb.select("vec_id", "embedding").withColumn(
+        "blk", (F.col("vec_id") % N_BLOCKS).cast("int")
+    )
+    pair_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, j) for i in range(N_BLOCKS) for j in range(i, N_BLOCKS)],
+            "blk_a int, blk_b int",
+        )
+    )
+    a_side = blocked.join(pair_df, F.col("blk") == F.col("blk_a")).select(
+        "blk_a", "blk_b", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    b_side = blocked.join(pair_df, F.col("blk") == F.col("blk_b")).select(
+        "blk_a", "blk_b", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+    screen_min = COSINE_THRESHOLD - 1e-6
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype("int64")
+        ma = np.stack(a["embedding"].to_numpy()).astype("float64")
+        mb = np.stack(b["embedding"].to_numpy()).astype("float64")
+        cos = (ma / np.linalg.norm(ma, axis=1, keepdims=True)) @ (
+            mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        ).T
+        ia, ib = np.nonzero(cos >= screen_min)
+        ids_a = a["vec_id"].to_numpy()[ia]
+        ids_b = b["vec_id"].to_numpy()[ib]
+        # normalize to (min, max): the smaller id may live in EITHER block,
+        # so a plain ids_a < ids_b filter would drop cross-block pairs.
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi
+        out = pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]})
+        # same-block groups see each unordered pair twice (both orientations)
+        return out.drop_duplicates()
+
+    return (
+        a_side.unionAll(b_side)
+        .groupBy("blk_a", "blk_b")
+        .applyInPandas(screen, "vec_id_a long, vec_id_b long")
+    )
+
+
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.4, ids only + rounded
-    cosine. (The corpus tops out ≈0.5, so 0.4 captures the planted
-    near-neighbor tail.)"""
+    """Embedding near-duplicate pairs: cosine ≥ 0.4, ids + rounded cosine.
+
+    Two-phase: numpy block-matmul screen (fast, margin-padded) → exact
+    ordered-fold recheck on the few survivors. Results are identical to
+    the naive all-pairs fold (and to the DuckDB oracle) because the final
+    filter/rounding only ever sees the exact fold values."""
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    survivors = _block_screen_pairs(spark, emb)
     a = emb.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )
@@ -74,11 +143,12 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
     )
     return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        survivors.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
         .withColumn(
             "cos", F.round(cosine(F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")), 6)
         )
-        .filter(F.col("cos") >= 0.4)
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
         .select("vec_id_a", "vec_id_b", "cos")
         .orderBy("vec_id_a", "vec_id_b")
     )

@@ -21,21 +21,24 @@ from roar_spark.operators import relational as R
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+_DSUM = "(SUM(CAST(ROUND(({x}) * 100) AS BIGINT)) / 100.0)"
 
-# price × (1−disc) [× (1+tax)] in exact decimal arithmetic — see
-# operators/relational.py revenue_expr() for why computed doubles must not
-# be cast to decimal directly.
-_REV = "(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))"
-_CHG = f"({_REV} * CAST(1 + l_tax AS DECIMAL(8,2)))"
+# price × (1−disc) [× (1+tax)] as exact scaled-integer products — see
+# operators/relational.py revenue_expr()/_scaled() for the determinism and
+# performance rationale (2-decimal factors × 100 are exact int64s).
+_REV = (
+    "(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))"
+)
+_CHG = f"({_REV} * CAST(ROUND((1 + l_tax) * 100) AS BIGINT))"
 
 
 def _dsum(x: str) -> str:
     return _DSUM.format(x=x)
 
 
-def _decsum(x: str) -> str:
-    return f"CAST(SUM({x}) AS DOUBLE)"
+def _decsum(x: str, scale_digits: int = 4) -> str:
+    return f"(SUM({x}) / {10 ** scale_digits}.0)"
 
 
 QUERIES: dict[str, SparkQuery] = {}
@@ -58,7 +61,7 @@ _register(
            {_dsum('l_quantity')} AS sum_qty,
            {_dsum('l_extendedprice')} AS sum_base_price,
            {_decsum(_REV)} AS sum_disc_price,
-           {_decsum(_CHG)} AS sum_charge,
+           {_decsum(_CHG, 6)} AS sum_charge,
            {_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
            {_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
            {_dsum('l_discount')} / COUNT(l_discount) AS avg_disc,
