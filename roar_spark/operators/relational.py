@@ -21,11 +21,11 @@ Scale posture (100 TB):
   partial aggregates, not rows.
 
 Numeric determinism policy (the oracle hash-matches EXACT values): floating
-sums are order-dependent, so every SUM over a double measure casts each
-element to DECIMAL(18,4) first (exact, associative) and casts the final sum
-back to DOUBLE. Averages are exact-sum / count. Outputs prefer integral /
-string / decimal-derived values; raw double aggregates only where exact
-(min/max).
+sums are order-dependent, so every SUM over a 2-decimal double measure is
+computed as an exact ×100 (or ×10⁴/×10⁶ for products) int64 sum and divided
+back to double once at the end — see ``_scaled``/``dsum``/``revenue_expr``.
+Averages are exact-sum / count. Outputs prefer integral / string values;
+raw double aggregates only where exact (min/max).
 """
 
 from __future__ import annotations

@@ -440,3 +440,70 @@ from roar_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # n
 
 QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
+
+# --- as-of join / offset-fetch / sketches ---------------------------------
+from roar_spark.operators.asof import asof_latest_order  # noqa: E402
+
+
+def _sort_offset_fetch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from roar_spark.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(5)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _agg_stats_sketches(spark, sf_dir):
+    """Approximate/statistical aggregates (HLL distinct, approx median,
+    stddev, corr). Approx + float-order-dependent → rows-only check."""
+    from pyspark.sql import functions as F
+
+    from roar_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.stddev_samp("l_quantity").alias("stddev_qty"),
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_register(
+    "asof_latest_order",
+    asof_latest_order,
+    """
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = e.user_id AND o_orderdate <= CAST(e.ts AS TIMESTAMP)
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON true
+    ORDER BY event_id
+    """,
+)
+
+_register(
+    "sort_offset_fetch",
+    _sort_offset_fetch,
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10 OFFSET 5
+    """,
+)
+
+_register("agg_stats_sketches", _agg_stats_sketches, None)  # rows-only

@@ -1,0 +1,102 @@
+"""Physical-plan hygiene: the properties that make these plans survive a
+100× scale-up. Asserted against explain() output so regressions in filter
+pushdown, join strategy, or accidental Python-in-the-hot-path fail CI."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from roar_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_and_projection_pushdown(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must NOT read join keys it doesn't need
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region pinned
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_pushes_all_three_filters(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(l_returnflag" in plan  # partial aggs meet at one key exchange
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_non_equi_join_is_broadcast_nested_loop(spark):
+    # tiny bracket dim → BNLJ is the correct physical choice
+    assert "BroadcastNestedLoopJoin" in plan_of(spark, "join_non_equi")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q5_local_supplier_volume",
+        "window_running",
+        "dedup_minhash_lsh",
+        "text_stats",
+        "events_sessionize",
+        "asof_latest_order",
+    ],
+)
+def test_no_python_in_hot_path(spark, name):
+    """Relational + text/dedup operators must stay fully JVM-side; Python
+    stages are reserved for the two vectorized kernels that declare them
+    (cosine block screen, multimodal decode)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF — never OK
+    assert "ArrowEvalPython" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of composition must shuffle ONCE on the key (window), not
+    produce a range-join explosion."""
+    plan = plan_of(spark, "asof_latest_order")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_cosine_screen_is_arrow_batched(spark):
+    """The one sanctioned Python stage runs via Arrow (FlatMapGroupsInPandas),
+    never row-at-a-time."""
+    plan = plan_of(spark, "sim_cosine_pairs")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
