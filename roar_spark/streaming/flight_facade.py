@@ -1,0 +1,115 @@
+"""Arrow Flight serving facade over the StreamEngine — wire-protocol
+parity with the reference's Flight server (flight/server.go).
+
+Surface parity (SURVEY.md §2 A22-A26):
+
+- ListFlights  → one FlightInfo per schema-bearing stream: descriptor
+  path=[topic], ticket=topic, total_records/bytes = -1 (unbounded stream,
+  flight/server.go:120-121)
+- GetFlightInfo(topic) → same info; KeyError → Flight NOT_FOUND
+  (flight/server.go:156-160; we do NOT create-on-probe — §2.3.7)
+- GetSchema    → the stream's Arrow schema (flight/server.go:211-230)
+- DoGet        → snapshot of the buffered batches as a record stream;
+  empty stream OK (flight/server.go:171-208)
+- DoAction     → "health" → "OK"; "listTopics" → comma-joined names;
+  anything else → NOT_IMPLEMENTED (flight/server.go:233-245)
+
+The data path is Arrow end-to-end: store snapshot → ``df.toArrow()`` →
+Flight IPC — the same columnar hand-off the reference does from its
+buffered RecordBatches. Optional component: the engine is fully usable
+without it (Spark Connect / temp views are the Spark-native serving path);
+this exists so a reference Flight CLIENT can point at this engine instead.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from roar_spark.streaming.manager import StreamEngine
+
+
+class RoarFlightServer(flight.FlightServerBase):
+    def __init__(self, engine: StreamEngine, location: str = "grpc://0.0.0.0:0") -> None:
+        super().__init__(location)
+        self._engine = engine
+        self._location = location
+
+    # -- helpers -----------------------------------------------------------
+
+    def _arrow_schema(self, topic: str) -> pa.Schema:
+        df = self._engine.fetch(topic, limit=0)
+        return df.toArrow().schema
+
+    def _info(self, topic: str) -> flight.FlightInfo:
+        descriptor = flight.FlightDescriptor.for_path(topic)
+        endpoint = flight.FlightEndpoint(topic.encode(), [f"grpc://localhost:{self.port}"])
+        return flight.FlightInfo(
+            self._arrow_schema(topic), descriptor, [endpoint],
+            total_records=-1, total_bytes=-1,  # unbounded (server.go:120-121)
+        )
+
+    # -- RPC surface -------------------------------------------------------
+
+    def list_flights(self, context, criteria):  # A22
+        for topic in self._engine.list_streams():
+            yield self._info(topic)
+
+    def get_flight_info(self, context, descriptor):  # A23
+        topic = descriptor.path[0].decode()
+        try:
+            return self._info(topic)
+        except KeyError:
+            raise flight.FlightUnavailableError(f"stream not found: {topic}") from None
+
+    def get_schema(self, context, descriptor):  # A24
+        topic = descriptor.path[0].decode()
+        try:
+            return flight.SchemaResult(self._arrow_schema(topic))
+        except KeyError:
+            raise flight.FlightUnavailableError(f"stream not found: {topic}") from None
+
+    def do_get(self, context, ticket):  # A25
+        topic = ticket.ticket.decode()
+        try:
+            table = self._engine.fetch(topic, limit=-1).toArrow()
+        except KeyError:
+            raise flight.FlightUnavailableError(f"stream not found: {topic}") from None
+        return flight.RecordBatchStream(table)
+
+    def do_action(self, context, action):  # A26
+        if action.type == "health":
+            return [b"OK"]
+        if action.type == "listTopics":
+            return [",".join(self._engine.list_streams()).encode()]
+        raise NotImplementedError(f"action {action.type!r}")
+
+
+def serve_in_thread(engine: StreamEngine, port: int = 0) -> RoarFlightServer:
+    """Start the facade on a daemon thread; returns the running server
+    (``server.port`` carries the bound port)."""
+    server = RoarFlightServer(engine, f"grpc://0.0.0.0:{port}")
+    thread = threading.Thread(target=server.serve, daemon=True)
+    thread.start()
+    return server
+
+
+# -- thin client (cmd/client.go parity: list topics, fetch with limit) -----
+
+
+def list_topics(location: str) -> list[str]:
+    client = flight.connect(location)
+    return [info.descriptor.path[0].decode() for info in client.list_flights()]
+
+
+def fetch_topic(location: str, topic: str, limit: int = 10) -> pa.Table:
+    """GetFlightInfo → DoGet → client-side row limit — the reference
+    client's exact read path (cmd/client.go:121-171; limit is applied
+    client-side there too, cmd/client.go:193)."""
+    client = flight.connect(location)
+    info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
+    reader = client.do_get(info.endpoints[0].ticket)
+    table = reader.read_all()
+    return table.slice(0, limit) if limit is not None and limit >= 0 else table
