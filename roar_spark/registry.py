@@ -507,3 +507,96 @@ _register(
 )
 
 _register("agg_stats_sketches", _agg_stats_sketches, None)  # rows-only
+
+# --- extended scalar surface + dataset dedup ------------------------------
+from roar_spark.operators import scalar_ext as SE  # noqa: E402
+
+_register(
+    "scalar_json_extract",
+    SE.scalar_json_extract,
+    """
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+_register(
+    "scalar_array_ops",
+    SE.scalar_array_ops,
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           len(list_filter(embedding, x -> x < 0)) AS n_negative
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+
+_register(
+    "subquery_scalar",
+    SE.subquery_scalar,
+    """
+    WITH na AS (
+      SELECT c_nationkey,
+             (SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0)
+               / COUNT(c_acctbal) AS nation_avg
+      FROM customer GROUP BY c_nationkey)
+    SELECT c_custkey, c.c_nationkey, c_acctbal, ROUND(nation_avg, 2) AS nation_avg
+    FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
+    WHERE c_acctbal > nation_avg
+    ORDER BY c_custkey
+    """,
+)
+
+_register(
+    "scalar_date_arith",
+    SE.scalar_date_arith,
+    """
+    SELECT l_orderkey,
+           date_diff('day', o_orderdate, l_shipdate) AS ship_delay_days,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+           CAST(isodow(o_orderdate) AS INT) AS order_isodow,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+)
+
+_register(
+    "scalar_conditional",
+    SE.scalar_conditional,
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_display,
+           LEAST(o_totalprice, 250000.0) AS capped_price,
+           GREATEST(o_totalprice, 1000.0) AS floored_price
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+)
+
+_register(
+    "dedup_dataset",
+    SE.dedup_dataset,
+    """
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(lower(trim(text))))
+    SELECT d.doc_id, lang, source, n_chars
+    FROM documents d JOIN keep USING (doc_id)
+    ORDER BY doc_id
+    """,
+)

@@ -1,0 +1,129 @@
+"""Streaming-native operator recipes: watermarked event-time windows,
+streaming dedup, session windows, and a custom stateful operator via
+applyInPandasWithState — the Structured Streaming forms of SURVEY.md §2
+Part B's streaming rows (the batch forms live in operators/relational.py).
+
+These are *plan builders*: each takes a parsed stream (output of
+streaming/ingest.parse_envelope) and returns the transformed streaming
+DataFrame ready for writeStream. At scale, state lives in the state store
+(RocksDB on a cluster) partitioned by the grouping key, and watermarks
+bound it — exactly the job the reference's TTL+byte-cap buffer does, but
+with event-time correctness the reference lacks (SURVEY.md §2 Part B:
+"no event-time semantics").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "windowed_counts",
+    "streaming_dedup",
+    "session_windows",
+    "running_totals",
+]
+
+
+def windowed_counts(
+    parsed: DataFrame,
+    time_col: str,
+    key_col: str,
+    window: str = "1 minute",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data cutoff. Windows
+    finalize once the watermark passes; too-late rows are dropped —
+    deterministic completeness the reference's processing-time batching
+    cannot express."""
+    return (
+        parsed.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), F.col(key_col))
+        .count()
+        .select(F.col("w.start").alias("window_start"), key_col, "count")
+    )
+
+
+def streaming_dedup(parsed: DataFrame, id_cols: list[str], time_col: str, watermark: str = "1 minute") -> DataFrame:
+    """Exactly-once-per-id stream: dropDuplicates bounded by watermark so
+    dedup state ages out instead of growing forever."""
+    return parsed.withWatermark(time_col, watermark).dropDuplicates(id_cols)
+
+
+def session_windows(
+    parsed: DataFrame, time_col: str, key_col: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming-native session windows (gap-based). The batch analog
+    (lag+cumsum) is events_sessionize in operators/relational.py."""
+    return (
+        parsed.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+RUNNING_SCHEMA = "user_id bigint, n_events bigint, total double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _make_running_fn(idle_timeout_ms: int | None):
+    def _running_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-key running (count, sum); with a timeout configured, idle
+        keys age out of the state store — the applyInPandasWithState analog
+        of the reference's per-stream TTL (stream/manager.go:150-184)."""
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"user_id": [], "n_events": [], "total": []})
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]})
+
+    return _running_fn
+
+
+def running_totals(
+    parsed: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = 60_000,
+) -> DataFrame:
+    """Custom stateful operator: per-key running totals surviving across
+    micro-batches (Arrow-batched, state-store-backed).
+
+    ``idle_timeout_ms`` enables processing-time state expiry (the TTL
+    analog). Caveat for tests/drivers: with a timeout configured there is
+    always a pending timeout trigger, so ``processAllAvailable()`` never
+    settles — poll the sink or pass ``idle_timeout_ms=None``."""
+    timeout = (
+        GroupStateTimeout.NoTimeout if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        parsed.select(F.col(key_col).cast("long").alias("user_id"), F.col(value_col).alias("value"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_running_fn(idle_timeout_ms),
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,189 @@
+"""Structured-Streaming-native operator tests: watermarked windows with
+late data, streaming dedup, session windows, custom stateful running
+totals. File-simulated source, deterministic multi-batch sequencing via
+processAllAvailable between file drops (FIXTURES.md §1 shape)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from roar_spark.config import EngineConfig
+from roar_spark.sources.files import file_envelope_stream, write_envelope_file
+from roar_spark.streaming.ingest import parse_envelope
+from roar_spark.streaming.manager import StreamEngine
+from roar_spark.streaming.stateful import (
+    running_totals,
+    session_windows,
+    streaming_dedup,
+    windowed_counts,
+)
+
+
+def _msg(i, wire_ts, **payload):
+    return {
+        "key": f"k{i}",
+        "value": json.dumps(payload),
+        "timestamp": wire_ts,
+        "offset": i,
+        "partition": 0,
+    }
+
+
+# value must be NON-integral here: the reference's inference types integral
+# JSON numbers (even 1.0) as long (kafka/consumer.go:919-924), which would
+# truncate the fractional test values at coercion time
+SAMPLE = [json.dumps({"event_id": 1, "kind": "view", "user_id": 1, "value": 1.5,
+                      "ts": "2026-08-13T10:00:00Z"})]
+
+
+def _parsed_stream(spark, src):
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("s", SAMPLE)
+    return parse_envelope(file_envelope_stream(spark, src), handle.schema)
+
+
+def _run_to_memory(spark, df, name, mode, src_more=None, src=None, spark_extra=None):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        if src_more:
+            write_envelope_file(src, src_more, file_name="late.json")
+            q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    src = str(tmp_path / "wm")
+    # batch 1: events at 10:00 and 10:10 → watermark advances to 10:09
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", event_id=0, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:00:10Z"),
+            _msg(1, "2026-08-13T09:00:01Z", event_id=1, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:10:00Z"),
+        ],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    counts = windowed_counts(parsed, "ts", "kind", window="1 minute", watermark="1 minute")
+    late = [
+        # way below the 10:09 watermark → its window is finalized → dropped
+        _msg(2, "2026-08-13T09:00:02Z", event_id=2, kind="view", user_id=1, value=1.0,
+             ts="2026-08-13T10:00:20Z"),
+        # fresh event keeps the query moving
+        _msg(3, "2026-08-13T09:00:03Z", event_id=3, kind="view", user_id=1, value=1.0,
+             ts="2026-08-13T10:11:00Z"),
+    ]
+    rows = _run_to_memory(spark, counts, "wm_counts", "append", src_more=late, src=src)
+    by_window = {r.window_start.isoformat(): r["count"] for r in rows}
+    # the 10:00 window finalized with count 1 — the late event_id=2 was NOT added
+    assert by_window.get("2026-08-13T10:00:00") == 1
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "dd")
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", event_id=100, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:00:00Z"),
+            _msg(1, "2026-08-13T09:00:01Z", event_id=100, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:00:01Z"),  # dup within batch
+            _msg(2, "2026-08-13T09:00:02Z", event_id=101, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:00:02Z"),
+        ],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    dedup = streaming_dedup(parsed, ["event_id"], "ts", watermark="10 minutes")
+    more = [
+        _msg(3, "2026-08-13T09:00:03Z", event_id=100, kind="view", user_id=1, value=1.0,
+             ts="2026-08-13T10:00:03Z"),  # dup across batches → dropped by state
+        _msg(4, "2026-08-13T09:00:04Z", event_id=102, kind="view", user_id=1, value=1.0,
+             ts="2026-08-13T10:00:04Z"),
+    ]
+    rows = _run_to_memory(spark, dedup, "dd_out", "append", src_more=more, src=src)
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [100, 101, 102]
+
+
+def test_session_window_streaming(spark, tmp_path):
+    src = str(tmp_path / "sw")
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", event_id=0, kind="view", user_id=7, value=1.0,
+                 ts="2026-08-13T10:00:00Z"),
+            _msg(1, "2026-08-13T09:00:01Z", event_id=1, kind="view", user_id=7, value=1.0,
+                 ts="2026-08-13T10:10:00Z"),  # same session (gap 30m)
+            _msg(2, "2026-08-13T09:00:02Z", event_id=2, kind="view", user_id=7, value=1.0,
+                 ts="2026-08-13T12:00:00Z"),  # new session
+            # watermark driver so earlier sessions can finalize in append mode
+            _msg(3, "2026-08-13T09:00:03Z", event_id=3, kind="view", user_id=8, value=1.0,
+                 ts="2026-08-13T15:00:00Z"),
+        ],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    sess = session_windows(parsed, "ts", "user_id", gap="30 minutes", watermark="1 minute")
+    rows = _run_to_memory(
+        spark, sess, "sw_out", "append",
+        src_more=[_msg(4, "2026-08-13T09:00:04Z", event_id=4, kind="view", user_id=8,
+                       value=1.0, ts="2026-08-13T18:00:00Z")],
+        src=src,
+    )
+    user7 = sorted(
+        ((r.session_start.isoformat(), r.n_events) for r in rows if r.user_id == 7)
+    )
+    assert user7 == [("2026-08-13T10:00:00", 2), ("2026-08-13T12:00:00", 1)]
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    src = str(tmp_path / "rt")
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", event_id=0, kind="buy", user_id=1, value=10.0,
+                 ts="2026-08-13T10:00:00Z"),
+            _msg(1, "2026-08-13T09:00:01Z", event_id=1, kind="buy", user_id=1, value=5.5,
+                 ts="2026-08-13T10:01:00Z"),
+            _msg(2, "2026-08-13T09:00:02Z", event_id=2, kind="buy", user_id=2, value=3.0,
+                 ts="2026-08-13T10:02:00Z"),
+        ],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    # NoTimeout: processAllAvailable never settles under a processing-time
+    # timeout (see running_totals docstring); state carry-over is the thing
+    # under test here
+    totals = running_totals(parsed, idle_timeout_ms=None)
+    q = totals.writeStream.format("memory").queryName("rt_out").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        write_envelope_file(
+            src,
+            [_msg(3, "2026-08-13T09:00:03Z", event_id=3, kind="buy", user_id=1, value=4.5,
+                  ts="2026-08-13T10:03:00Z")],
+            file_name="b.json",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rt_out").collect()
+    finally:
+        q.stop()
+    # state carries across micro-batches: user 1 ends at n=3, total=20.0
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_events, r.total)  # memory sink appends updates in order
+    assert latest[1] == (3, 20.0)
+    assert latest[2] == (1, 3.0)
