@@ -1,0 +1,179 @@
+"""CLI: ``roar_spark serve`` / ``roar_spark client`` — flag parity with the
+reference's cobra commands (cmd/serve.go:207-227, cmd/client.go:58-66).
+
+serve: starts the ingest engine (real Kafka via --brokers/--topics, or the
+file-simulated source via --source-dir), the Arrow Flight facade, and an
+optional /metrics endpoint serving Prometheus text exposition.
+
+client: list topics / fetch one topic with a row limit, rendered as an
+aligned table or CSV — including the reference's display conventions
+(cmd/client.go:174-277): nulls print as "NULL" in tables and empty in CSV,
+CSV cells containing commas/quotes/newlines are quoted with doubled quotes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+
+import pyarrow as pa
+
+# --- rendering (cmd/client.go:174-277 parity) -----------------------------
+
+
+def _cell(value: object, for_csv: bool) -> str:
+    if value is None:
+        return "" if for_csv else "NULL"  # client.go:199-201 / 250-252
+    if isinstance(value, bytes):
+        return value.hex()
+    return str(value)
+
+
+def render_table(table: pa.Table, limit: int | None = None) -> str:
+    """Aligned text table (outputAsTable parity)."""
+    rows = table.slice(0, limit).to_pylist() if limit is not None else table.to_pylist()
+    cols = table.schema.names
+    cells = [[_cell(r[c], False) for c in cols] for r in rows]
+    widths = [max([len(c)] + [len(row[i]) for row in cells]) for i, c in enumerate(cols)]
+    lines = [
+        " | ".join(c.ljust(w) for c, w in zip(cols, widths)),
+        "-+-".join("-" * w for w in widths),
+    ]
+    lines += [" | ".join(v.ljust(w) for v, w in zip(row, widths)) for row in cells]
+    return "\n".join(lines)
+
+
+def render_csv(table: pa.Table, limit: int | None = None) -> str:
+    """CSV with the reference's quoting (outputAsCSV, client.go:254-256:
+    quote when the cell contains a comma; standard doubling for quotes)."""
+    rows = table.slice(0, limit).to_pylist() if limit is not None else table.to_pylist()
+    cols = table.schema.names
+
+    def q(v: str) -> str:
+        if any(ch in v for ch in (",", '"', "\n")):
+            return '"' + v.replace('"', '""') + '"'
+        return v
+
+    lines = [",".join(q(c) for c in cols)]
+    lines += [",".join(q(_cell(r[c], True)) for c in cols) for r in rows]
+    return "\n".join(lines)
+
+
+# --- commands -------------------------------------------------------------
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    from roar_spark.config import EngineConfig
+    from roar_spark.metrics import REGISTRY, attach
+    from roar_spark.session import get_spark
+    from roar_spark.streaming.flight_facade import serve_in_thread
+    from roar_spark.streaming.manager import StreamEngine
+
+    spark = get_spark(app_name="roar_spark_serve")
+    config = EngineConfig(
+        brokers=args.brokers,
+        topics=tuple(args.topics.split(",")) if args.topics else (),
+        batch_size=args.batch_size,
+        ttl_seconds=args.ttl,
+        buffer_limit_bytes=args.buffer_limit,
+    )
+    engine = StreamEngine(spark, config, store_base=args.store_dir)
+    attach(spark)
+
+    if args.source_dir:
+        from roar_spark.sources.files import file_envelope_stream, read_envelope_batch
+
+        topic = args.topics or "files"
+        sample = [
+            r.value
+            for r in read_envelope_batch(spark, args.source_dir).limit(10).collect()
+            if r.value is not None
+        ]
+        engine.ingest(topic, file_envelope_stream(spark, args.source_dir), sample)
+    elif config.topics:
+        from roar_spark.sources.kafka import kafka_envelope_stream
+
+        for topic in config.topics:
+            env = kafka_envelope_stream(spark, config, (topic,)).drop("topic")
+            engine.ingest(topic, env, [b"{}"])
+    else:
+        print("serve: need --source-dir or --topics", file=sys.stderr)
+        return 2
+
+    server = serve_in_thread(engine, args.port)
+    print(f"flight: grpc://localhost:{server.port}")
+
+    if args.metrics_port:
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                body = REGISTRY.exposition().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        httpd = HTTPServer(("0.0.0.0", args.metrics_port), Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        print(f"metrics: http://localhost:{args.metrics_port}/metrics")
+
+    try:
+        server.wait()  # blocks like flightServer.Serve (cmd/serve.go:140)
+    except KeyboardInterrupt:
+        engine.stop()
+    return 0
+
+
+def cmd_client(args: argparse.Namespace) -> int:
+    from roar_spark.streaming.flight_facade import fetch_topic, list_topics
+
+    location = f"grpc://{args.addr}"
+    if args.list:
+        for t in list_topics(location):
+            print(t)
+        return 0
+    if not args.topic:
+        print("client: need --topic or --list", file=sys.stderr)
+        return 2
+    table = fetch_topic(location, args.topic, limit=args.limit)
+    render = render_csv if args.format == "csv" else render_table
+    print(render(table))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="roar_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    serve = sub.add_parser("serve", help="run the ingest engine + Flight server")
+    serve.add_argument("--brokers", default="localhost:9092")  # serve.go:211
+    serve.add_argument("--topics", default="")  # serve.go:212
+    serve.add_argument("--batch-size", type=int, default=1024)  # serve.go:214
+    serve.add_argument("--ttl", type=float, default=60.0)  # serve.go:215
+    serve.add_argument("--buffer-limit", type=int, default=100 * 1024 * 1024)  # serve.go:216
+    serve.add_argument("--port", type=int, default=8080)  # serve.go:217
+    serve.add_argument("--metrics-port", type=int, default=0)  # serve.go:221
+    serve.add_argument("--source-dir", default="", help="file-simulated source dir")
+    serve.add_argument("--store-dir", default="", help="parquet retention store dir")
+    serve.set_defaults(fn=cmd_serve)
+
+    client = sub.add_parser("client", help="list topics / fetch a topic")
+    client.add_argument("--addr", default="localhost:8080")  # client.go:60
+    client.add_argument("--topic", default="")  # client.go:63
+    client.add_argument("--limit", type=int, default=10)  # client.go:65
+    client.add_argument("--format", choices=["table", "csv"], default="table")  # client.go:64
+    client.add_argument("--list", action="store_true")
+    client.set_defaults(fn=cmd_client)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

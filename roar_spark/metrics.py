@@ -1,0 +1,142 @@
+"""Observability bridge: the reference's Prometheus metric surface
+(pkg/metrics.go:55-228) re-expressed over Spark's streaming listener.
+
+Metric NAMES are part of roar's observable contract — dashboards grep for
+``roar_*`` — so the same families are emitted here, fed from
+StreamingQueryListener progress events (push on every micro-batch, which
+replaces the reference's 5 s polling goroutine, SURVEY.md §2 A35) and from
+StreamEngine store state.
+
+No prometheus_client in this environment → a dependency-free registry with
+Prometheus text exposition format (the wire contract a scraper needs).
+The known reference metric bugs are NOT replicated (§2.3.9: lag gauge fed a
+raw timestamp, cumulative totals re-Added every poll, memory-percent never
+set).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+# Families mirrored from pkg/metrics.go (ingest/stream/serving subset that
+# has a meaning in this engine; sink families emitted by the parquet sink).
+COUNTERS = (
+    "roar_kafka_messages_total",          # metrics.go: messages consumed
+    "roar_kafka_bytes_received_total",
+    "roar_record_batches_created_total",
+    "roar_stream_records_processed_total",
+    "roar_stream_records_dropped_total",
+    "roar_expired_streams_total",
+    "roar_flight_stream_requests_total",
+    "roar_flight_streaming_errors_total",
+    "roar_duckdb_insert_rows_total",
+)
+GAUGES = (
+    "roar_active_streams",
+    "roar_stream_memory_bytes",
+    "roar_stream_buffer_utilization_percent",
+    "roar_kafka_messages_pending",
+    "roar_processing_latency_seconds",
+)
+
+
+class MetricsRegistry:
+    """Thread-safe labeled counters/gauges + Prometheus text exposition."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._counters: dict[tuple[str, tuple], float] = defaultdict(float)
+        self._gauges: dict[tuple[str, tuple], float] = {}
+
+    @staticmethod
+    def _key(name: str, labels: dict | None) -> tuple[str, tuple]:
+        return name, tuple(sorted((labels or {}).items()))
+
+    def inc(self, name: str, value: float = 1.0, **labels) -> None:
+        with self._lock:
+            self._counters[self._key(name, labels)] += value
+
+    def set(self, name: str, value: float, **labels) -> None:
+        with self._lock:
+            self._gauges[self._key(name, labels)] = value
+
+    def get(self, name: str, **labels) -> float:
+        key = self._key(name, labels)
+        with self._lock:
+            if key in self._gauges:
+                return self._gauges[key]
+            return self._counters.get(key, 0.0)
+
+    def exposition(self) -> str:
+        """Prometheus text format (what /metrics serves)."""
+        lines = []
+        with self._lock:
+            series = [("counter", k, v) for k, v in sorted(self._counters.items())]
+            series += [("gauge", k, v) for k, v in sorted(self._gauges.items())]
+        seen_types = set()
+        for kind, (name, labels), value in series:
+            if name not in seen_types:
+                lines.append(f"# TYPE {name} {kind}")
+                seen_types.add(name)
+            label_str = (
+                "{" + ",".join(f'{k}="{v}"' for k, v in labels) + "}" if labels else ""
+            )
+            lines.append(f"{name}{label_str} {value}")
+        return "\n".join(lines) + "\n"
+
+
+REGISTRY = MetricsRegistry()
+
+
+class EngineMetricsListener(StreamingQueryListener):
+    """Feeds ingest-side families from micro-batch progress events —
+    numInputRows → messages_total, batchDuration → processing latency,
+    one batches_created per progress (SURVEY.md §2 A21/A34/A35)."""
+
+    def __init__(self, registry: MetricsRegistry | None = None) -> None:
+        self._reg = registry or REGISTRY
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        topic = (p.name or "unknown").removeprefix("roar-")
+        rows = p.numInputRows or 0
+        if rows:
+            self._reg.inc("roar_kafka_messages_total", rows, topic=topic)
+            self._reg.inc("roar_record_batches_created_total", 1, topic=topic)
+            self._reg.inc("roar_stream_records_processed_total", rows, topic=topic)
+        duration = (p.batchDuration or 0) / 1000.0
+        self._reg.set("roar_processing_latency_seconds", duration, topic=topic)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def attach(spark, registry: MetricsRegistry | None = None) -> EngineMetricsListener:
+    listener = EngineMetricsListener(registry)
+    spark.streams.addListener(listener)
+    return listener
+
+
+def update_engine_gauges(engine, registry: MetricsRegistry | None = None) -> None:
+    """Push store-level gauges (buffer bytes/utilization, drop counters,
+    active streams) — called by the engine facade on serving operations."""
+    reg = registry or REGISTRY
+    topics = engine.list_streams()
+    reg.set("roar_active_streams", len(topics))
+    for topic in topics:
+        desc = engine.describe_stream(topic)
+        reg.set("roar_stream_memory_bytes", desc["bytes"], topic=topic)
+        reg.set(
+            "roar_stream_buffer_utilization_percent",
+            100.0 * desc["bytes"] / max(engine.config.buffer_limit_bytes, 1),
+            topic=topic,
+        )

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from roar_spark.config import EngineConfig
+from roar_spark.metrics import REGISTRY, update_engine_gauges
 from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
 
 __all__ = ["StreamEngine", "MemoryStore", "ParquetStore", "StreamHandle"]
@@ -68,8 +69,10 @@ class MemoryStore:
         self.records_dropped = 0
         self._lock = threading.Lock()
 
-    def append(self, batch_df: DataFrame) -> None:
+    def append(self, batch_df: DataFrame) -> int:
         table = batch_df.toArrow()
+        if table.num_rows == 0:
+            return 0
         size = table.nbytes
         with self._lock:
             # eviction loop parity: stream/manager.go:288-310
@@ -82,6 +85,7 @@ class MemoryStore:
                 self._bytes += size
             else:  # single batch larger than the cap → dropped whole
                 self.records_dropped += table.num_rows
+        return table.num_rows
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         import pyarrow as pa
@@ -130,13 +134,18 @@ class ParquetStore:
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return total
 
-    def append(self, batch_df: DataFrame) -> None:
+    def append(self, batch_df: DataFrame) -> int:
         with self._lock:
             path = os.path.join(self._base, f"batch_id={self._next_id}")
             self._next_id += 1
         batch_df.write.mode("overwrite").parquet(path)
         size = self._dir_size(path)
-        rows = None  # count lazily only if this batch gets dropped
+        # row count from the WRITTEN parquet footers — never re-reads the
+        # micro-batch source (a second action on batch_df would re-scan it)
+        rows = self._spark.read.parquet(path).count()
+        if rows == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            return 0
         with self._lock:
             while self._batches and self._bytes + size > self._max_bytes:
                 old_path, old_size, old_rows = self._batches.popleft()
@@ -144,12 +153,12 @@ class ParquetStore:
                 self.records_dropped += old_rows
                 shutil.rmtree(old_path, ignore_errors=True)
             if self._bytes + size <= self._max_bytes:
-                rows = self._spark.read.parquet(path).count()
                 self._batches.append((path, size, rows))
                 self._bytes += size
             else:
-                self.records_dropped += self._spark.read.parquet(path).count()
+                self.records_dropped += rows
                 shutil.rmtree(path, ignore_errors=True)
+        return rows
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         with self._lock:
@@ -233,12 +242,18 @@ class StreamEngine:
         parsed = parse_envelope(envelope, handle.schema)
 
         def _append(batch_df: DataFrame, _batch_id: int) -> None:
-            n = batch_df.count()
+            # ONE action on batch_df: the store computes the row count from
+            # its own materialization (a separate count() would re-scan the
+            # micro-batch source and double every source metric)
+            dropped_before = handle.store.records_dropped
+            n = handle.store.append(batch_df)
             if n == 0:
                 return
-            handle.store.append(batch_df)
             handle.records_total += n
             handle.last_updated = self._time()
+            dropped = handle.store.records_dropped - dropped_before
+            if dropped:
+                REGISTRY.inc("roar_stream_records_dropped_total", dropped, topic=topic)
 
         query = (
             parsed.writeStream.foreachBatch(_append)
@@ -251,12 +266,13 @@ class StreamEngine:
         self._ensure_janitor()
         return handle
 
-    def append_batch(self, topic: str, envelope_batch: DataFrame) -> None:
+    def append_batch(self, topic: str, envelope_batch: DataFrame) -> int:
         """Batch-mode append (tests / backfill): same parse + retention
         path without a StreamingQuery."""
         handle = self._streams[topic]
-        handle.store.append(parse_envelope(envelope_batch, handle.schema))
+        n = handle.store.append(parse_envelope(envelope_batch, handle.schema))
         handle.last_updated = self._time()
+        return n
 
     def _checkpoint_dir(self, topic: str) -> str:
         base = self.config.checkpoint_path or os.path.join(
@@ -288,6 +304,7 @@ class StreamEngine:
                     expired.append(handle)
                     del self._streams[topic]
         for handle in expired:  # release resources outside the lock
+            REGISTRY.inc("roar_expired_streams_total", topic=handle.topic)
             if handle.query is not None:
                 try:
                     handle.query.stop()
@@ -321,6 +338,8 @@ class StreamEngine:
         (cmd/client.go:65). Refreshes the TTL — §2.3.4 parity."""
         handle = self._handle(topic)
         handle.last_updated = self._time()
+        REGISTRY.inc("roar_flight_stream_requests_total", topic=topic)
+        update_engine_gauges(self)
         df = handle.store.snapshot(self._spark)
         return df.limit(limit) if limit is not None and limit >= 0 else df
 

@@ -65,7 +65,11 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
     path = os.path.join(base_path, topic)
 
     def _persist(batch_df: DataFrame, _batch_id: int) -> None:
+        n = batch_df.count()
         batch_df.write.mode("append").parquet(path)
+        from roar_spark.metrics import REGISTRY
+
+        REGISTRY.inc("roar_duckdb_insert_rows_total", n, topic=topic)
 
     return (
         parsed.writeStream.foreachBatch(_persist)

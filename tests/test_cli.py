@@ -1,0 +1,75 @@
+"""CLI tests: rendering parity (NULL display, CSV quoting —
+cmd/client.go:174-277) and the client command against a live Flight server."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from roar_spark.cli import main, render_csv, render_table
+
+TABLE = pa.table(
+    {
+        "name": ["plain", None, "has,comma", 'has"quote'],
+        "n": [1, 2, None, 4],
+    }
+)
+
+
+def test_render_table_nulls_and_alignment():
+    out = render_table(TABLE)
+    lines = out.splitlines()
+    assert lines[0].startswith("name")
+    assert "NULL" in out  # nulls display as NULL (client.go:199-201)
+    assert "has,comma" in out  # no quoting in table mode
+
+
+def test_render_csv_quoting():
+    out = render_csv(TABLE)
+    lines = out.splitlines()
+    assert lines[0] == "name,n"
+    assert '"has,comma"' in out  # comma cell quoted (client.go:254-256)
+    assert '"has""quote"' in out  # quote doubling
+    rows = out.splitlines()
+    assert rows[2].startswith(",")  # null → empty in CSV (client.go:250-252)
+
+
+def test_cli_client_end_to_end(spark, tmp_path, capsys):
+    from roar_spark.config import EngineConfig
+    from roar_spark.sources.files import read_envelope_batch, write_envelope_file
+    from roar_spark.streaming.flight_facade import serve_in_thread
+    from roar_spark.streaming.manager import StreamEngine
+
+    engine = StreamEngine(spark, EngineConfig())
+    engine.register_stream("t", [json.dumps({"n": 1})])
+    path = str(tmp_path / "d")
+    write_envelope_file(
+        path,
+        [
+            {"key": "a", "value": json.dumps({"n": i}), "timestamp": "2026-08-13T10:00:00Z",
+             "offset": i, "partition": 0}
+            for i in range(7)
+        ],
+    )
+    engine.append_batch("t", read_envelope_batch(spark, path))
+    server = serve_in_thread(engine)
+    addr = f"localhost:{server.port}"
+    try:
+        assert main(["client", "--addr", addr, "--list"]) == 0
+        assert capsys.readouterr().out.strip() == "t"
+        assert main(["client", "--addr", addr, "--topic", "t", "--limit", "3",
+                     "--format", "csv"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 4  # header + 3 rows (default limit honored: client.go:65)
+        assert out[0].startswith("kafka_key,")
+        assert main(["client", "--addr", addr, "--topic", "t"]) == 0
+        assert "kafka_offset" in capsys.readouterr().out
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_cli_requires_topic_or_list(capsys):
+    assert main(["client", "--addr", "localhost:1"]) == 2
