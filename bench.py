@@ -28,8 +28,11 @@ HEADLINE = [
     "agg_distinct",
     "events_hourly",
     "events_sessionize",
+    "asof_latest_order",
+    "scalar_json_extract",
     # LLM-pipeline
     "dedup_exact",
+    "dedup_dataset",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_brute_topk",

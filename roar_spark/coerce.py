@@ -23,6 +23,15 @@ expressions — whole-stage-codegen'd, no Python in the hot path — and the
 two-step keeps Spark's own (different) JSON coercion rules out of the
 semantics. Precision note: like the reference (Go json → float64), integers
 beyond 2^53 lose precision; parity preserved by construction.
+
+Documented divergence (string targets): a JSON *number* coerced into a
+string column renders via Java's ``Double.toString`` / ``Long.toString``
+(integer tokens → "5"; float tokens → "0.0", "1.5", "2.2E-311"), while
+Go's ``fmt.Sprintf("%v", float64)`` renders the shortest Go form ("0",
+"1.5", "2.2e-311"). Same parsed value, different text for integral floats
+and scientific notation. The pure-Python ``inference.stringify_json_value``
+models the Go behavior where byte-level parity matters;
+tests/test_coerce_property.py models the Java behavior the engine emits.
 """
 
 from __future__ import annotations

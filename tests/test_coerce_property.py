@@ -1,0 +1,145 @@
+"""Property test: the Spark parse pipeline (carrier from_json + coercion
+casts) agrees with a pure-Python model of the reference's append semantics
+(appendValue/appendTimestamp, kafka/consumer.go:698-825) on randomized
+JSON documents — the strongest guarantee we can give for the schema
+machinery (SURVEY.md §5.2: append-then-read round-trips values).
+
+One Spark job total: hypothesis pre-generates document corpora, a single
+parse covers them all (per-example Spark jobs would be minutes-slow).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from roar_spark.inference import infer_schema, is_rfc3339
+from roar_spark.sources.files import read_envelope_batch, write_envelope_file
+from roar_spark.streaming.ingest import parse_envelope
+
+settings.register_profile(
+    "coerce", deadline=None, max_examples=12,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+settings.load_profile("coerce")
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.floats(allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9),
+    st.text(alphabet="abc0123456789:-TZ. ", max_size=24),
+    st.sampled_from(["2026-08-13T10:00:00Z", "2026-08-13 10:00", "1.5", "x"]),
+)
+_docs = st.lists(
+    st.dictionaries(st.sampled_from(list("abcdef")), _scalars, max_size=5),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _expected(value: object, dtype: T.DataType):
+    """Pure-Python model of coerce_expr over a carrier value (reference
+    append semantics)."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.LongType):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        f = float(value)  # Go decodes all JSON numbers to float64
+        if math.isnan(f) or not (-(2.0**63) <= f < 2.0**63):
+            return None
+        return int(f)  # truncation toward zero
+    if isinstance(dtype, T.DoubleType):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        return float(value)
+    if isinstance(dtype, T.BooleanType):
+        return value if isinstance(value, bool) else None
+    if isinstance(dtype, T.TimestampType):
+        if isinstance(value, str) and is_rfc3339(value):
+            ts = datetime.fromisoformat(value.replace("Z", "+00:00").replace("z", "+00:00"))
+            return ts.astimezone(timezone.utc).replace(tzinfo=None)
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, (int, float)):  # epoch NANOSECONDS
+            micros = int(float(value) / 1000.0)
+            return datetime.fromtimestamp(micros / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        return None
+    if isinstance(dtype, T.StringType):
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, int):
+            return str(value)  # Long.toString
+        if isinstance(value, float):
+            return _java_double_str(value)  # documented divergence, coerce.py
+        return str(value)
+    return None
+
+
+def _java_double_str(f: float) -> str:
+    """Java Double.toString: shortest round-trip digits; plain decimal for
+    1e-3 ≤ |f| < 1e7 (with a mandatory fraction digit), else d.dddE±n."""
+    from decimal import Decimal
+
+    if f == 0.0:
+        return "-0.0" if math.copysign(1.0, f) < 0 else "0.0"
+    sign, digits, exponent = Decimal(repr(f)).as_tuple()
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    adjusted = exponent + len(digits) - 1  # decimal exponent of lead digit
+    prefix = "-" if sign else ""
+    if -3 <= adjusted < 7:
+        if adjusted >= 0:
+            int_part = ds[: adjusted + 1].ljust(adjusted + 1, "0")
+            frac = ds[adjusted + 1:] or "0"
+        else:
+            int_part = "0"
+            frac = "0" * (-adjusted - 1) + ds
+        return f"{prefix}{int_part}.{frac}"
+    mantissa = ds[0] + "." + (ds[1:] or "0")
+    return f"{prefix}{mantissa}E{adjusted}"
+
+
+@given(_docs)
+def test_parse_pipeline_matches_reference_model(spark, docs):
+    schema = infer_schema([json.dumps(d).encode() for d in docs])
+    payload_fields = [f for f in schema.fields if f.name in "abcdef"]
+    path = None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/msgs"
+        write_envelope_file(
+            path,
+            [
+                {
+                    "key": f"k{i}",
+                    "value": json.dumps(d),
+                    "timestamp": "2026-08-13T09:00:00Z",
+                    "offset": i,
+                    "partition": 0,
+                }
+                for i, d in enumerate(docs)
+            ],
+        )
+        out = parse_envelope(read_envelope_batch(spark, path), schema)
+        rows = {r.kafka_offset: r for r in out.collect()}
+
+    for i, doc in enumerate(docs):
+        row = rows[i]
+        for f in payload_fields:
+            got = row[f.name]
+            want = _expected(doc.get(f.name), f.dataType)
+            if isinstance(want, float):
+                assert got == want or (got is not None and math.isclose(got, want)), (
+                    f"doc={doc} field={f.name} {f.dataType}: {got!r} != {want!r}"
+                )
+            else:
+                assert got == want, (
+                    f"doc={doc} field={f.name} {f.dataType}: {got!r} != {want!r}"
+                )

@@ -252,3 +252,28 @@ def test_streaming_end_to_end(spark, tmp_path):
         assert handle.records_total == 50
     finally:
         engine.stop()
+
+
+def test_parse_epoch_nanos_into_frozen_timestamp(spark, tmp_path):
+    """appendTimestamp parity (kafka/consumer.go:816-821): after the schema
+    freezes a field as timestamp, later NUMERIC values are interpreted as
+    epoch NANOSECONDS (ns→µs truncation documented in SURVEY §1.3)."""
+    path = str(tmp_path / "ns")
+    ns = 1_755_081_600_123_456_789  # 2025-08-13T10:40:00.123456789Z
+    write_envelope_file(
+        path,
+        [
+            {"key": "a", "value": json.dumps({"ts": ns}),
+             "timestamp": "2026-08-13T09:00:00Z", "offset": 0, "partition": 0},
+            {"key": "b", "value": json.dumps({"ts": "not a timestamp"}),
+             "timestamp": "2026-08-13T09:00:01Z", "offset": 1, "partition": 0},
+        ],
+    )
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("ns", [json.dumps({"ts": "2026-08-13T10:00:00Z"})])
+    assert handle.schema["ts"].dataType == T.TimestampType()  # frozen as ts
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    rows = {r.kafka_offset: r for r in out.collect()}
+    got = rows[0].ts
+    assert got is not None and got.year == 2025 and got.microsecond == 123456
+    assert rows[1].ts is None  # unparseable → null
