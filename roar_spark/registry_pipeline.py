@@ -14,7 +14,7 @@ from roar_spark.operators import dedup as D
 from roar_spark.operators import multimodal as M
 from roar_spark.operators import similarity as S
 from roar_spark.operators import text as X
-from roar_spark.operators.dedup import N_BANDS, N_MINHASH, SIMHASH_BITS
+from roar_spark.operators.dedup import N_BANDS, N_MINHASH, SIMHASH_BITS, SIMHASH_HAMMING
 
 # --- shared SQL fragments -------------------------------------------------
 
@@ -131,7 +131,7 @@ PIPELINE_ORACLES["dedup_simhash"] = f"""
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
     ORDER BY doc_id_a, doc_id_b
 """
 

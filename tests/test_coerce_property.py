@@ -134,7 +134,20 @@ def test_parse_pipeline_matches_reference_model(spark, docs):
         row = rows[i]
         for f in payload_fields:
             got = row[f.name]
-            want = _expected(doc.get(f.name), f.dataType)
+            value = doc.get(f.name)
+            if (
+                isinstance(f.dataType, T.StringType)
+                and isinstance(value, float)
+                and not isinstance(value, bool)
+            ):
+                # float→string text follows JVM Double.toString, which is
+                # not shortest-repr on Java ≤18 — assert value round-trip,
+                # not byte-identical text (divergence note in coerce.py)
+                assert got is not None and float(got) == value, (
+                    f"doc={doc} field={f.name}: {got!r} does not round-trip {value!r}"
+                )
+                continue
+            want = _expected(value, f.dataType)
             if isinstance(want, float):
                 assert got == want or (got is not None and math.isclose(got, want)), (
                     f"doc={doc} field={f.name} {f.dataType}: {got!r} != {want!r}"
