@@ -63,6 +63,11 @@ def carrier_type(target: T.DataType) -> T.DataType:
     if isinstance(target, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                            T.FloatType, T.DoubleType)):
         return T.DoubleType()
+    if isinstance(target, (T.StructType, T.ArrayType, T.MapType)):
+        # infer_nested extension: nested targets parse directly at their
+        # typed shape — from_json's own nested handling applies (strings in
+        # nested positions stay strings; no RFC3339 promotion inside)
+        return target
     if isinstance(target, T.BooleanType):
         return T.BooleanType()
     if isinstance(target, T.TimestampType):
@@ -86,6 +91,8 @@ def carrier_schema(target: T.StructType) -> T.StructType:
 
 def coerce_expr(col: Column, target: T.DataType) -> Column:
     """Cast a carrier column to its target type with reference semantics."""
+    if isinstance(target, (T.StructType, T.ArrayType, T.MapType)):
+        return col  # nested extension: already parsed at the target shape
     if isinstance(target, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         # Go intN(float64) truncates toward zero; Spark double→integral cast
         # does the same. Out-of-range → Spark nulls (try_cast), reference

@@ -137,9 +137,13 @@ def _is_integral_number(v: float) -> bool:
     )
 
 
-def infer_json_field_type(value: object) -> tuple[T.DataType, bool]:
+def infer_json_field_type(value: object, infer_nested: bool = False) -> tuple[T.DataType, bool]:
     """Type a single JSON value. Parity: inferJsonFieldType
-    (kafka/consumer.go:913-943). Returns (dtype, nullable)."""
+    (kafka/consumer.go:913-943). Returns (dtype, nullable).
+
+    ``infer_nested=True`` is the extension knob (SURVEY.md §1.3): objects
+    and arrays get real Struct/Array types (recursively) instead of the
+    reference's stringification."""
     if value is None:
         return T.StringType(), True
     if isinstance(value, bool):  # bool before int: Python bool subclasses int
@@ -153,7 +157,23 @@ def infer_json_field_type(value: object) -> tuple[T.DataType, bool]:
         if is_rfc3339(value):
             return T.TimestampType(), False
         return T.StringType(), False
-    if isinstance(value, (dict, list)):
+    if isinstance(value, dict):
+        if infer_nested:
+            fields = []
+            for k, v in value.items():
+                dt, nullable = infer_json_field_type(v, infer_nested=True)
+                fields.append(T.StructField(k, dt, nullable))
+            return T.StructType(fields), False
+        return T.StringType(), False
+    if isinstance(value, list):
+        if infer_nested:
+            elem: T.DataType | None = None
+            nullable_elem = False
+            for v in value:
+                dt, nv = infer_json_field_type(v, infer_nested=True)
+                nullable_elem = nullable_elem or nv or v is None
+                elem = dt if elem is None else common_super_type(elem, dt)
+            return T.ArrayType(elem or T.StringType(), nullable_elem), False
         return T.StringType(), False
     return T.StringType(), False
 
@@ -161,7 +181,13 @@ def infer_json_field_type(value: object) -> tuple[T.DataType, bool]:
 def common_super_type(a: T.DataType, b: T.DataType) -> T.DataType:
     """Promotion lattice, parity with commonSuperType
     (kafka/consumer.go:946-982): same→same, int-widening, float-widening,
-    int⊔float→float, everything else→string."""
+    int⊔float→float, everything else→string.
+
+    EXTENSION beyond the reference (only reachable with ``infer_nested``):
+    struct⊔struct joins field-wise (union of fields, nullable OR), array⊔
+    array joins element types — so the lattice stays a join-semilattice
+    over nested types too. Mixed nested/scalar still collapses to string.
+    """
     if a == b:
         return a
     if a in _INT_ORDER and b in _INT_ORDER:
@@ -172,10 +198,35 @@ def common_super_type(a: T.DataType, b: T.DataType) -> T.DataType:
         return b
     if b in _INT_ORDER and a in _FLOAT_ORDER:
         return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        by_a = {f.name: f for f in a.fields}
+        by_b = {f.name: f for f in b.fields}
+        order = [f.name for f in a.fields] + [f.name for f in b.fields if f.name not in by_a]
+        merged = []
+        for name in order:
+            fa, fb = by_a.get(name), by_b.get(name)
+            if fa is not None and fb is not None:
+                merged.append(
+                    T.StructField(
+                        name, common_super_type(fa.dataType, fb.dataType),
+                        fa.nullable or fb.nullable,
+                    )
+                )
+            else:
+                f = fa or fb  # missing on one side → nullable
+                merged.append(T.StructField(name, f.dataType, True))
+        return T.StructType(merged)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            common_super_type(a.elementType, b.elementType),
+            a.containsNull or b.containsNull,
+        )
     return T.StringType()
 
 
-def infer_json_fields(payloads: list[bytes | str]) -> list[InferredField]:
+def infer_json_fields(
+    payloads: list[bytes | str], infer_nested: bool = False
+) -> list[InferredField]:
     """Merge field types across a sample of JSON payloads. Parity:
     inferJsonSchema (kafka/consumer.go:867-910) — invalid JSON is skipped,
     conflicting types join through the lattice, nullability ORs. Field
@@ -191,7 +242,7 @@ def infer_json_fields(payloads: list[bytes | str]) -> list[InferredField]:
         if not isinstance(data, dict):
             continue  # top-level arrays carry no named fields
         for key, value in data.items():
-            dtype, nullable = infer_json_field_type(value)
+            dtype, nullable = infer_json_field_type(value, infer_nested=infer_nested)
             if key not in field_types:
                 field_types[key] = dtype
                 field_nullable[key] = nullable
@@ -202,7 +253,9 @@ def infer_json_fields(payloads: list[bytes | str]) -> list[InferredField]:
     return [InferredField(k, field_types[k], field_nullable[k]) for k in order]
 
 
-def infer_schema(payloads: list[bytes | str], sample_size: int = 10) -> T.StructType:
+def infer_schema(
+    payloads: list[bytes | str], sample_size: int = 10, infer_nested: bool = False
+) -> T.StructType:
     """Full stream schema from a batch of payloads. Parity: inferSchema
     (kafka/consumer.go:828-864) — 4 metadata columns always; format decided
     by the FIRST sampled message; JSON → inferred fields, else → ``value
@@ -212,7 +265,7 @@ def infer_schema(payloads: list[bytes | str], sample_size: int = 10) -> T.Struct
     sample = payloads[: min(len(payloads), sample_size)]
     fields = [T.StructField(n, t, nullable) for n, t, nullable in KAFKA_METADATA_FIELDS]
     if detect_format(sample[0]) == "json":
-        inferred = infer_json_fields(sample)
+        inferred = infer_json_fields(sample, infer_nested=infer_nested)
         fields.extend(T.StructField(f.name, f.dtype, f.nullable) for f in inferred)
     else:
         fields.append(T.StructField("value", T.BinaryType(), True))

@@ -35,9 +35,15 @@ from roar_spark.inference import KAFKA_METADATA_FIELDS, infer_schema
 __all__ = ["bootstrap_schema", "parse_envelope", "is_json_schema"]
 
 
-def bootstrap_schema(sample_payloads: list[bytes | str], sample_size: int = 10) -> T.StructType:
-    """Infer the frozen stream schema from the first batch's sample."""
-    return infer_schema(sample_payloads, sample_size=sample_size)
+def bootstrap_schema(
+    sample_payloads: list[bytes | str],
+    sample_size: int = 10,
+    infer_nested: bool = False,
+) -> T.StructType:
+    """Infer the frozen stream schema from the first batch's sample.
+    ``infer_nested`` enables real Struct/Array types (extension knob,
+    SURVEY.md §1.3) instead of the reference's stringified nesting."""
+    return infer_schema(sample_payloads, sample_size=sample_size, infer_nested=infer_nested)
 
 
 def is_json_schema(schema: T.StructType) -> bool:

@@ -226,7 +226,11 @@ class StreamEngine:
         """Create the stream entry with a frozen inferred schema (the
         dummy-batch bootstrap A14 is NOT replicated — schema is metadata
         here, no spurious null row; SURVEY.md §2.3.3)."""
-        schema = bootstrap_schema(sample_payloads, self.config.schema_sample_size)
+        schema = bootstrap_schema(
+            sample_payloads,
+            self.config.schema_sample_size,
+            infer_nested=self.config.infer_nested,
+        )
         with self._lock:
             if topic in self._streams:
                 return self._streams[topic]

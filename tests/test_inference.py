@@ -278,3 +278,41 @@ def test_stringify_scalars_and_nested():
     assert stringify_json_value(1.5) == "1.5"
     assert stringify_json_value({"a": 1}) == '{"a":1}'
     assert stringify_json_value([1, "x"]) == '[1,"x"]'
+
+
+# --- infer_nested extension (beyond the reference, SURVEY.md §1.3) --------
+
+
+def test_nested_inference_struct_and_array():
+    from roar_spark.inference import infer_json_field_type
+
+    dt, nullable = infer_json_field_type({"a": 1, "b": [1.5, 2]}, infer_nested=True)
+    assert isinstance(dt, T.StructType)
+    by = {f.name: f.dataType for f in dt.fields}
+    assert by["a"] == T.LongType()
+    assert by["b"] == T.ArrayType(T.DoubleType(), False)
+
+
+def test_nested_lattice_merges_struct_fields():
+    a = T.StructType([T.StructField("x", T.LongType(), False)])
+    b = T.StructType(
+        [T.StructField("x", T.DoubleType(), False), T.StructField("y", T.StringType(), False)]
+    )
+    j = common_super_type(a, b)
+    by = {f.name: (f.dataType, f.nullable) for f in j.fields}
+    assert by["x"] == (T.DoubleType(), False)
+    assert by["y"] == (T.StringType(), True)  # one-sided field → nullable
+
+
+def test_nested_schema_end_to_end():
+    msgs = [_js(meta={"a": 1}, tags=["x", "y"]), _js(meta={"a": 2.5, "b": "s"})]
+    flat = infer_schema(msgs)
+    nested = infer_schema(msgs, infer_nested=True)
+    assert flat["meta"].dataType == T.StringType()  # reference parity default
+    meta = nested["meta"].dataType
+    assert isinstance(meta, T.StructType)
+    assert {f.name: f.dataType for f in meta.fields} == {
+        "a": T.DoubleType(),
+        "b": T.StringType(),
+    }
+    assert nested["tags"].dataType == T.ArrayType(T.StringType(), False)

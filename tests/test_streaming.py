@@ -277,3 +277,27 @@ def test_parse_epoch_nanos_into_frozen_timestamp(spark, tmp_path):
     got = rows[0].ts
     assert got is not None and got.year == 2025 and got.microsecond == 123456
     assert rows[1].ts is None  # unparseable → null
+
+
+def test_parse_nested_extension(spark, tmp_path):
+    """infer_nested=True: nested payloads parse as real structs/arrays and
+    are queryable with dotted paths — the extension the reference lacks
+    (art/article.md:105)."""
+    path = str(tmp_path / "nested")
+    write_envelope_file(
+        path,
+        _msgs(3, value_fn=lambda i: json.dumps(
+            {"meta": {"a": i, "tag": f"t{i}"}, "vals": [i, i + 1]})),
+    )
+    engine = StreamEngine(spark, EngineConfig(infer_nested=True))
+    handle = engine.register_stream(
+        "nested", [json.dumps({"meta": {"a": 1, "tag": "x"}, "vals": [1, 2]})]
+    )
+    assert isinstance(handle.schema["meta"].dataType, T.StructType)
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    rows = {r.kafka_offset: r for r in out.collect()}
+    assert rows[2].meta.a == 2 and rows[2].meta.tag == "t2"
+    assert list(rows[1].vals) == [1, 2]
+    # dotted-path query over the served nested column
+    got = out.select(F.col("meta.a").alias("a")).agg(F.sum("a")).first()[0]
+    assert got == 3
