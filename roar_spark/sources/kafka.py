@@ -15,6 +15,11 @@ Option mapping from the reference's reader config (SURVEY.md §2 A1-A4):
 The Kafka source already emits exactly the envelope the reference reads
 per message (kafka/consumer.go:672-675): key, value, timestamp, offset,
 partition — no projection needed beyond column selection.
+
+Environment note: this build environment ships no spark-sql-kafka
+connector jar and no broker, so this module is verified at the plan level
+only; on a cluster add ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
+The file-simulated source (files.py) exercises every downstream stage.
 """
 
 from __future__ import annotations
