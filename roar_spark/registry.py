@@ -600,3 +600,53 @@ _register(
     ORDER BY doc_id
     """,
 )
+
+# --- TPC-H breadth: q6 / q12 / q14 ----------------------------------------
+_register(
+    "q6_forecast_revenue",
+    R.q6_forecast_revenue,
+    """
+    SELECT (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+_register(
+    "q12_shipmode_priority",
+    R.q12_shipmode_priority,
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_priority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+_register(
+    "q14_promo_share",
+    R.q14_promo_share,
+    """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+             AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
