@@ -1,0 +1,122 @@
+"""Second breadth pass over the relational surface: range window frames,
+lateral explode (UDTF-shaped), extended string functions, exact median via
+window ranking, and schema-evolution union (unionByName).
+
+Same determinism rules as relational.py; every query here has an exact
+DuckDB oracle in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from roar_spark.catalog import load_table
+from roar_spark.operators.relational import _scaled
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, total spend in the trailing 90 days of
+    each order (value-based frame, not row-based — orders on the same day
+    all see the same window). Frame bounds on integral epoch days."""
+    orders = load_table(spark, "orders", sf_dir)
+    # timezone-free day number (o_orderdate is TIMESTAMP_NTZ; epoch-micros
+    # functions would need an LTZ cast that shifts under non-UTC sessions)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("order_day"))
+        .rangeBetween(-90, 0)
+    )
+    return (
+        orders.withColumn("order_day", day)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "order_day",
+            (F.sum(_scaled(F.col("o_totalprice"))).over(w) / F.lit(100.0)).alias(
+                "trailing_90d_spend"
+            ),
+            F.count(F.lit(1)).over(w).alias("trailing_90d_orders"),
+        )
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    )
+
+
+def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped lateral: explode each document's token array WITH
+    position, keep the first 5 tokens per doc (posexplode ↔ UNNEST WITH
+    ORDINALITY)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", (F.col("pos") + 1).alias("token_no"), "token")
+        .orderBy("doc_id", "token_no")
+    )
+
+
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function family: regexp_extract, lpad/rpad, reverse,
+    replace, split_part, starts/ends-with."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") % 20 == 0)
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract(F.col("p_name"), r"([a-z]+)", 1).alias("first_word"),
+            F.lpad(F.col("p_brand"), 12, "#").alias("brand_padded"),
+            F.rpad(F.col("p_type"), 10, ".").alias("type_padded"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_head"),
+            F.col("p_type").startswith("PROMO").cast("int").alias("is_promo"),
+            F.col("p_name").endswith("a").cast("int").alias("ends_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group via the ranking composition (deterministic,
+    unlike interpolating percentile built-ins whose arithmetic differs
+    across engines): median = avg of the middle one/two values, computed
+    on exact scaled integers."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        _scaled(F.col("o_totalprice")).alias("price_c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg((F.sum("price_c") / F.count(F.lit(1)) / F.lit(100.0)).alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with different column sets
+    unioned by NAME with missing columns null-filled (unionByName ↔ SQL
+    UNION ALL BY NAME)."""
+    cust = load_table(spark, "customer", sf_dir)
+    a = cust.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.col("c_name").alias("name"), F.col("c_acctbal").alias("balance")
+    )
+    b = cust.filter(F.col("c_acctbal") < -500).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"), F.col("c_name").alias("name")
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .select("c_custkey", "name", "balance", "segment")
+        .orderBy("c_custkey")
+    )

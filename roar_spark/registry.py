@@ -650,3 +650,93 @@ _register(
       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
     """,
 )
+
+# --- relational breadth pass 2 --------------------------------------------
+from roar_spark.operators import relational_ext as RX  # noqa: E402
+
+_register(
+    "window_range_frame",
+    RX.window_range_frame,
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders)
+    SELECT o_custkey, o_orderkey, order_day,
+           (SUM(price_c) OVER w / 100.0) AS trailing_90d_spend,
+           COUNT(*) OVER w AS trailing_90d_orders
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, order_day, o_orderkey
+    """,
+)
+
+_register(
+    "lateral_explode",
+    RX.lateral_explode,
+    """
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id, i AS token_no, toks[i] AS token
+    FROM t CROSS JOIN UNNEST(range(1, 6)) AS r(i)
+    WHERE i <= len(toks)
+    ORDER BY doc_id, token_no
+    """,
+)
+
+_register(
+    "scalar_string_extra",
+    RX.scalar_string_extra,
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           lpad(p_brand, 12, '#') AS brand_padded,
+           rpad(p_type, 10, '.') AS type_padded,
+           reverse(p_brand) AS brand_rev,
+           replace(p_name, ' ', '_') AS name_snake,
+           split_part(p_name, ' ', 1) AS name_head,
+           CAST(starts_with(p_type, 'PROMO') AS INT) AS is_promo,
+           CAST(ends_with(p_name, 'a') AS INT) AS ends_a
+    FROM part
+    WHERE p_partkey % 20 = 0
+    ORDER BY p_partkey
+    """,
+)
+
+_register(
+    "agg_median_manual",
+    RX.agg_median_manual,
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           (SUM(price_c) / COUNT(*) / 100.0) AS median_price
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_register(
+    "setop_union_by_name",
+    RX.setop_union_by_name,
+    """
+    SELECT c_custkey, name, balance, segment FROM (
+      SELECT c_custkey, c_name AS name, c_acctbal AS balance
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL BY NAME
+      SELECT c_custkey, c_mktsegment AS segment, c_name AS name
+      FROM customer WHERE c_acctbal < -500
+    )
+    ORDER BY c_custkey
+    """,
+)

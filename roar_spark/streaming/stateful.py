@@ -26,6 +26,7 @@ __all__ = [
     "streaming_dedup",
     "session_windows",
     "running_totals",
+    "stream_stream_join",
 ]
 
 
@@ -127,3 +128,29 @@ def running_totals(
             timeoutConf=timeout,
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    watermark: str = "1 minute",
+    within: str = "interval 1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: rows pair on key equality when
+    the right event lands within ``within`` after the left event. Both
+    sides carry watermarks so join state is bounded (buffered rows drop
+    once the watermark passes the time-range condition) — the standard
+    clickstream-enrichment shape the reference cannot express at all.
+    Key/time column names must be distinct across the two sides."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_time) >= F.col(left_time))
+        & (F.col(right_time) <= F.col(left_time) + F.expr(within))
+    )
+    return lw.join(rw, cond, "inner")

@@ -187,3 +187,54 @@ def test_running_totals_stateful(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.total)  # memory sink appends updates in order
     assert latest[1] == (3, 20.0)
     assert latest[2] == (1, 3.0)
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream join: views pair with purchases by the
+    same user within 1 hour."""
+    from roar_spark.streaming.stateful import stream_stream_join
+
+    src_v = str(tmp_path / "views")
+    src_p = str(tmp_path / "purchases")
+    write_envelope_file(
+        src_v,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", view_id=1, user_id=7, ts="2026-08-13T10:00:00Z"),
+            _msg(1, "2026-08-13T09:00:01Z", view_id=2, user_id=8, ts="2026-08-13T10:05:00Z"),
+        ],
+        file_name="a.json",
+    )
+    write_envelope_file(
+        src_p,
+        [
+            # within 1h of view 1 (same user) → joins
+            _msg(0, "2026-08-13T09:00:00Z", buy_id=10, user_id=7, ts="2026-08-13T10:30:00Z"),
+            # 3h after view 2 → outside the range condition → no pair
+            _msg(1, "2026-08-13T09:00:01Z", buy_id=11, user_id=8, ts="2026-08-13T13:05:00Z"),
+        ],
+        file_name="a.json",
+    )
+    engine = StreamEngine(spark, EngineConfig())
+    hv = engine.register_stream(
+        "v", [json.dumps({"view_id": 1, "user_id": 1, "ts": "2026-08-13T10:00:00Z"})]
+    )
+    hp = engine.register_stream(
+        "p", [json.dumps({"buy_id": 1, "user_id": 1, "ts": "2026-08-13T10:00:00Z"})]
+    )
+    views = parse_envelope(file_envelope_stream(spark, src_v), hv.schema).select(
+        "view_id", F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    buys = parse_envelope(file_envelope_stream(spark, src_p), hp.schema).select(
+        "buy_id", F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts")
+    )
+    joined = stream_stream_join(
+        views,
+        buys,
+        left_key="v_user",
+        right_key="b_user",
+        left_time="view_ts",
+        right_time="buy_ts",
+    )
+    rows = _run_to_memory(spark, joined, "ssj_out", "append")
+    pairs = sorted((r.view_id, r.buy_id) for r in rows)
+    assert pairs == [(1, 10)]
