@@ -264,7 +264,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     else:
         pairs = _simhash_pairs_allpairs(sig)
     return (
-        pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING)
         .select("doc_id_a", "doc_id_b", "hamming")
         .orderBy("doc_id_a", "doc_id_b")

@@ -37,7 +37,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
         F.hex(F.substring(payload, 1, 4)).alias("magic_hex"),
         F.md5(F.col("text")).alias("payload_md5"),
     ).orderBy("doc_id")

@@ -365,9 +365,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "p_partkey",
             "p_retailprice",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 5)
         .orderBy("p_brand", "rn")
@@ -399,7 +399,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
     w = W.partitionBy("p_type").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        part.withColumn("rn", F.row_number().over(w))
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("p_type", "rn", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "rn")
@@ -470,7 +470,7 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.col("o_orderstatus")).alias("status_u"),
             F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
             F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
-            F.length(F.col("o_orderpriority")).alias("prio_len"),
+            F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
             F.year("o_orderdate").alias("order_year"),
             F.month("o_orderdate").alias("order_month"),
             F.dayofmonth("o_orderdate").alias("order_day"),

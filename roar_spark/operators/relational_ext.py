@@ -53,7 +53,7 @@ def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
         .filter(F.col("pos") < 5)
-        .select("doc_id", (F.col("pos") + 1).alias("token_no"), "token")
+        .select("doc_id", (F.col("pos") + 1).cast("long").alias("token_no"), "token")
         .orderBy("doc_id", "token_no")
     )
 

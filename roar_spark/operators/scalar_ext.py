@@ -43,10 +43,10 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "vec_id",
-            F.size("embedding").alias("n_dims"),
+            F.size("embedding").cast("long").alias("n_dims"),
             F.element_at("embedding", 1).cast("double").alias("first_val"),
-            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
-            F.size(F.filter("embedding", lambda x: x < 0)).alias("n_negative"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+            F.size(F.filter("embedding", lambda x: x < 0)).cast("long").alias("n_negative"),
         )
         .orderBy("vec_id")
     )
@@ -77,7 +77,7 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select(
             "l_orderkey",
-            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_delay_days"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("ship_delay_days"),
             F.add_months(F.col("o_orderdate"), 3).cast("date").alias("plus_3_months"),
             (F.weekday(F.col("o_orderdate")) + 1).alias("order_isodow"),
             F.quarter(F.col("o_orderdate")).alias("order_quarter"),

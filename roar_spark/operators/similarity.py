@@ -55,7 +55,7 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")

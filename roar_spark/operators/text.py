@@ -25,7 +25,7 @@ PUNCT_CLASS = "[.,;:!?]"
 
 
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
-    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,8 +33,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation ratio, stopword ratio, mean token length."""
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_chars = F.length(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
     n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
     n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     n_stop = _count_in(toks, EN_STOP)
@@ -42,7 +42,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"), 6).alias(
             "type_token_ratio"
         ),
@@ -84,5 +84,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
-        F.length(normalized).alias("n_norm_chars"),
+        F.length(normalized).cast("long").alias("n_norm_chars"),
     ).orderBy("doc_id")

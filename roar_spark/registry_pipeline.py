@@ -129,7 +129,7 @@ PIPELINE_ORACLES["dedup_simhash"] = f"""
       FROM tok GROUP BY doc_id),
     sig AS (SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM bits)
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
     ORDER BY doc_id_a, doc_id_b

@@ -45,6 +45,31 @@ def rows_key(rows: list[tuple]) -> list[tuple]:
     return sorted((tuple(norm(v) for v in r) for r in rows), key=repr)
 
 
+# canonical type names for the cross-engine schema comparison — grouped the
+# way a driver plausibly normalizes them (ints by width, floats by width)
+_SPARK_TYPE_CANON = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32", "bigint": "int64",
+    "float": "float32", "double": "float64", "string": "string",
+    "boolean": "bool", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "date", "binary": "binary",
+}
+_DUCK_TYPE_CANON = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32", "BIGINT": "int64",
+    "HUGEINT": "int128", "FLOAT": "float32", "DOUBLE": "float64",
+    "VARCHAR": "string", "BOOLEAN": "bool", "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "DATE": "date", "BLOB": "binary",
+    "UBIGINT": "uint64",
+}
+
+
+def canon_spark(dtype: str) -> str:
+    return _SPARK_TYPE_CANON.get(dtype, dtype)
+
+
+def canon_duck(dtype: str) -> str:
+    return _DUCK_TYPE_CANON.get(dtype, dtype)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,6 +86,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = [c.lower() for c in sdf.columns]
+            s_types = {c.lower(): canon_spark(t) for c, t in sdf.dtypes}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
@@ -71,9 +97,12 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            res = con.execute(ORACLES[name])
-            d_cols = [d[0].lower() for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(ORACLES[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_types = {
+                c.lower(): canon_duck(str(t)) for c, t in zip(rel.columns, rel.types)
+            }
+            d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -84,6 +113,12 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={s_cols} duckdb={d_cols}")
+        else:
+            type_diff = {
+                c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]
+            }
+            if type_diff:
+                problems.append(f"types differ: {type_diff}")
         if not problems:
             # align duckdb column order to spark's
             idx = [d_cols.index(c) for c in s_cols]
