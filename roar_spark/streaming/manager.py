@@ -206,6 +206,7 @@ class StreamEngine:
         self._spark = spark
         self.config = config or EngineConfig()
         self._streams: dict[str, StreamHandle] = {}
+        self._converters: dict[str, object] = {}  # topic → converter (A13)
         self._lock = threading.Lock()
         self._time = time_fn
         self._store_base = store_base
@@ -222,15 +223,38 @@ class StreamEngine:
             )
         return MemoryStore(self._spark, schema, self.config.buffer_limit_bytes)
 
+    def register_converter(self, topic: str, converter, schema: T.StructType) -> None:
+        """Per-topic custom converter hook — parity with the reference's
+        MessageConverter plugin (WithConverter, kafka/consumer.go:79-86,
+        413-419): the converter owns BOTH the schema (its InferSchema
+        equivalent is the explicit ``schema`` you pass) and the envelope→
+        typed-rows conversion. ``converter(envelope_df, schema) -> DataFrame``
+        must emit exactly ``schema``'s columns; it replaces the default
+        parse_envelope path for this topic (createBatchWithConverter,
+        kafka/consumer.go:471-580). Register BEFORE register_stream/ingest.
+        """
+        self._converters[topic] = (converter, schema)
+
+    def _parse(self, topic: str, envelope: DataFrame, schema: T.StructType) -> DataFrame:
+        if topic in self._converters:
+            converter, _ = self._converters[topic]
+            return converter(envelope, schema)
+        return parse_envelope(envelope, schema)
+
     def register_stream(self, topic: str, sample_payloads: list[bytes | str]) -> StreamHandle:
         """Create the stream entry with a frozen inferred schema (the
         dummy-batch bootstrap A14 is NOT replicated — schema is metadata
-        here, no spurious null row; SURVEY.md §2.3.3)."""
-        schema = bootstrap_schema(
-            sample_payloads,
-            self.config.schema_sample_size,
-            infer_nested=self.config.infer_nested,
-        )
+        here, no spurious null row; SURVEY.md §2.3.3). A topic with a
+        registered converter uses the converter's schema instead of
+        inference (sample ignored, like the reference's converter path)."""
+        if topic in self._converters:
+            schema = self._converters[topic][1]
+        else:
+            schema = bootstrap_schema(
+                sample_payloads,
+                self.config.schema_sample_size,
+                infer_nested=self.config.infer_nested,
+            )
         with self._lock:
             if topic in self._streams:
                 return self._streams[topic]
@@ -243,7 +267,7 @@ class StreamEngine:
         envelope → parse (frozen schema) → foreachBatch append-with-retention.
         Trigger = the reference's 5 s flush timer."""
         handle = self.register_stream(topic, sample_payloads)
-        parsed = parse_envelope(envelope, handle.schema)
+        parsed = self._parse(topic, envelope, handle.schema)
 
         def _append(batch_df: DataFrame, _batch_id: int) -> None:
             # ONE action on batch_df: the store computes the row count from
@@ -274,7 +298,7 @@ class StreamEngine:
         """Batch-mode append (tests / backfill): same parse + retention
         path without a StreamingQuery."""
         handle = self._streams[topic]
-        n = handle.store.append(parse_envelope(envelope_batch, handle.schema))
+        n = handle.store.append(self._parse(topic, envelope_batch, handle.schema))
         handle.last_updated = self._time()
         return n
 

@@ -301,3 +301,39 @@ def test_parse_nested_extension(spark, tmp_path):
     # dotted-path query over the served nested column
     got = out.select(F.col("meta.a").alias("a")).agg(F.sum("a")).first()[0]
     assert got == 3
+
+
+def test_custom_converter_hook(spark, tmp_path):
+    """A13 parity: a per-topic converter replaces inference + parsing —
+    here a CSV-payload converter the default JSON path cannot handle
+    (MessageConverter plugin, kafka/consumer.go:413-419)."""
+    path = str(tmp_path / "csvtopic")
+    write_envelope_file(
+        path, _msgs(4, value_fn=lambda i: f"item{i},{i * 10},{i % 2 == 0}")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("kafka_offset", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("qty", T.LongType(), True),
+            T.StructField("flag", T.BooleanType(), True),
+        ]
+    )
+
+    def csv_converter(envelope, target):
+        parts = F.split(F.col("value").cast("string"), ",")
+        return envelope.select(
+            F.col("offset").alias("kafka_offset"),
+            parts[0].alias("name"),
+            parts[1].cast("long").alias("qty"),
+            parts[2].cast("boolean").alias("flag"),
+        )
+
+    engine = StreamEngine(spark, EngineConfig())
+    engine.register_converter("csvtopic", csv_converter, schema)
+    handle = engine.register_stream("csvtopic", [])  # sample ignored
+    assert handle.schema == schema
+    engine.append_batch("csvtopic", read_envelope_batch(spark, path))
+    rows = {r.kafka_offset: r for r in engine.fetch("csvtopic", limit=-1).collect()}
+    assert rows[2].name == "item2" and rows[2].qty == 20 and rows[2].flag is True
+    assert rows[1].flag is False
