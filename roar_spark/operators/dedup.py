@@ -30,12 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roar_spark.catalog import load_table
-from roar_spark.functions.text_fns import (
-    minhash_str,
-    simhash_bit_sign,
-    tokens,
-    word_shingles,
-)
+from roar_spark.functions.text_fns import minhash_str, tokens, word_shingles
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = N_MINHASH // N_BANDS = 2
