@@ -1,0 +1,52 @@
+"""Bucketing: the write-time answer to the one big shuffle in the corpus
+(orders⋈lineitem on orderkey). SCALE.md documents it as the 100 TB path;
+this test pins that a join between tables bucketed on the join key plans
+WITHOUT a shuffle exchange — co-located partitions meet directly."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from roar_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load_table(spark, "orders", SF).write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, "lineitem", SF).write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    try:
+        # force the sort-merge path (broadcast would hide the point)
+        joined = (
+            spark.table("b_lineitem")
+            .hint("merge")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        # the join inputs read bucketed scans — no Exchange below the join
+        assert "Exchange" not in join_section, join_section
+        # and it computes the right thing
+        n_total = sum(r.n for r in joined.collect())
+        assert n_total == load_table(spark, "lineitem", SF).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
