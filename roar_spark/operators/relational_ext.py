@@ -120,3 +120,32 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "name", "balance", "segment")
         .orderBy("c_custkey")
     )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h wide, 30 min slide): every event
+    lands in exactly two overlapping windows. Uses Spark's native
+    window(slide) — epoch-aligned, mirrored in the oracle by integer epoch
+    arithmetic over the two slide offsets."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per-lineitem order keys minus one
+    occurrence per matching order key — multiplicities matter, unlike the
+    set-based setop_except."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("okey")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_orderkey").alias("okey"))
+    return li.exceptAll(orders).groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_left")
+    ).orderBy("okey")

@@ -740,3 +740,33 @@ _register(
     ORDER BY c_custkey
     """,
 )
+
+_register(
+    "events_sliding",
+    RX.events_sliding,
+    """
+    WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS eu, event_type FROM events),
+    slid AS (
+      SELECT make_timestamp(((eu - k * 1800000000) // 3600000000) * 3600000000
+                            + k * 1800000000) AS window_start,
+             event_type
+      FROM e CROSS JOIN UNNEST([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS u(k))
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM slid
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+
+_register(
+    "setop_except_all",
+    RX.setop_except_all,
+    """
+    WITH diff AS (
+      SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 45
+      EXCEPT ALL
+      SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT okey, COUNT(*) AS n_left FROM diff GROUP BY okey ORDER BY okey
+    """,
+)
