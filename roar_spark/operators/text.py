@@ -86,3 +86,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).cast("long").alias("n_norm_chars"),
     ).orderBy("doc_id")
+
+
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset so the
+# same pattern runs on Java regex (Spark) and RE2 (DuckDB): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|d|m|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: count pretokenizer matches (the standard
+    proxy for LLM token budgets) next to whitespace tokens, plus the
+    tokens-per-word expansion ratio."""
+    docs = load_table(spark, "documents", sf_dir)
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)  # group 0 = full match
+    ws = tokens(F.col("text"))
+    n_bpe = F.size(bpe).cast("long")
+    n_ws = F.size(ws).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws.cast("double"), 6).alias("bpe_per_word"),
+        F.element_at(bpe, 1).alias("first_bpe_token"),
+    ).orderBy("doc_id")

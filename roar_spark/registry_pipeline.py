@@ -214,3 +214,18 @@ PIPELINE_ORACLES["multimodal_meta"] = """
            md5(text) AS payload_md5
     FROM documents ORDER BY doc_id
 """
+
+PIPELINE_QUERIES["text_bpe_tokens"] = X.text_bpe_tokens
+_BPE_SQL = X.BPE_PATTERN.replace("'", "''")  # escape the apostrophes for SQL
+PIPELINE_ORACLES["text_bpe_tokens"] = f"""
+    WITH t AS (SELECT doc_id, text,
+                regexp_extract_all(text, '{_BPE_SQL}') AS bpe,
+                {_TOKS} AS ws
+               FROM documents)
+    SELECT doc_id,
+           len(bpe) AS n_bpe_tokens,
+           len(ws) AS n_ws_tokens,
+           round(CAST(len(bpe) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS bpe_per_word,
+           bpe[1] AS first_bpe_token
+    FROM t ORDER BY doc_id
+"""
