@@ -149,3 +149,39 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.exceptAll(orders).groupBy("okey").agg(
         F.count(F.lit(1)).alias("n_left")
     ).orderBy("okey")
+
+
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering: per order, the sorted
+    list of its line numbers and quantities-by-line. collect_list is
+    order-nondeterministic in a distributed engine, so the sort happens
+    explicitly AFTER collection (array_sort ↔ DuckDB list(… ORDER BY …))."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 100 == 0)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("long"))).alias("line_numbers"),
+            F.size(F.collect_list("l_linenumber")).cast("long").alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing (ntile) of customers by balance within market
+    segment, with per-quartile aggregates."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    quartiled = cust.select(
+        "c_mktsegment",
+        _scaled(F.col("c_acctbal")).alias("bal_c"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return (
+        quartiled.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("bal_c") / F.lit(100.0)).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )

@@ -770,3 +770,36 @@ _register(
     SELECT okey, COUNT(*) AS n_left FROM diff GROUP BY okey ORDER BY okey
     """,
 )
+
+_register(
+    "agg_array_collect",
+    RX.agg_array_collect,
+    """
+    SELECT l_orderkey,
+           list(CAST(l_linenumber AS BIGINT) ORDER BY l_linenumber) AS line_numbers,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+
+_register(
+    "window_ntile",
+    RX.window_ntile,
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+             CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile
+      FROM customer)
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n_customers,
+           (SUM(bal_c) / 100.0) AS total_balance
+    FROM q
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)

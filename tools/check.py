@@ -63,10 +63,14 @@ _DUCK_TYPE_CANON = {
 
 
 def canon_spark(dtype: str) -> str:
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return f"array<{canon_spark(dtype[6:-1])}>"
     return _SPARK_TYPE_CANON.get(dtype, dtype)
 
 
 def canon_duck(dtype: str) -> str:
+    if dtype.endswith("[]"):  # DuckDB list type → Spark array form
+        return f"array<{canon_duck(dtype[:-2])}>"
     return _DUCK_TYPE_CANON.get(dtype, dtype)
 
 
