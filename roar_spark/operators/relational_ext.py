@@ -185,3 +185,56 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below a per-group aggregate threshold
+    (lineitems with quantity under 20% of their part's average) — the
+    classic correlated-aggregate-subquery, declared as the decorrelated
+    join Catalyst would produce."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part_avg = (
+        li.groupBy("l_partkey")
+        .agg((F.sum(_scaled(F.col("l_quantity"))) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_scaled(F.col("l_extendedprice"))) / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel sequencing over the event stream: per user, first signup,
+    first click after that signup, first purchase after that click —
+    conditional-min aggregation chained through self-joins (exact
+    timestamps, fully deterministic)."""
+    ev = load_table(spark, "events", sf_dir)
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_signup")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        signup.join(click.select("user_id", "t_click"), "user_id", "left")
+        .join(purchase.select("user_id", "t_purchase"), "user_id", "left")
+        .select("user_id", "t_signup", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )

@@ -803,3 +803,43 @@ _register(
     ORDER BY c_mktsegment, quartile
     """,
 )
+
+_register(
+    "q17_small_quantity",
+    RX.q17_small_quantity,
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             (SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN pa USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+
+_register(
+    "events_funnel",
+    RX.events_funnel,
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    signup AS (
+      SELECT user_id, MIN(ts) AS t_signup FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    click AS (
+      SELECT c.user_id, s.t_signup, MIN(c.ts) AS t_click
+      FROM e c JOIN signup s ON c.user_id = s.user_id
+      WHERE c.event_type = 'click' AND c.ts > s.t_signup
+      GROUP BY c.user_id, s.t_signup),
+    purchase AS (
+      SELECT p.user_id, MIN(p.ts) AS t_purchase
+      FROM e p JOIN click c ON p.user_id = c.user_id
+      WHERE p.event_type = 'purchase' AND p.ts > c.t_click
+      GROUP BY p.user_id)
+    SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase
+    FROM signup s
+    LEFT JOIN click c ON s.user_id = c.user_id
+    LEFT JOIN purchase p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+)
