@@ -843,3 +843,36 @@ _register(
     ORDER BY s.user_id
     """,
 )
+
+# --- deterministic sampling / splitting -----------------------------------
+from roar_spark.operators import sampling as SM  # noqa: E402
+
+_register(
+    "dataset_split",
+    SM.dataset_split,
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS hv
+      FROM documents)
+    SELECT CASE WHEN hv < 52428 THEN 'train'
+                WHEN hv < 58982 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM h
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+
+_register(
+    "sample_stratified",
+    SM.sample_stratified,
+    """
+    SELECT lang, doc_id
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6553
+    ORDER BY lang, doc_id
+    """,
+)
