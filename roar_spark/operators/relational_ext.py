@@ -238,3 +238,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "t_signup", "t_click", "t_purchase")
         .orderBy("user_id")
     )
+
+
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation via salting: phase 1 aggregates on
+    (salt, key) — spreading a hot key over 16 reducers — phase 2 merges the
+    partials per key. Results are identical to the direct groupBy (the
+    oracle is the plain GROUP BY), but no single reducer ever owns a hot
+    key's full row stream. The salt must be DETERMINISTIC (hash-derived,
+    not rand()) so re-runs and retries agg identically; partial sums are
+    exact scaled integers so the two-phase split can't change the result.
+
+    This is the manual form; AQE's skew-join splitting (enabled in
+    session.py) handles the join-side version automatically at runtime.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    salt = F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(16)).alias("salt")
+    partial = (
+        li.select("l_returnflag", salt, _scaled(F.col("l_quantity")).alias("qty_c"))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("qty_c").alias("qty_part"), F.count(F.lit(1)).alias("n_part"))
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            (F.sum("qty_part") / F.lit(100.0)).alias("sum_qty"),
+            F.sum("n_part").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

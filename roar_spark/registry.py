@@ -876,3 +876,16 @@ _register(
     ORDER BY lang, doc_id
     """,
 )
+
+_register(
+    "agg_salted_twophase",
+    RX.agg_salted_twophase,
+    """
+    SELECT l_returnflag,
+           (SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)

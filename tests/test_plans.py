@@ -100,3 +100,12 @@ def test_cosine_screen_is_arrow_batched(spark):
     plan = plan_of(spark, "sim_cosine_pairs")
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_aggregation_two_exchanges(spark):
+    """The salted two-phase agg must show BOTH exchanges — (key, salt)
+    then (key) — proving the hot key actually spreads over reducers."""
+    plan = plan_of(spark, "agg_salted_twophase")
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
