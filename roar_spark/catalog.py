@@ -71,6 +71,9 @@ def register_views(spark: SparkSession, directory: str | None = None) -> dict[st
 
     Views keep the plan declarative: Catalyst sees the parquet scan directly,
     so filters written against the view still push down to the file source.
+    Views go through :func:`load_table` so the ns→µs timestamp normalization
+    applies uniformly — a view of ``events`` exposes the same ``ts``
+    TimestampType every operator sees, not a raw epoch-ns bigint.
     """
     directory = directory or sf_dir()
     out: dict[str, DataFrame] = {}
@@ -78,7 +81,45 @@ def register_views(spark: SparkSession, directory: str | None = None) -> dict[st
         path = f"{directory}/{name}.parquet"
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, name, directory)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def table_row_count(name: str, directory: str | None = None) -> int:
+    """Exact row count from parquet footer metadata — a driver-side footer
+    read, NO Spark job. Used where an operator dispatches on corpus size
+    (e.g. dedup_simhash's pair-stage choice): a ``df.count()`` there costs
+    a full scheduled job per invocation, while footers are O(#files) and
+    already cached by the OS. At cluster scale this is the same information
+    the engine's scan statistics carry."""
+    import pyarrow.parquet as pq
+
+    directory = directory or sf_dir()
+    path = f"{directory}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def embedding_dim(directory: str | None = None, name: str = "embeddings") -> int:
+    """Embedding vector width, read from the first row of the first parquet
+    row group (driver-side, no Spark job). List width is data not schema in
+    parquet, so one tiny footer+page read is the cheapest honest source."""
+    import pyarrow.parquet as pq
+
+    directory = directory or sf_dir()
+    path = f"{directory}/{name}.parquet"
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        path = files[0]
+    pf = pq.ParquetFile(path)
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])

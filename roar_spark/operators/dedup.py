@@ -13,6 +13,9 @@ Scale design:
 - MinHash-LSH: signatures are 8 aggregated MINs per doc (one shuffle),
   banding explodes to 4 (band, key) rows per doc, and the candidate join
   is an equi-join on band keys — O(docs × bands) state, no n² anywhere.
+  Verification is candidate-driven: exact Jaccard via joins from the
+  candidate pairs into the shingle table, O(|candidates| · shingles/doc),
+  never a shingle self-join over the corpus.
 - SimHash: one 60-bit signature per doc from token-bit aggregation; the
   pair stage dispatches by corpus size — broadcast all-pairs filter below
   SIMHASH_ALLPAIRS_MAX_DOCS (measured faster there), pigeonhole chunk
@@ -143,12 +146,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    # Verify with exact Jaccard. At this corpus the shared-shingle pair
-    # space is small (shingles are near-unique), so joining candidates
-    # against the full _jaccard_pairs is the cheapest plan; at 100 TB the
-    # standard refinement is to semi-join `sh` down to candidate docs
-    # first so verification never touches non-candidate documents.
-    verified = cand.join(_jaccard_pairs(sh), ["doc_id_a", "doc_id_b"])
+    # Candidate-driven verification (the 100 TB shape, stronger than the
+    # round-1 footnote's semi-join): exact Jaccard is computed ONLY for
+    # candidate pairs by joining them to the shingle table per side —
+    # |A∩B| = count of shingles reached through both joins. The shingle
+    # self-join (_jaccard_pairs) never runs on this path, so verification
+    # cost is O(|candidates| · shingles/doc) regardless of corpus size and
+    # immune to hot-shingle pair blowup; non-candidate documents never
+    # enter any pair space. The per-doc size aggregation is a map-side-
+    # combined count over `sh` — an independent branch that overlaps the
+    # signature/banding pipeline.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    exp_a = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
+    inter = (
+        exp_a.join(sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"), ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    verified = (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+    )
     return (
         verified.filter(F.col("jaccard") >= 0.5)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -156,34 +184,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Packed histogram fields are 16 bits wide → per-bit set-counts are exact
+# for docs up to 2^16-1 tokens; beyond that the aggregate raises (loudly,
+# never silently wrong). 65k whitespace tokens ≈ 400 KB of text — above any
+# sane training-doc cap; a corpus with longer docs should pre-chunk.
+_PACK_FIELD_BITS = 16
+_PACK_MAX_TOKENS = (1 << _PACK_FIELD_BITS) - 1
+# lookup[v] = the 4 bits of hex-digit value v spread into 16-bit lanes:
+# lane r accumulates "count of tokens whose bit r is set" under SUM.
+_PACK_LOOKUP = [
+    sum(((v >> r) & 1) << (_PACK_FIELD_BITS * r) for r in range(4)) for v in range(16)
+]
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc SIMHASH_BITS-bit simhash from token md5 bits (portable)."""
+    """Per-doc SIMHASH_BITS-bit simhash from token md5 bits (portable).
+
+    Aggregation shape: instead of 60 per-bit signed sums (a huge codegen
+    unit — the round-1 cost center), each of the 15 hex digits contributes
+    ONE packed long via a 16-entry lookup literal: digit value v maps to
+    its 4 bits spread into 16-bit lanes, so SUM(packed) accumulates four
+    set-bit counts at once. 15 sums + 1 count replace 60 sums; bit b of the
+    signature is set iff 2·count_set(b) > n_tokens — identical to the
+    sign-of-(±1-sum) definition the DuckDB oracle computes independently."""
     docs = load_table(spark, "documents", sf_dir)
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .withColumn("tok_md5", F.md5(F.col("tok")))
     )
-    # project each hex digit's value ONCE (8 strpos+substr per row), then
-    # the 32 bit signs are cheap integer ops over those columns — the naive
-    # form recomputes the string work per bit (32×) and was ~2× slower
+    # project each hex digit's value ONCE (15 strpos+substr per row), then
+    # one array-literal lookup per digit turns it into the packed lanes
     from roar_spark.functions.text_fns import hex_digit_val
 
+    lookup = F.lit(_PACK_LOOKUP)
     tok = tok.select(
-        "doc_id", *[hex_digit_val(F.col("tok_md5"), d + 1).alias(f"d{d}") for d in range(SIMHASH_BITS // 4)]
-    )
-    bit_sums = tok.groupBy("doc_id").agg(
+        "doc_id",
         *[
-            F.sum(
-                ((F.col(f"d{b // 4}") / (2 ** (b % 4))).cast("int") % 2) * 2 - 1
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+            F.element_at(lookup, hex_digit_val(F.col("tok_md5"), d + 1).cast("int") + 1).alias(
+                f"p{d}"
+            )
+            for d in range(SIMHASH_BITS // 4)
+        ],
+    )
+    packed = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(F.col(f"p{d}")).alias(f"h{d}") for d in range(SIMHASH_BITS // 4)],
     )
     sim = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        lane = F.shiftright(F.col(f"h{b // 4}"), _PACK_FIELD_BITS * (b % 4)).bitwiseAND(
+            F.lit(_PACK_MAX_TOKENS)
+        )
+        term = F.when(lane * 2 > F.col("n_tok"), F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+    guarded = F.when(
+        F.col("n_tok") <= _PACK_MAX_TOKENS, sim.cast("long")
+    ).otherwise(F.raise_error(F.lit("simhash: doc exceeds 65535 tokens; pre-chunk the corpus")))
+    return packed.select("doc_id", guarded.alias("simhash"))
 
 
 # Above this corpus size the pigeonhole equi-join beats the all-pairs
@@ -245,8 +302,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     signatures. Pair stage dispatches by corpus size: all-pairs filter for
     small corpora, pigeonhole chunk equi-join beyond
     SIMHASH_ALLPAIRS_MAX_DOCS (identical results either way — a test pins
-    the equivalence)."""
-    n_docs = load_table(spark, "documents", sf_dir).count()
+    the equivalence). Corpus size comes from parquet footer metadata — a
+    driver-side read, not a scheduled ``count()`` job."""
+    from roar_spark.catalog import table_row_count
+
+    n_docs = table_row_count("documents", sf_dir)
     use_pigeonhole = (
         force_pigeonhole
         if force_pigeonhole is not None
