@@ -24,7 +24,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from roar_spark.catalog import load_table
-from roar_spark.functions.text_fns import hex_digit_val
 from roar_spark.functions.vector import cosine, norm
 
 N_QUERIES = 10
@@ -63,17 +62,33 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_THRESHOLD = 0.4
-N_BLOCKS = 8
+# Per-group memory bound for the block screen: each applyInPandas group
+# holds TWO blocks of ≤ TARGET_BLOCK_ROWS vectors plus their cos matrix —
+# ≈ 2·2048·dim·8 B input + 2048²·8 B ≈ 35 MB at dim 64, CONSTANT in corpus
+# size. Block count grows linearly with n instead (shuffle volume n²/B rows
+# — the honest cost of all-pairs; sub-quadratic near-dup is ann_lsh_topk).
+TARGET_BLOCK_ROWS = 2048
+_MIN_BLOCKS = 8
 
 
-def _block_screen_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def n_blocks_for(n_rows: int) -> int:
+    """Block count for the all-pairs screen: enough blocks that a block
+    never exceeds TARGET_BLOCK_ROWS rows, floor of 8 so small corpora keep
+    executor parallelism."""
+    import math
+
+    return max(_MIN_BLOCKS, math.ceil(max(n_rows, 1) / TARGET_BLOCK_ROWS))
+
+
+def _block_screen_pairs(spark: SparkSession, emb: DataFrame, n_blocks: int) -> DataFrame:
     """Candidate pairs with cosine ≥ threshold−margin via block-matrix
-    multiply: vectors are bucketed into N_BLOCKS, every block PAIR is one
-    applyInPandas group doing a single numpy matmul, and only surviving
-    (id_a, id_b) pairs leave Python.
+    multiply: vectors are bucketed into ``n_blocks`` (sized from the corpus
+    row count so per-group memory is bounded — see n_blocks_for), every
+    block PAIR is one applyInPandas group doing a single numpy matmul, and
+    only surviving (id_a, id_b) pairs leave Python.
 
     This is the scale shape for all-pairs similarity: bounded replication
-    (each vector appears in N_BLOCKS groups), a vectorized kernel instead
+    (each vector appears in n_blocks groups), a vectorized kernel instead
     of 2M per-pair expression folds, and output proportional to matches,
     not candidates. The screen uses a 1e-6 margin; exact semantics come
     from the recheck stage, so the numpy summation order never leaks into
@@ -82,11 +97,11 @@ def _block_screen_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
     import pandas as pd
 
     blocked = emb.select("vec_id", "embedding").withColumn(
-        "blk", (F.col("vec_id") % N_BLOCKS).cast("int")
+        "blk", (F.col("vec_id") % n_blocks).cast("int")
     )
     pair_df = F.broadcast(
         spark.createDataFrame(
-            [(i, j) for i in range(N_BLOCKS) for j in range(i, N_BLOCKS)],
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "blk_a int, blk_b int",
         )
     )
@@ -133,9 +148,15 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-phase: numpy block-matmul screen (fast, margin-padded) → exact
     ordered-fold recheck on the few survivors. Results are identical to
     the naive all-pairs fold (and to the DuckDB oracle) because the final
-    filter/rounding only ever sees the exact fold values."""
+    filter/rounding only ever sees the exact fold values. Block count is
+    derived from the corpus row count (parquet footer, no Spark job) so
+    per-group memory stays bounded at any scale."""
+    from roar_spark.catalog import table_row_count
+
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
-    survivors = _block_screen_pairs(spark, emb)
+    survivors = _block_screen_pairs(
+        spark, emb, n_blocks_for(table_row_count("embeddings", sf_dir))
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )
@@ -154,53 +175,126 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket(emb_col: F.Column, n_planes: int = 4, dim: int = 64) -> F.Column:
-    """Sign-LSH bucket id from ``n_planes`` deterministic hyperplanes.
+# --- scale-derived sign-LSH with OR-amplification ---------------------------
+#
+# Bucket width scales with the corpus: n_planes ≈ log2(n / TARGET_BUCKET_DOCS)
+# keeps expected bucket occupancy near TARGET_BUCKET_DOCS at ANY n, so
+# candidates per query stay O(probes · TARGET_BUCKET_DOCS) — genuinely
+# sub-linear — instead of a fixed 2^4 = 16 buckets that degrade to ~n/16.
+# Recall is recovered by OR-amplification (N_TABLES independent hash tables:
+# a pair is a candidate if it collides in ANY table) plus Hamming-1
+# multi-probe on the query side of each table.
 
-    Plane p's weight for dimension d is derived from md5(f"{p}:{d}") hex
-    digits mapped to {-7.5 … +7.5} — a fixed pseudo-random projection
-    reproducible anywhere (no RNG state, no driver-side arrays needed
-    beyond literals)."""
+TARGET_BUCKET_DOCS = 32
+N_TABLES = 4
+_MIN_PLANES = 4
+_MAX_PLANES = 24  # 16M buckets; beyond this table count, probes dominate
+
+
+def n_planes_for(n_rows: int) -> int:
+    """Hyperplanes per hash table so that E[bucket size] ≈ TARGET_BUCKET_DOCS."""
+    import math
+
+    return min(
+        _MAX_PLANES,
+        max(_MIN_PLANES, math.ceil(math.log2(max(n_rows, 1) / TARGET_BUCKET_DOCS))),
+    )
+
+
+def _plane_weights(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight for dimension d is an
+    md5 hex digit of f"{table}:{plane}:{d}" mapped to {-7.5 … +7.5}. Pure
+    function of (table, plane, d) — reproducible on any driver, no RNG
+    state shipped to executors (the weights travel as array literals)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()[d % 28], 16) - 7.5
+        for d in range(dim)
+    ]
+
+
+def _bucket_expr(emb_col: F.Column, table: int, n_planes: int, dim: int) -> F.Column:
+    """Sign-LSH bucket id for one hash table: bit p = sign of the ordered
+    dot-product fold against plane p's weight array literal (JVM-side,
+    whole-stage codegen — no Python)."""
+    from roar_spark.functions.vector import dot
+
     bucket = F.lit(0)
     for p in range(n_planes):
-        acc = F.lit(0.0)
-        for d in range(dim):
-            w = hex_digit_val(F.md5(F.lit(f"{p}:{d}")), 1 + (d % 28)) - 7.5
-            acc = acc + F.element_at(emb_col, d + 1).cast("double") * w
-        bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        proj = dot(emb_col, F.lit(_plane_weights(table, p, dim)))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 
-N_PLANES = 4
+def _bucket_entries(emb: DataFrame, n_planes: int, dim: int, probe: bool) -> DataFrame:
+    """(vec_id, tbl, bkt) hash-table entries for every table. With
+    ``probe=True`` each row additionally fans out to its Hamming-1 probe
+    buckets (query side only — the corpus is hashed exactly once per
+    table). Buckets are projected ONCE per table before the probe fan-out,
+    so the plan carries N_TABLES dot-product folds per row, not
+    N_TABLES · (1 + planes) copies."""
+    with_buckets = emb.select(
+        "vec_id",
+        *[
+            _bucket_expr(F.col("embedding"), t, n_planes, dim).alias(f"b{t}")
+            for t in range(N_TABLES)
+        ],
+    )
+    flips = [F.lit(0)] + ([F.lit(1 << p) for p in range(n_planes)] if probe else [])
+    entries = [
+        F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").bitwiseXOR(flip).alias("bkt"))
+        for t in range(N_TABLES)
+        for flip in flips
+    ]
+    return with_buckets.select(
+        "vec_id", F.explode(F.array(*entries)).alias("e")
+    ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: top-3 per query from the query's sign-LSH bucket
-    plus its Hamming-1 neighbor buckets (multi-probe — the standard recall
-    fix when data is near-orthogonal and single-bucket recall collapses).
+    """Approximate NN: top-3 per query via OR-amplified sign-LSH.
 
-    Join key = bucket id → equi-join, sub-quadratic: candidates per query
-    ≈ (1 + planes) · n / 2^planes instead of n. The probe fan-out lives on
-    the (small, broadcast) query side; the corpus is hashed exactly once.
-    Rows-only correctness check (approximate by design)."""
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir)).withColumn(
-        "bucket", _lsh_bucket(F.col("embedding"), n_planes=N_PLANES)
+    N_TABLES independent hash tables, each with log2(n/32) hyperplanes
+    (scale-derived — see n_planes_for), Hamming-1 multi-probe on the query
+    side. Candidates = equi-join on (table, bucket); per query that is
+    ≈ N_TABLES · (1+planes) · TARGET_BUCKET_DOCS rows regardless of corpus
+    size. The corpus shuffles only (vec_id, tbl, bkt) keys — embeddings are
+    re-joined by vec_id for the deduplicated candidate set only. Exact
+    ordered-fold cosine ranks the candidates, so reported scores are
+    bit-identical to brute force; only the candidate set is approximate.
+    Rows-only correctness check (approximate by design); recall ≥ 0.9 on
+    planted neighbors is pinned by tests/test_ann_recall.py."""
+    from roar_spark.catalog import embedding_dim, table_row_count
+
+    n = table_row_count("embeddings", sf_dir)
+    dim = embedding_dim(sf_dir)
+    n_planes = n_planes_for(n)
+
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    corpus_keys = _bucket_entries(emb, n_planes, dim, probe=False)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    probe_keys = F.broadcast(
+        _bucket_entries(queries, n_planes, dim, probe=True).select(
+            F.col("vec_id").alias("query_id"), "tbl", "bkt"
+        )
     )
-    probes = F.array(*[F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)
-    ])
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("q_bucket", F.explode(probes))
-        .select(
+    cand = (
+        corpus_keys.join(probe_keys, ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q_emb = F.broadcast(
+        queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("nrm").alias("q_nrm"),
-            "q_bucket",
         )
     )
     scored = (
-        emb.join(q, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
+        cand.join(emb, "vec_id")
+        .join(q_emb, "query_id")
         .withColumn(
             "cos",
             F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
