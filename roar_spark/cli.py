@@ -97,7 +97,10 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
         for topic in config.topics:
             env = kafka_envelope_stream(spark, config, (topic,)).drop("topic")
-            engine.ingest(topic, env, [b"{}"])
+            # no sample → schema bootstrap deferred to the first non-empty
+            # micro-batch's real payloads (a placeholder sample here would
+            # freeze a payload-less schema and drop every field forever)
+            engine.ingest(topic, env)
     else:
         print("serve: need --source-dir or --topics", file=sys.stderr)
         return 2

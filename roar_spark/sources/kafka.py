@@ -31,23 +31,39 @@ from roar_spark.config import EngineConfig
 ENVELOPE_COLS = ["key", "value", "timestamp", "offset", "partition"]
 
 
+def kafka_reader_options(
+    config: EngineConfig, topics: tuple[str, ...] | None = None
+) -> dict[str, str]:
+    """The exact option map handed to ``readStream.format("kafka")``.
+
+    Kept as a pure function of the config so the mapping against the
+    reference's reader settings (kafka/consumer.go:224-261) is pinned by an
+    offline test even though this environment has no broker or connector
+    jar: one shared group id (consumer.go:226), latest starting offsets
+    (StartOffset: LastOffset, consumer.go:231), 1 KB / 10 MB fetch window
+    (consumer.go:229-230), and the count trigger as maxOffsetsPerTrigger
+    (consumer.go:385-387)."""
+    topics = topics or config.topics
+    if not topics:
+        raise ValueError("no topics configured")
+    return {
+        "kafka.bootstrap.servers": config.brokers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": config.starting_offsets,
+        "kafka.group.id": config.group_id,
+        "kafka.fetch.min.bytes": str(config.fetch_min_bytes),
+        "kafka.fetch.max.bytes": str(config.fetch_max_bytes),
+        "maxOffsetsPerTrigger": str(config.batch_size),
+    }
+
+
 def kafka_envelope_stream(
     spark: SparkSession, config: EngineConfig, topics: tuple[str, ...] | None = None
 ) -> DataFrame:
     """Streaming DataFrame of Kafka envelopes for the configured topics.
     The per-topic split (one Stream per topic, stream/manager.go:33-54)
     happens downstream in the manager via ``topic`` column routing."""
-    topics = topics or config.topics
-    if not topics:
-        raise ValueError("no topics configured")
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", config.brokers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", config.starting_offsets)
-        .option("kafka.group.id", config.group_id)
-        .option("kafka.fetch.min.bytes", str(config.fetch_min_bytes))
-        .option("kafka.fetch.max.bytes", str(config.fetch_max_bytes))
-        .option("maxOffsetsPerTrigger", str(config.batch_size))
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(config, topics)
     )
     return reader.load().select("topic", *ENVELOPE_COLS)

@@ -6,8 +6,14 @@ Surface parity (SURVEY.md §2 A22-A26):
 - ListFlights  → one FlightInfo per schema-bearing stream: descriptor
   path=[topic], ticket=topic, total_records/bytes = -1 (unbounded stream,
   flight/server.go:120-121)
-- GetFlightInfo(topic) → same info; KeyError → Flight NOT_FOUND
-  (flight/server.go:156-160; we do NOT create-on-probe — §2.3.7)
+- GetFlightInfo(topic) → same info; unknown topic → error (the reference
+  returns codes.NotFound, flight/server.go:156-160; pyarrow's Python
+  server API exposes no NOT_FOUND error class, so UNAVAILABLE is raised —
+  documented divergence. We do NOT create-on-probe — §2.3.7.)
+- metadata RPCs (ListFlights/GetFlightInfo/GetSchema) resolve schemas
+  WITHOUT touching stream state: no TTL refresh, no request-counter bump
+  (the reference bumps LastUpdated only on data reads, GetBatches —
+  stream/manager.go:376-386); DoGet keeps the refresh semantics
 - GetSchema    → the stream's Arrow schema (flight/server.go:211-230)
 - DoGet        → snapshot of the buffered batches as a record stream;
   empty stream OK (flight/server.go:171-208)
@@ -40,8 +46,13 @@ class RoarFlightServer(flight.FlightServerBase):
     # -- helpers -----------------------------------------------------------
 
     def _arrow_schema(self, topic: str) -> pa.Schema:
-        df = self._engine.fetch(topic, limit=0)
-        return df.toArrow().schema
+        # straight StructType→Arrow conversion: metadata-only, NO engine
+        # fetch — listing/describing a stream must not refresh its TTL or
+        # bump roar_flight_stream_requests_total (the reference only bumps
+        # LastUpdated on data reads, stream/manager.go:376-386)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self._engine.get_schema(topic))
 
     def _info(self, topic: str) -> flight.FlightInfo:
         descriptor = flight.FlightDescriptor.for_path(topic)

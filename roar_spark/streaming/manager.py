@@ -80,11 +80,12 @@ class MemoryStore:
                 old, old_size = self._batches.popleft()
                 self._bytes -= old_size
                 self.records_dropped += old.num_rows
-            if self._bytes + size <= self._max_bytes:
-                self._batches.append((table, size))
-                self._bytes += size
-            else:  # single batch larger than the cap → dropped whole
-                self.records_dropped += table.num_rows
+            # reference parity (Stream.AddBatch, stream/manager.go:286-345):
+            # the NEW batch is always appended, even when it alone exceeds
+            # the cap — the buffer runs over-cap until the next append
+            # evicts it. Never silently discard the newest data.
+            self._batches.append((table, size))
+            self._bytes += size
         return table.num_rows
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
@@ -152,12 +153,9 @@ class ParquetStore:
                 self._bytes -= old_size
                 self.records_dropped += old_rows
                 shutil.rmtree(old_path, ignore_errors=True)
-            if self._bytes + size <= self._max_bytes:
-                self._batches.append((path, size, rows))
-                self._bytes += size
-            else:
-                self.records_dropped += rows
-                shutil.rmtree(path, ignore_errors=True)
+            # always append the new batch (reference parity — see MemoryStore)
+            self._batches.append((path, size, rows))
+            self._bytes += size
         return rows
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
@@ -206,6 +204,7 @@ class StreamEngine:
         self._spark = spark
         self.config = config or EngineConfig()
         self._streams: dict[str, StreamHandle] = {}
+        self._pending_queries: dict[str, object] = {}  # deferred-bootstrap topics
         self._converters: dict[str, object] = {}  # topic → converter (A13)
         self._lock = threading.Lock()
         self._time = time_fn
@@ -259,48 +258,93 @@ class StreamEngine:
             if topic in self._streams:
                 return self._streams[topic]
             handle = StreamHandle(topic, schema, self._make_store(topic, schema), self._time())
+            handle.query = self._pending_queries.pop(topic, None)
             self._streams[topic] = handle
             return handle
 
-    def ingest(self, topic: str, envelope: DataFrame, sample_payloads: list[bytes | str]):
-        """Start the per-topic streaming query:
-        envelope → parse (frozen schema) → foreachBatch append-with-retention.
-        Trigger = the reference's 5 s flush timer."""
-        handle = self.register_stream(topic, sample_payloads)
-        parsed = self._parse(topic, envelope, handle.schema)
-
-        def _append(batch_df: DataFrame, _batch_id: int) -> None:
-            # ONE action on batch_df: the store computes the row count from
-            # its own materialization (a separate count() would re-scan the
-            # micro-batch source and double every source metric)
-            dropped_before = handle.store.records_dropped
-            n = handle.store.append(batch_df)
-            if n == 0:
-                return
+    def _apply_append(self, topic: str, handle: StreamHandle, parsed_batch: DataFrame) -> int:
+        """Shared append bookkeeping (streaming + batch paths): one store
+        materialization, records_total / last_updated / drop-metric all
+        maintained in one place."""
+        dropped_before = handle.store.records_dropped
+        n = handle.store.append(parsed_batch)
+        dropped = handle.store.records_dropped - dropped_before
+        if dropped:
+            REGISTRY.inc("roar_stream_records_dropped_total", dropped, topic=topic)
+        if n:
             handle.records_total += n
             handle.last_updated = self._time()
-            dropped = handle.store.records_dropped - dropped_before
-            if dropped:
-                REGISTRY.inc("roar_stream_records_dropped_total", dropped, topic=topic)
+        return n
+
+    def ingest(
+        self,
+        topic: str,
+        envelope: DataFrame,
+        sample_payloads: list[bytes | str] | None = None,
+    ):
+        """Start the per-topic streaming query:
+        envelope → parse (frozen schema) → foreachBatch append-with-retention.
+        Trigger = the reference's 5 s flush timer.
+
+        ``sample_payloads=None`` defers the schema bootstrap to the first
+        NON-EMPTY micro-batch, sampling that batch's actual payloads — the
+        reference's behavior (inferSchema over the first batch's messages,
+        kafka/consumer.go:833-860). This is the correct mode for a live
+        Kafka topic, where no payload exists until the stream runs; passing
+        a placeholder sample would freeze a payload-less schema and drop
+        every real field forever. The bootstrap collects a ≤ sample_size
+        slice of that first batch (one extra bounded action, once per
+        stream); afterwards every batch takes the single-action store path.
+
+        Returns the StreamHandle, or None in deferred mode until the first
+        non-empty batch creates it (look it up via list_streams/fetch)."""
+        if sample_payloads is not None:
+            self.register_stream(topic, sample_payloads)
+
+        def _append(batch_df: DataFrame, _batch_id: int) -> None:
+            with self._lock:
+                known = topic in self._streams
+            if not known:
+                sample = [
+                    r.value
+                    for r in batch_df.select("value")
+                    .limit(self.config.schema_sample_size)
+                    .collect()
+                    if r.value is not None
+                ]
+                if not sample:
+                    return  # nothing arrived yet; bootstrap stays pending
+                self.register_stream(topic, sample)
+            handle = self._streams[topic]
+            # ONE action on batch_df past bootstrap: the store computes the
+            # row count from its own materialization (a separate count()
+            # would re-scan the micro-batch source and double every source
+            # metric)
+            self._apply_append(topic, handle, self._parse(topic, batch_df, handle.schema))
 
         query = (
-            parsed.writeStream.foreachBatch(_append)
+            envelope.writeStream.foreachBatch(_append)
             .trigger(processingTime=f"{self.config.flush_interval_seconds} seconds")
             .option("checkpointLocation", self._checkpoint_dir(topic))
             .queryName(f"roar-{topic}")
             .start()
         )
-        handle.query = query
+        with self._lock:
+            handle = self._streams.get(topic)
+        if handle is not None:
+            handle.query = query
+        else:
+            self._pending_queries[topic] = query
         self._ensure_janitor()
         return handle
 
     def append_batch(self, topic: str, envelope_batch: DataFrame) -> int:
-        """Batch-mode append (tests / backfill): same parse + retention
-        path without a StreamingQuery."""
+        """Batch-mode append (tests / backfill): same parse + retention +
+        bookkeeping path as streaming, without a StreamingQuery."""
         handle = self._streams[topic]
-        n = handle.store.append(self._parse(topic, envelope_batch, handle.schema))
-        handle.last_updated = self._time()
-        return n
+        return self._apply_append(
+            topic, handle, self._parse(topic, envelope_batch, handle.schema)
+        )
 
     def _checkpoint_dir(self, topic: str) -> str:
         base = self.config.checkpoint_path or os.path.join(
@@ -388,6 +432,13 @@ class StreamEngine:
         with self._lock:
             handles = list(self._streams.values())
             self._streams.clear()
+            pending = list(self._pending_queries.values())
+            self._pending_queries.clear()
+        for q in pending:  # deferred-bootstrap queries that never saw data
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
         for h in handles:
             if h.query is not None:
                 try:

@@ -79,3 +79,29 @@ def test_actions(served_engine):
     assert next(iter(client.do_action(flight.Action("health", b"")))).body.to_pybytes() == b"OK"
     topics = next(iter(client.do_action(flight.Action("listTopics", b"")))).body.to_pybytes()
     assert topics == b"clicks"
+
+
+def test_metadata_rpcs_do_not_touch_stream_state(served_engine):
+    """Listing/describing must not refresh the TTL clock or bump the data-
+    request counter — the reference bumps LastUpdated only on data reads
+    (GetBatches, stream/manager.go:376-386). Only DoGet refreshes."""
+    from roar_spark.metrics import REGISTRY
+
+    engine, location = served_engine
+    handle = engine._handle("clicks")
+    before_ts = handle.last_updated
+    before_ctr = REGISTRY.get("roar_flight_stream_requests_total", topic="clicks")
+
+    client = flight.connect(location)
+    list(client.list_flights())
+    client.get_flight_info(flight.FlightDescriptor.for_path("clicks"))
+    client.get_schema(flight.FlightDescriptor.for_path("clicks"))
+    assert handle.last_updated == before_ts
+    assert REGISTRY.get("roar_flight_stream_requests_total", topic="clicks") == before_ctr
+
+    fetch_topic(location, "clicks", limit=1)  # a data read DOES refresh
+    assert handle.last_updated >= before_ts
+    assert (
+        REGISTRY.get("roar_flight_stream_requests_total", topic="clicks")
+        == before_ctr + 1
+    )

@@ -129,13 +129,22 @@ def test_retention_drop_oldest(spark, tmp_path):
     assert handle.store.current_bytes <= 4000
 
 
-def test_retention_oversized_batch_dropped(spark, tmp_path):
+def test_retention_oversized_batch_appended(spark, tmp_path):
+    # reference parity (Stream.AddBatch, stream/manager.go:286-345): a batch
+    # larger than the cap evicts everything older but is ITSELF kept — the
+    # newest data is never silently discarded
     engine = _engine_with_stream(spark, tmp_path, "r2", cap_bytes=100)
-    path = str(tmp_path / "r2_big")
-    write_envelope_file(path, _msgs(50))
-    engine.append_batch("r2", read_envelope_batch(spark, path))
-    assert engine.fetch("r2", limit=-1).count() == 0
-    assert engine._handle("r2").store.records_dropped == 50
+    small = str(tmp_path / "r2_small")
+    write_envelope_file(small, _msgs(2))
+    engine.append_batch("r2", read_envelope_batch(spark, small))
+    big = str(tmp_path / "r2_big")
+    write_envelope_file(big, _msgs(50, start_offset=2))
+    engine.append_batch("r2", read_envelope_batch(spark, big))
+    handle = engine._handle("r2")
+    assert engine.fetch("r2", limit=-1).count() == 50  # big batch survives
+    assert handle.store.records_dropped == 2  # older batch evicted
+    assert handle.store.current_bytes > 100  # over-cap until next append
+    assert handle.records_total == 52
 
 
 def test_ttl_expiry_and_read_refresh(spark, tmp_path):
@@ -250,6 +259,40 @@ def test_streaming_end_to_end(spark, tmp_path):
         assert served.count() == 50
         assert served.agg(F.max("kafka_offset")).first()[0] == 49
         assert handle.records_total == 50
+    finally:
+        engine.stop()
+
+
+def test_deferred_schema_bootstrap_from_first_batch(spark, tmp_path):
+    """Live-topic mode (no sample available before the stream runs): the
+    schema must come from the FIRST non-empty micro-batch's real payloads
+    (kafka/consumer.go:833-860), never a placeholder — a frozen payload-less
+    schema would silently drop every field forever."""
+    src = str(tmp_path / "defer_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    engine = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, buffer_limit_bytes=10_000_000,
+                     checkpoint_path=str(tmp_path / "defer_ckpt")),
+        store_base=str(tmp_path / "defer_store"),
+    )
+    assert engine.ingest("dt", file_envelope_stream(spark, src)) is None
+    query = engine._pending_queries["dt"]
+    try:
+        query.processAllAvailable()  # empty batches → bootstrap still pending
+        assert engine.list_streams() == []
+        write_envelope_file(src, _msgs(12), file_name="first.json")
+        query.processAllAvailable()
+        handle = engine._handle("dt")
+        # schema carries the PAYLOAD fields sampled from the live batch
+        assert {"n", "s"} <= set(handle.schema.fieldNames())
+        assert handle.query is query
+        assert handle.records_total == 12
+        assert engine.fetch("dt", limit=-1).count() == 12
+        rows = {r.kafka_offset: r for r in engine.fetch("dt", limit=-1).collect()}
+        assert rows[3].n == 3 and rows[3].s == "v3"
     finally:
         engine.stop()
 
