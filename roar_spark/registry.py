@@ -889,3 +889,19 @@ _register(
     ORDER BY l_returnflag
     """,
 )
+
+# --- serve→query composition (streaming store feeds the relational surface)
+from roar_spark.operators.serve_compose import served_rollup  # noqa: E402
+
+_register(
+    "served_rollup",
+    served_rollup,
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
