@@ -1,0 +1,141 @@
+"""Third breadth pass: the remaining classic TPC-H query *shapes*, adapted
+to this corpus's simplified star schema (no partsupp/comment/phone
+columns — each query keeps its defining operator structure and swaps the
+missing column for an equivalent one).
+
+Shapes covered (with the Spark plan each decorrelates to):
+
+- Q4   EXISTS correlated subquery            → left-semi join (+ non-equi)
+- Q13  LEFT OUTER + two-level aggregation    → count distribution, join
+       predicate (not WHERE) keeps zero-order customers
+- Q16  NOT-IN subquery + COUNT DISTINCT      → left-anti join + distinct agg
+- Q18  grouped-HAVING subquery feeding IN    → join against the HAVING set
+- Q22  scalar AVG subquery + NOT EXISTS      → broadcast scalar + left-anti
+
+Determinism: money/quantity aggregates use the scaled-integer sum from
+operators/relational.py; counts cast to long; LIMIT queries carry a unique
+tiebreak. Every query has an exact DuckDB oracle in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roar_spark.catalog import load_table
+from roar_spark.operators.relational import _scaled
+
+Q18_MIN_QTY = 200.0
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts of Q3-1997 orders having ≥1 lineitem
+    shipped more than 60 days after the order date. The EXISTS subquery is
+    declared as a left-semi join with a non-equi condition — Catalyst keeps
+    the semi-join's early-out (no fanout on multi-lineitem orders)."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-order-count distribution. The priority
+    exclusion lives in the JOIN predicate, not a WHERE — a customer whose
+    only orders are urgent must still appear with count 0 (the left join's
+    whole point; a post-filter would delete them)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips nulls → 0
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts for small parts, excluding
+    flagged suppliers via NOT IN → left-anti join (lineitem stands in for
+    partsupp as the part↔supplier relationship)."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 5)
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    excluded = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    rel = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+    )
+    return (
+        rel.groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, joined back to their customers. The IN-subquery is the
+    grouped HAVING set joined directly (no decorrelation needed — the
+    group key IS the join key)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(_scaled(F.col("l_quantity"))) / F.lit(100.0)).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))  # unique tiebreak
+        .limit(100)
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-segment count/balance of customers whose
+    balance beats the positive-balance average (scalar subquery →
+    broadcast one-row cross join) and who placed no 1998+ order
+    (NOT EXISTS → left-anti join)."""
+    cust = load_table(spark, "customer", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_scaled(F.col("c_acctbal"))) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(_scaled(F.col("c_acctbal"))) / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -905,3 +905,88 @@ _register(
     ORDER BY gid, o_orderstatus, o_orderpriority
     """,
 )
+
+# --- TPC-H breadth pass 3 (remaining classic query shapes) -----------------
+from roar_spark.operators import tpch_ext as TX  # noqa: E402
+
+_register(
+    "q4_late_orders",
+    TX.q4_late_orders,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_register(
+    "q13_customer_distribution",
+    TX.q13_customer_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_register(
+    "q16_supplier_count",
+    TX.q16_supplier_count,
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 5
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+
+_register(
+    "q18_large_orders",
+    TX.q18_large_orders,
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {_dsum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_dsum('l_quantity')} > {TX.Q18_MIN_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+
+_register(
+    "q22_idle_customers",
+    TX.q22_idle_customers,
+    f"""
+    WITH avg_bal AS (
+      SELECT ({_dsum('c_acctbal')}) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
