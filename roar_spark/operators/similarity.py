@@ -252,6 +252,120 @@ def _bucket_entries(emb: DataFrame, n_planes: int, dim: int, probe: bool) -> Dat
     ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
 
 
+IVF_NPROBE = 8
+IVF_ASSIGN = 2  # cells per corpus vector (multi-assignment): with random
+# centroids, cosines-to-centroids are near-tied, so a near-duplicate's top
+# cell can slip past a query's nprobe window; indexing each vector in its
+# 2 best cells makes a miss require BOTH to fall outside the probe set.
+# Index size and candidates scale by the same factor (still ~nprobe·2√n).
+_MAX_CENTROIDS = 4096
+
+
+def n_centroids_for(n_rows: int) -> int:
+    """IVF coarse-quantizer size: C ≈ √n balances assignment cost (n·C
+    pair evaluations) against cell size (n/C candidates per probed cell) —
+    the classic IVF-flat tradeoff, total work O(n^1.5) for assignment and
+    O(C + nprobe·n/C) per query."""
+    import math
+
+    return min(_MAX_CENTROIDS, max(4, math.ceil(math.sqrt(max(n_rows, 1)))))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-flat variant: top-3 per query from the NPROBE
+    nearest coarse cells.
+
+    Centroids are a content-stable sample — the √n corpus vectors with the
+    smallest md5(vec_id) hashes (TakeOrdered top-C, no RNG state, no
+    iterative training; reproducible on any engine). Every vector is
+    indexed in its IVF_ASSIGN best cells by cosine-to-centroid (k=1 uses
+    a max_by aggregation with map-side partial — no window sort; k>1 a
+    per-vector rank over the n·C pair table, the same O(n^1.5) as
+    assignment itself); queries probe their IVF_NPROBE best cells.
+    Candidates = equi-join on cell id → ≈ nprobe·assign·√n per query —
+    sub-linear in n. Exact ordered-fold cosine ranks
+    candidates, so scores are bit-identical to brute force; only the
+    candidate set is approximate → rows-only driver check, recall pinned
+    by tests/test_ann_recall.py."""
+    from roar_spark.catalog import table_row_count
+
+    n = table_row_count("embeddings", sf_dir)
+    n_cent = n_centroids_for(n)
+
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    hash_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    centroids = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+            hash_col.alias("h"),
+        )
+        .orderBy("h", "cent_id")
+        .limit(n_cent)
+        .drop("h")
+    )
+
+    def best_cells(df: DataFrame, id_col: str, k: int) -> DataFrame:
+        scored = df.crossJoin(centroids).withColumn(
+            "cos_c", cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm"))
+        )
+        if k == 1:
+            # single aggregation with map-side combine — no window sort of
+            # the n·C pair table; ties broken toward the smallest cent_id
+            return scored.groupBy(F.col(id_col)).agg(
+                F.max_by(F.col("cent_id"), F.struct(F.col("cos_c"), -F.col("cent_id"))).alias(
+                    "cell"
+                )
+            )
+        w = W.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col(id_col), F.col("cent_id").alias("cell"))
+        )
+
+    cells = best_cells(emb.select("vec_id", "embedding", "nrm"), "vec_id", IVF_ASSIGN)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    probes = F.broadcast(
+        best_cells(
+            queries.select(F.col("vec_id").alias("query_id"), "embedding", "nrm"),
+            "query_id",
+            IVF_NPROBE,
+        )
+    )
+    cand = (
+        cells.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q_emb = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(q_emb, "query_id")
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: top-3 per query via OR-amplified sign-LSH.
 

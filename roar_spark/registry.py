@@ -990,3 +990,40 @@ _register(
     ORDER BY c_mktsegment
     """,
 )
+
+# --- composite curation pipeline (quality→lang→dedup→split) ----------------
+from roar_spark.operators.curate import pipeline_curate  # noqa: E402
+
+_register(
+    "pipeline_curate",
+    pipeline_curate,
+    """
+    WITH t AS (
+      SELECT doc_id, md5(text) AS digest,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS ttr,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS n_stop
+      FROM documents),
+    gated AS (
+      SELECT doc_id, digest, n_tokens FROM t
+      WHERE n_tokens BETWEEN 5 AND 1000
+        AND punct_ratio <= 0.2 AND ttr >= 0.3 AND n_stop > 0),
+    keep AS (SELECT digest, MIN(doc_id) AS doc_id FROM gated GROUP BY digest),
+    kept AS (SELECT g.doc_id, g.n_tokens FROM gated g
+             JOIN keep k ON g.digest = k.digest AND g.doc_id = k.doc_id),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52428 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)

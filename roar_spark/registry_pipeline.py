@@ -65,6 +65,7 @@ PIPELINE_QUERIES = {
     "sim_brute_topk": S.sim_brute_topk,
     "sim_cosine_pairs": S.sim_cosine_pairs,
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by design → rows-only
+    "ann_ivf_topk": S.ann_ivf_topk,  # approximate by design → rows-only
     "text_stats": X.text_stats,
     "text_langid": X.text_langid,
     "text_fingerprint": X.text_fingerprint,

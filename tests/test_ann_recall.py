@@ -22,8 +22,10 @@ from roar_spark.operators.similarity import (
     TARGET_BUCKET_DOCS,
     _bucket_entries,
     _with_norm,
+    ann_ivf_topk,
     ann_lsh_topk,
     n_blocks_for,
+    n_centroids_for,
     n_planes_for,
 )
 
@@ -84,15 +86,23 @@ def test_blocks_scale_with_corpus():
         assert n / n_blocks_for(n) <= TARGET_BLOCK_ROWS
 
 
-def test_ann_recall_on_planted_neighbors(spark, planted_dir):
+@pytest.mark.parametrize("ann_fn", [ann_lsh_topk, ann_ivf_topk])
+def test_ann_recall_on_planted_neighbors(spark, planted_dir, ann_fn):
     d, truth = planted_dir
-    out = ann_lsh_topk(spark, d).collect()
+    out = ann_fn(spark, d).collect()
     got: dict[int, set[int]] = {}
     for r in out:
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(len(got.get(q, set()) & ids) for q, ids in truth.items())
     total = sum(len(ids) for ids in truth.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivf_centroids_scale_with_corpus():
+    assert n_centroids_for(2000) == 45  # ~sqrt(n)
+    assert n_centroids_for(1_000_000) == 1000
+    assert n_centroids_for(10**9) == 4096  # capped
+    assert n_centroids_for(0) == 4  # floor
 
 
 def test_ann_buckets_are_sublinear(spark, planted_dir):
