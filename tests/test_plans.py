@@ -109,3 +109,44 @@ def test_salted_aggregation_two_exchanges(spark):
     assert "hashpartitioning(l_returnflag" in plan
     assert "salt" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+
+
+def test_tpch_subquery_shapes_decorrelate(spark):
+    # q4 EXISTS → left-semi; q16 NOT IN → left-anti; q22 NOT EXISTS →
+    # left-anti with its scalar subquery as a 1-row broadcast (the only
+    # sanctioned BroadcastNestedLoopJoin)
+    assert "LeftSemi" in plan_of(spark, "q4_late_orders")
+    p16 = plan_of(spark, "q16_supplier_count")
+    assert "LeftAnti" in p16 and "CartesianProduct" not in p16
+    p22 = plan_of(spark, "q22_idle_customers")
+    assert "LeftAnti" in p22 and "CartesianProduct" not in p22
+
+
+def test_minhash_verify_has_no_shingle_self_join(spark):
+    # candidate-driven verification: the only aggregations over the full
+    # shingle table are the signature mins and the per-doc size count —
+    # the O(hot-shingle²) shingle-key self-join must not exist
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "shingle#" not in line.split("Join")[1].split("]")[0] or (
+                "doc_id" in line
+            ), f"shingle-only join key: {line}"
+
+
+def test_curate_is_scan_plus_digest_shuffles(spark):
+    # the three gates fuse into the scan projection; shuffles are only the
+    # keep-list aggregation, its semi-join, and the final split rollup
+    plan = plan_of(spark, "pipeline_curate")
+    assert "LeftSemi" in plan
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n_exchanges <= 5, f"{n_exchanges} exchange nodes"
+    assert "BatchEvalPython" not in plan  # all gates are JVM expressions
+
+
+def test_served_rollup_expands_after_store_scan(spark):
+    plan = plan_of(spark, "served_rollup")
+    assert "Expand" in plan  # rollup grouping-set expansion
+    assert "BatchEvalPython" not in plan
