@@ -184,12 +184,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Packed histogram fields are 16 bits wide → per-bit set-counts are exact
-# for docs up to 2^16-1 tokens; beyond that the aggregate raises (loudly,
-# never silently wrong). 65k whitespace tokens ≈ 400 KB of text — above any
-# sane training-doc cap; a corpus with longer docs should pre-chunk.
+# Packed histogram fields are 16 bits wide (lane capacity 65535), but the
+# SIGNED 64-bit sum accumulator bounds the guard: a worst-case token adds
+# 0x0001000100010001, so 2^15-1 tokens is the largest count that can never
+# overflow the top lane into the sign bit (property-tested in
+# tests/test_simhash_packing.py). Beyond that the aggregate raises —
+# loudly, never silently wrong. 32k whitespace tokens ≈ 200 KB of text,
+# above any sane training-doc cap; longer docs should pre-chunk.
 _PACK_FIELD_BITS = 16
-_PACK_MAX_TOKENS = (1 << _PACK_FIELD_BITS) - 1
+_PACK_MAX_TOKENS = (1 << _PACK_FIELD_BITS) - 1  # lane mask / lane capacity
+_PACK_SAFE_TOKENS = (1 << 15) - 1  # accumulator-safe per-doc token bound
 # lookup[v] = the 4 bits of hex-digit value v spread into 16-bit lanes:
 # lane r accumulates "count of tokens whose bit r is set" under SUM.
 _PACK_LOOKUP = [
@@ -206,7 +210,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 4 bits spread into 16-bit lanes, so SUM(packed) accumulates four
     set-bit counts at once. 15 sums + 1 count replace 60 sums; bit b of the
     signature is set iff 2·count_set(b) > n_tokens — identical to the
-    sign-of-(±1-sum) definition the DuckDB oracle computes independently."""
+    sign-of-(±1-sum) definition the DuckDB oracle computes independently.
+    Docs beyond _PACK_SAFE_TOKENS tokens raise (overflow guard)."""
     docs = load_table(spark, "documents", sf_dir)
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -238,8 +243,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(lane * 2 > F.col("n_tok"), F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     guarded = F.when(
-        F.col("n_tok") <= _PACK_MAX_TOKENS, sim.cast("long")
-    ).otherwise(F.raise_error(F.lit("simhash: doc exceeds 65535 tokens; pre-chunk the corpus")))
+        F.col("n_tok") <= _PACK_SAFE_TOKENS, sim.cast("long")
+    ).otherwise(F.raise_error(F.lit("simhash: doc exceeds 32767 tokens; pre-chunk the corpus")))
     return packed.select("doc_id", guarded.alias("simhash"))
 
 

@@ -1,0 +1,50 @@
+"""Property test for the packed digit-histogram simhash aggregation.
+
+The 16-bit-lane packing (dedup._PACK_LOOKUP) is subtle enough to deserve
+an independent check: for random token digit sequences, decoding the
+summed packed lanes must reproduce the direct per-bit majority exactly,
+for every bit, up to the documented 65535-token bound.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from roar_spark.operators.dedup import (
+    _PACK_FIELD_BITS,
+    _PACK_LOOKUP,
+    _PACK_MAX_TOKENS,
+    SIMHASH_BITS,
+)
+
+
+def _decode_bit(packed_sum: int, n_tok: int, bit_in_digit: int) -> bool:
+    lane = (packed_sum >> (_PACK_FIELD_BITS * bit_in_digit)) & _PACK_MAX_TOKENS
+    return 2 * lane > n_tok
+
+
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=400))
+@settings(deadline=None, max_examples=200)
+def test_packed_decode_equals_direct_majority(digit_values):
+    packed = sum(_PACK_LOOKUP[v] for v in digit_values)
+    n = len(digit_values)
+    for r in range(4):
+        direct = sum(1 if (v >> r) & 1 else -1 for v in digit_values)
+        assert _decode_bit(packed, n, r) == (direct > 0)
+
+
+def test_packing_is_exact_at_the_documented_bound():
+    from roar_spark.operators.dedup import _PACK_SAFE_TOKENS
+
+    # worst case: every token sets every bit of this digit
+    packed = _PACK_LOOKUP[15] * _PACK_SAFE_TOKENS
+    for r in range(4):
+        lane = (packed >> (_PACK_FIELD_BITS * r)) & _PACK_MAX_TOKENS
+        assert lane == _PACK_SAFE_TOKENS  # lanes exact, no cross-lane carry
+    # the guard bound keeps the worst case inside a SIGNED 64-bit
+    # accumulator (65535 tokens would reach 2^64-1 and wrap — the original
+    # bound this test caught)
+    assert packed < 2**63
+    assert _PACK_LOOKUP[15] * (_PACK_SAFE_TOKENS + 1) >= 2**48 * (2**15)
+    assert len(_PACK_LOOKUP) == 16 and SIMHASH_BITS // 4 == 15
