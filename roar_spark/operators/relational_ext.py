@@ -267,3 +267,28 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + 7-day rolling active users — the retention dashboard query.
+
+    Exact rolling distinct is not window-decomposable (you cannot merge
+    per-day distinct sets), so WAU comes from a bounded range join: the
+    tiny distinct-day dimension (broadcast) against the per-(day, user)
+    distinct table with 0 ≤ datediff ≤ 6, then COUNT DISTINCT per anchor
+    day. Cost is 7× the (day, user) table — linear in users, never in raw
+    events; the raw event table is reduced to (day, user) FIRST."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = F.broadcast(du.select(F.col("day").alias("anchor")).distinct())
+    wau = (
+        days.join(du, F.datediff(F.col("anchor"), F.col("day")).between(0, 6))
+        .groupBy("anchor")
+        .agg(F.count_distinct(F.col("user_id")).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.anchor)
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )

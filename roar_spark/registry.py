@@ -1027,3 +1027,22 @@ _register(
     FROM assigned GROUP BY split ORDER BY split
     """,
 )
+
+_register(
+    "events_dau_wau",
+    RX.events_dau_wau,
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    days AS (SELECT DISTINCT day AS anchor FROM du),
+    wau AS (
+      SELECT anchor, COUNT(DISTINCT user_id) AS wau
+      FROM days JOIN du ON date_diff('day', du.day, days.anchor) BETWEEN 0 AND 6
+      GROUP BY anchor)
+    SELECT dau.day AS day, dau, wau
+    FROM dau JOIN wau ON dau.day = wau.anchor
+    ORDER BY day
+    """,
+)
