@@ -5,11 +5,12 @@ SimHash, n-gram Jaccard; embedding near-dup lives in similarity.py).
 Scale design:
 - Exact dedup is a hash aggregation on the text digest — one shuffle on
   md5(text), never on the full text bytes.
-- N-gram Jaccard never forms the n² pair space: candidates come from an
-  equi-join on shared shingles (shuffle keyed by shingle), so disjoint
-  documents never meet. At 100 TB the further refinement is the standard
-  prefix-filter (join only on each doc's rarest-k shingles); MinHash-LSH
-  below is the sub-quadratic path.
+- N-gram Jaccard never forms the n² pair space: candidates come from the
+  PREFIX FILTER — an equi-join restricted to each doc's rarest
+  n − ⌈t·n⌉ + 1 shingles in a canonical (frequency, shingle) order
+  (provably lossless for J ≥ t; see _prefix_candidates), so disjoint
+  documents never meet AND hot shingles never form join keys.
+  MinHash-LSH below is the fully sub-quadratic path.
 - MinHash-LSH: signatures are 8 aggregated MINs per doc (one shuffle),
   banding explodes to 4 (band, key) rows per doc, and the candidate join
   is an equi-join on band keys — O(docs × bands) state, no n² anywhere.
@@ -30,6 +31,7 @@ functions/text_fns.py), so every operator here has an exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from roar_spark.catalog import load_table
@@ -71,15 +73,50 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(sh: DataFrame) -> DataFrame:
-    """Pairs sharing ≥1 shingle, with exact Jaccard. ``sh`` must be
-    distinct (doc_id, shingle) so COUNT(*) on the join is |A∩B|."""
+JACCARD_THRESHOLD = 0.5
+
+
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs via the PREFIX FILTER (Bayardo et al. / SSJoin):
+    shingles are canonically ordered by (global frequency asc, shingle),
+    and each doc joins only on its first n − ⌈t·n⌉ + 1 shingles in that
+    order. For J(A,B) ≥ t the canonically-smallest SHARED shingle provably
+    lies in both prefixes (if all shared shingles sat outside A's prefix,
+    A's suffix of ⌈t·n_A⌉ − 1 slots couldn't hold the ≥ ⌈t·n_A⌉ shared
+    ones), so the prefix equi-join loses no qualifying pair. The join key
+    set is biased toward the RAREST shingles — exactly the ones whose
+    groups stay small — which is what kills hot-shingle pair blowup at
+    corpus scale."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    w = W.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Candidate-driven exact Jaccard (shared with dedup_minhash_lsh's
+    verification): per-side joins into the shingle table count |A∩B| for
+    candidate pairs only — O(|candidates| · shingles/doc), no shingle
+    self-join anywhere."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    exp_a = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
+    inter = (
+        exp_a.join(sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"), ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
@@ -100,12 +137,17 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with word-3-gram Jaccard ≥ 0.5 (the corpus has a
-    clean gap: planted near-dups sit ≥ 0.9, background noise < 0.1)."""
-    # persist: the shingle table feeds the size aggregation AND both sides
-    # of the intersection self-join (3 plan references, no auto plan reuse)
-    pairs = _jaccard_pairs(_doc_shingles(spark, sf_dir).persist())
+    clean gap: planted near-dups sit ≥ 0.9, background noise < 0.1).
+
+    Candidates come from the prefix filter (rarest-shingle prefixes only —
+    see _prefix_candidates) and are verified with the candidate-driven
+    exact Jaccard; output is provably identical to the full co-shingle
+    join the DuckDB oracle computes."""
+    sh = _doc_shingles(spark, sf_dir).persist()
+    cand = _prefix_candidates(sh, JACCARD_THRESHOLD)
     return (
-        pairs.filter(F.col("jaccard") >= 0.5)
+        _verify_pairs(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", "jaccard")
         .orderBy("doc_id_a", "doc_id_b")
     )
@@ -147,38 +189,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Candidate-driven verification (the 100 TB shape, stronger than the
-    # round-1 footnote's semi-join): exact Jaccard is computed ONLY for
-    # candidate pairs by joining them to the shingle table per side —
-    # |A∩B| = count of shingles reached through both joins. The shingle
-    # self-join (_jaccard_pairs) never runs on this path, so verification
-    # cost is O(|candidates| · shingles/doc) regardless of corpus size and
-    # immune to hot-shingle pair blowup; non-candidate documents never
-    # enter any pair space. The per-doc size aggregation is a map-side-
-    # combined count over `sh` — an independent branch that overlaps the
-    # signature/banding pipeline.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    exp_a = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
-    inter = (
-        exp_a.join(sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"), ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
-    verified = (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
-    )
+    # round-1 footnote's semi-join): exact Jaccard only for candidate
+    # pairs via _verify_pairs — the shingle self-join never runs, cost is
+    # O(|candidates| · shingles/doc), non-candidate documents never enter
+    # any pair space, and the per-doc size aggregation is a map-side-
+    # combined branch that overlaps the signature/banding pipeline.
     return (
-        verified.filter(F.col("jaccard") >= 0.5)
+        _verify_pairs(cand, sh)
+        .filter(F.col("jaccard") >= 0.5)
         .select("doc_id_a", "doc_id_b", "jaccard")
         .orderBy("doc_id_a", "doc_id_b")
     )
