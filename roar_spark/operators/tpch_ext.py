@@ -139,3 +139,123 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume by year — a 5-way star join
+    (lineitem→supplier→nation, lineitem→orders→customer→nation) with the
+    nation pair as a symmetric disjunction and year extraction. Both
+    nation legs broadcast (fixed 25-row dim)."""
+    from roar_spark.catalog import BROADCAST_TABLES  # noqa: F401  (doc pointer)
+    from roar_spark.operators.relational import revenue_expr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, supp.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(revenue_expr()) / F.lit(10_000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers whose quarterly revenue equals the MAX
+    over all suppliers — an aggregated view consumed twice (revenue per
+    supplier + its max), the scalar MAX broadcast as a 1-row join."""
+    from roar_spark.operators.relational import revenue_expr
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (F.sum(revenue_expr()) / F.lit(10_000.0)).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides (brand/size on part × quantity on lineitem) — the classic
+    test that disjunctions still evaluate after the join without a
+    cartesian blowup, and that the shared conjuncts get pushed."""
+    from roar_spark.operators.relational import revenue_expr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return joined.filter(cond).agg(
+        (F.sum(revenue_expr()) / F.lit(10_000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose lineitem shipped late (> 60 days
+    after the order date) on a multi-supplier order where EVERY OTHER
+    supplier shipped on time — EXISTS + NOT EXISTS over the same relation
+    with a different-key correlation, decorrelated to a semi- and an
+    anti-join on (orderkey, other-supplier) pairs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    # one row per (order, supplier): did this supplier ship anything late?
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    l1 = per_supp.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = per_supp.select(
+        F.col("l_orderkey").alias("o_okey"),
+        F.col("l_suppkey").alias("o_skey"),
+        "late",
+    )
+    exists = l1.join(
+        others,
+        (l1.l_orderkey == others.o_okey) & (l1.l_suppkey != others.o_skey),
+        "left_semi",
+    )
+    not_exists = exists.join(
+        others.filter(F.col("late")),
+        (exists.l_orderkey == F.col("o_okey")) & (exists.l_suppkey != F.col("o_skey")),
+        "left_anti",
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        not_exists.join(supp, not_exists.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
