@@ -259,3 +259,187 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: groupwise-min correlated subquery — for each
+    qualifying part, the EUROPE supplier(s) with the minimum supply cost.
+    With no partsupp table, cost(part, supplier) is the minimum scaled
+    price that supplier ever charged for the part (exact int64, so the
+    groupwise-min equality join is exact in both engines). The correlated
+    MIN decorrelates to an aggregate-and-rejoin on p_partkey; nation and
+    region legs broadcast."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_scaled(F.col("l_extendedprice"))).alias("cost_s")
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_size") == 3) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    region = F.broadcast(
+        load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    )
+    elig = (
+        cost.join(part, cost.l_partkey == part.p_partkey)
+        .join(supp, cost.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "cost_s")
+    )
+    best = elig.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("cost_s").alias("min_cost_s")
+    )
+    return (
+        elig.join(
+            best,
+            (elig.p_partkey == best.b_partkey) & (elig.cost_s == best.min_cost_s),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("cost_s") / F.lit(100.0)).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")  # (s_name,p_partkey) unique
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_1 suppliers' slice of
+    PROMO-part revenue sold into ASIA-region customers, by order year. The
+    conditional share is two exact int64 sums divided once at the end
+    (IEEE-identical across engines); nation/region dims broadcast."""
+    from roar_spark.operators.relational import revenue_expr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    n_cust = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")))
+    n_supp = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    region = F.broadcast(load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA"))
+    vol = revenue_expr()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n_supp, supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))).alias("nation_vol_s"),
+            F.sum(vol).alias("total_vol_s"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_vol_s").cast("double") / F.col("total_vol_s")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name LIKE filter. With no partsupp, supply cost per unit is
+    p_retailprice; profit = revenue − retail·quantity, computed entirely
+    in scaled int64 (revenue at 10⁴, cost lifted ×100 to match) so the
+    grouped sum is exact and order-insensitive."""
+    from roar_spark.operators.relational import revenue_expr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name"))
+    cost_s = (
+        _scaled(F.col("p_retailprice"))
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(revenue_expr() - cost_s) / F.lit(10_000.0)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value from NATION_1 suppliers
+    exceeds a fraction of the nation's total — a grouped aggregate HAVING a
+    scalar-subquery threshold (broadcast 1-row join). Values are exact
+    int64 (price_scaled × integral quantity); only the 0.1 % threshold is
+    a double, computed identically in both engines from the same int."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_1")
+    )
+    val = _scaled(F.col("l_extendedprice")) * F.round(F.col("l_quantity")).cast("long")
+    national = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("l_partkey"), val.alias("val_s"))
+    )
+    per_part = national.groupBy("l_partkey").agg(F.sum("val_s").alias("value_s"))
+    total = national.agg(F.sum("val_s").alias("total_s"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_s").cast("double") > F.col("total_s").cast("double") * 0.001)
+        .select("l_partkey", (F.col("value_s") / F.lit(100.0)).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries with a correlated 50 % -of-
+    total aggregate, decorrelated to semi-join chains. A NATION_3 supplier
+    qualifies if, for some 'small *' part, its 1997 shipped quantity
+    exceeds half that part's total 1997 volume (2·q > total in exact
+    int64 — no fractional compare)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    shipped = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_suppkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
+    )
+    per_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))
+    per_part = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = per_ps.join(per_part, per_ps.l_partkey == per_part.t_partkey).filter(
+        F.col("supp_qty") * 2 > F.col("total_qty")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = F.broadcast(
+        load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    )
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -1126,3 +1126,119 @@ _register(
     LIMIT 20
     """,
 )
+
+_register(
+    "q2_min_cost_supplier",
+    TX.q2_min_cost_supplier,
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_s
+      FROM lineitem GROUP BY 1, 2),
+    elig AS (
+      SELECT p_partkey, s_name, s_acctbal, n_name, cost_s
+      FROM cost
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size = 3 AND p_type = 'ECONOMY' AND r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, cost_s / 100.0 AS supplycost
+    FROM elig e
+    WHERE cost_s = (SELECT MIN(cost_s) FROM elig m WHERE m.p_partkey = e.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+_register(
+    "q8_market_share",
+    TX.q8_market_share,
+    f"""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN ns.n_name = 'NATION_1' THEN {_REV} ELSE 0 END)
+                AS DOUBLE) / SUM({_REV}) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+
+_register(
+    "q9_product_type_profit",
+    TX.q9_product_type_profit,
+    f"""
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           SUM({_REV} - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                        * CAST(ROUND(l_quantity) AS BIGINT) * 100) / 10000.0
+             AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+_register(
+    "q11_important_parts",
+    TX.q11_important_parts,
+    """
+    WITH national AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_quantity) AS BIGINT) AS val_s
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1')
+    SELECT l_partkey, SUM(val_s) / 100.0 AS value
+    FROM national
+    GROUP BY l_partkey
+    HAVING CAST(SUM(val_s) AS DOUBLE)
+           > (SELECT CAST(SUM(val_s) AS DOUBLE) FROM national) * 0.001
+    ORDER BY value DESC, l_partkey
+    """,
+)
+
+_register(
+    "q20_excess_suppliers",
+    TX.q20_excess_suppliers,
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'),
+    per_ps AS (
+      SELECT l_partkey, l_suppkey, SUM(qty) AS supp_qty
+      FROM shipped GROUP BY 1, 2),
+    per_part AS (
+      SELECT l_partkey, SUM(qty) AS total_qty
+      FROM shipped GROUP BY 1)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT p.l_suppkey
+        FROM per_ps p JOIN per_part t ON p.l_partkey = t.l_partkey
+        WHERE p.supp_qty * 2 > t.total_qty)
+    ORDER BY s_name
+    """,
+)
