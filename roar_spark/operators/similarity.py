@@ -142,8 +142,8 @@ def _block_screen_pairs(spark: SparkSession, emb: DataFrame, n_blocks: int) -> D
     )
 
 
-def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.4, ids + rounded cosine.
+def _exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id_a < vec_id_b, cos) pairs with exact cosine ≥ threshold.
 
     Two-phase: numpy block-matmul screen (fast, margin-padded) → exact
     ordered-fold recheck on the few survivors. Results are identical to
@@ -171,8 +171,33 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= COSINE_THRESHOLD)
         .select("vec_id_a", "vec_id_b", "cos")
-        .orderBy("vec_id_a", "vec_id_b")
     )
+
+
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.4, ids + rounded cosine.
+    See _exact_cosine_pairs for the screen→exact-recheck design."""
+    return _exact_cosine_pairs(spark, sf_dir).orderBy("vec_id_a", "vec_id_b")
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, keep-first: drop every vector whose
+    cosine with some smaller-id vector clears the threshold; emit the
+    surviving vec_ids.
+
+    Same screen→exact-recheck pair path as sim_cosine_pairs, then one
+    left-anti join of the corpus ids against the pairs' larger side — the
+    keep-first rule needs no clustering pass, because any vector with an
+    earlier near-dup is dropped regardless of what ITS later dups do
+    (standard LSH-dedup semantics, matching dedup_dataset's keep-first).
+    The anti-join shuffles only ids; embeddings never leave the screen.
+    Threshold 0.4 is calibrated to this synthetic corpus (nothing exceeds
+    0.6); the operator is threshold-agnostic."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    dups = _exact_cosine_pairs(spark, sf_dir).select(
+        F.col("vec_id_b").alias("vec_id")
+    )
+    return emb.join(dups, "vec_id", "left_anti").orderBy("vec_id")
 
 
 # --- scale-derived sign-LSH with OR-amplification ---------------------------

@@ -64,6 +64,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": D.dedup_simhash,
     "sim_brute_topk": S.sim_brute_topk,
     "sim_cosine_pairs": S.sim_cosine_pairs,
+    "dedup_embedding": S.dedup_embedding,
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by design → rows-only
     "ann_ivf_topk": S.ann_ivf_topk,  # approximate by design → rows-only
     "text_stats": X.text_stats,
@@ -161,6 +162,18 @@ PIPELINE_ORACLES["sim_cosine_pairs"] = f"""
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round({_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.4
     ORDER BY vec_id_a, vec_id_b
+"""
+
+PIPELINE_ORACLES["dedup_embedding"] = f"""
+    WITH {_EMB_NORM_CTE},
+    pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round({_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+            >= {S.COSINE_THRESHOLD})
+    SELECT vec_id FROM e
+    WHERE vec_id NOT IN (SELECT vec_id_b FROM pairs)
+    ORDER BY vec_id
 """
 
 _EN = "['the','and','of','to','a','in','is','it']"
