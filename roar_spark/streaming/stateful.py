@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 __all__ = [
     "windowed_counts",
@@ -27,6 +28,9 @@ __all__ = [
     "session_windows",
     "running_totals",
     "stream_stream_join",
+    "recent_buffer",
+    "recent_buffer_tws",
+    "merge_evict",
 ]
 
 
@@ -126,6 +130,162 @@ def running_totals(
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=timeout,
+        )
+    )
+
+
+BUFFER_SCHEMA = (
+    "user_id bigint, n_buffered bigint, n_dropped bigint,"
+    " oldest_seq bigint, newest_seq bigint"
+)
+
+
+def merge_evict(
+    existing: list[tuple[int, float]],
+    incoming: list[tuple[int, float]],
+    cap: int,
+) -> tuple[list[tuple[int, float]], int]:
+    """Drop-oldest merge: append the (seq-sorted) incoming batch to the
+    buffer, then evict from the FRONT down to ``cap``. The incoming batch
+    is always appended even when it alone exceeds the cap (reference
+    AddBatch parity, stream/manager.go:286-345 — the newest data is never
+    the casualty; the cap is enforced by evicting oldest-first)."""
+    merged = existing + sorted(incoming)  # existing is already seq-ordered
+    dropped = max(0, len(merged) - cap)
+    return merged[dropped:], dropped
+
+
+def recent_buffer(
+    parsed: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "kafka_offset",
+    value_col: str = "value",
+    cap: int = 5,
+) -> DataFrame:
+    """Keyed drop-oldest recent-events buffer (applyInPandasWithState) —
+    the reference's byte-capped ingest buffer (SURVEY.md §2 A16)
+    re-expressed per key. Emits one row per key per micro-batch with
+    buffer occupancy and eviction counts; state is the kept (seq, value)
+    arrays, bounded by keys × cap regardless of stream volume.
+
+    The Spark-4-native form of the same operator is recent_buffer_tws
+    (transformWithStateInPandas + ListState); this variant exists because
+    the TWS state-server protocol needs protobuf, which this container
+    lacks — semantics are identical (both inline merge_evict)."""
+
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        seqs, vals = state.get if state.exists else ([], [])
+        existing = list(zip(seqs, vals))
+        incoming: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            incoming.extend(
+                zip(pdf["seq"].astype("int64").tolist(), pdf["value"].astype("float64").tolist())
+            )
+        merged = existing + sorted(incoming)  # == merge_evict, inlined
+        dropped = max(0, len(merged) - cap)
+        kept = merged[dropped:]
+        state.update(([int(s) for s, _ in kept], [float(v) for _, v in kept]))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_buffered": [len(kept)],
+                "n_dropped": [dropped],
+                "oldest_seq": [kept[0][0] if kept else None],
+                "newest_seq": [kept[-1][0] if kept else None],
+            }
+        )
+
+    return (
+        parsed.select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=BUFFER_SCHEMA,
+            stateStructType="seqs array<bigint>, vals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def recent_buffer_tws(
+    parsed: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "kafka_offset",
+    value_col: str = "value",
+    cap: int = 5,
+) -> DataFrame:
+    """recent_buffer via the Spark 4 arbitrary state API
+    (transformWithStateInPandas + ListState) — at scale the buffer lives
+    in the per-key state store (RocksDB provider required via
+    ``spark.sql.streaming.stateStore.providerClass``); timeMode is
+    ``none`` so drivers' processAllAvailable settles (no pending timers).
+
+    EXECUTION-GATED in this container: the TWS state-server protocol
+    imports google.protobuf, which is not installed (and installs are
+    forbidden) — plan construction and semantics are tested
+    (tests/test_streaming_native.py pins plan schema + merge_evict), the
+    e2e run is skipped unless protobuf is importable.
+
+    The processor class is defined locally so cloudpickle ships it BY
+    VALUE: the TWS driver worker is a fresh Python process that cannot
+    import roar_spark (not site-packages-installed), so a module-level
+    class would die with ModuleNotFoundError on unpickle. For the same
+    reason the eviction logic is inlined (3 lines) rather than calling
+    merge_evict — a closure over a module-level function would pickle it
+    by reference; tests pin the two in sync via merge_evict."""
+
+    class RecentBufferProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._buf = handle.getListState("buf", "seq bigint, value double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            existing = (
+                [(int(r[0]), float(r[1])) for r in self._buf.get()]
+                if self._buf.exists()
+                else []
+            )
+            incoming: list[tuple[int, float]] = []
+            for pdf in rows:
+                incoming.extend(
+                    zip(
+                        pdf["seq"].astype("int64").tolist(),
+                        pdf["value"].astype("float64").tolist(),
+                    )
+                )
+            merged = existing + sorted(incoming)  # == merge_evict, inlined
+            dropped = max(0, len(merged) - cap)
+            kept = merged[dropped:]
+            self._buf.put(kept)
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_buffered": [len(kept)],
+                    "n_dropped": [dropped],
+                    "oldest_seq": [kept[0][0] if kept else None],
+                    "newest_seq": [kept[-1][0] if kept else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        parsed.select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RecentBufferProcessor(),
+            outputStructType=BUFFER_SCHEMA,
+            outputMode="update",
+            timeMode="none",
         )
     )
 

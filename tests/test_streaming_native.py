@@ -238,3 +238,77 @@ def test_stream_stream_join(spark, tmp_path):
     rows = _run_to_memory(spark, joined, "ssj_out", "append")
     pairs = sorted((r.view_id, r.buy_id) for r in rows)
     assert pairs == [(1, 10)]
+
+
+def test_merge_evict_semantics():
+    from roar_spark.streaming.stateful import merge_evict
+
+    # normal append under cap
+    kept, dropped = merge_evict([(1, 1.0)], [(2, 2.0)], cap=5)
+    assert kept == [(1, 1.0), (2, 2.0)] and dropped == 0
+    # eviction is oldest-first
+    kept, dropped = merge_evict([(1, 1.0), (2, 2.0)], [(3, 3.0), (4, 4.0)], cap=3)
+    assert kept == [(2, 2.0), (3, 3.0), (4, 4.0)] and dropped == 1
+    # an incoming batch larger than the cap is still appended (reference
+    # AddBatch parity): survivors come from the NEW batch, never the old
+    kept, dropped = merge_evict([(1, 1.0)], [(10 + i, float(i)) for i in range(7)], cap=5)
+    assert [s for s, _ in kept] == [12, 13, 14, 15, 16] and dropped == 3
+    # incoming arrives unsorted → merged in seq order
+    kept, _ = merge_evict([], [(3, 3.0), (1, 1.0), (2, 2.0)], cap=5)
+    assert [s for s, _ in kept] == [1, 2, 3]
+
+
+def test_recent_buffer_drop_oldest_across_batches(spark, tmp_path):
+    from roar_spark.streaming.stateful import recent_buffer
+
+    src = str(tmp_path / "rb")
+    write_envelope_file(
+        src,
+        [_msg(i, "2026-08-13T09:00:00Z", event_id=i, kind="view", user_id=1,
+              value=1.0 + i, ts="2026-08-13T10:00:00Z") for i in range(7)]
+        + [_msg(100, "2026-08-13T09:00:00Z", event_id=100, kind="view", user_id=2,
+                value=9.5, ts="2026-08-13T10:00:00Z")],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    buf = recent_buffer(parsed, key_col="user_id", seq_col="kafka_offset", cap=5)
+    more = [_msg(200 + i, "2026-08-13T09:00:01Z", event_id=200 + i, kind="view",
+                 user_id=1, value=50.0 + i, ts="2026-08-13T10:00:01Z") for i in range(3)]
+    rows = _run_to_memory(spark, buf, "rb_out", "update", src_more=more, src=src)
+    by_batch = sorted(
+        ((r.user_id, r.newest_seq, r.n_buffered, r.n_dropped, r.oldest_seq) for r in rows)
+    )
+    # user 1 batch 1: 7 in, cap 5 → oldest two (0, 1) evicted
+    assert (1, 6, 5, 2, 2) in by_batch
+    # user 1 batch 2: +3 → state-backed buffer slides to seqs {5,6,200,201,202}
+    assert (1, 202, 5, 3, 5) in by_batch
+    # user 2: single event, no eviction
+    assert (2, 100, 1, 0, 100) in by_batch
+
+
+def test_recent_buffer_tws_plan_and_gate(spark, tmp_path):
+    """The Spark-4-native transformWithStateInPandas form: plan always
+    constructs with the same output schema; the e2e run needs the TWS
+    state-server protocol (google.protobuf), absent in this container."""
+    from roar_spark.streaming.stateful import BUFFER_SCHEMA, recent_buffer, recent_buffer_tws
+
+    src = str(tmp_path / "rbt")
+    write_envelope_file(
+        src,
+        [_msg(0, "2026-08-13T09:00:00Z", event_id=0, kind="view", user_id=1,
+              value=1.0, ts="2026-08-13T10:00:00Z")],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    tws = recent_buffer_tws(parsed, cap=5)
+    assert tws.isStreaming
+    assert tws.schema == recent_buffer(parsed, cap=5).schema
+    assert tws.schema.simpleString() == (
+        "struct<" + BUFFER_SCHEMA.replace(" bigint", ":bigint").replace(", ", ",") + ">"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("TWS state-server protocol needs protobuf (not in container)")
+    rows = _run_to_memory(spark, tws, "rbt_out", "update")
+    assert {(r.user_id, r.n_buffered) for r in rows} == {(1, 1)}
