@@ -150,3 +150,44 @@ def test_served_rollup_expands_after_store_scan(spark):
     plan = plan_of(spark, "served_rollup")
     assert "Expand" in plan  # rollup grouping-set expansion
     assert "BatchEvalPython" not in plan
+
+
+def test_q2_groupwise_min_stays_equi(spark):
+    # groupwise-min rejoin is an equi-join on (partkey, cost); dims broadcast
+    p = plan_of(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # nation + region (+ small aggs)
+    assert "BatchEvalPython" not in p
+
+
+def test_q8_q9_star_joins_push_filters(spark):
+    p8 = plan_of(spark, "q8_market_share")
+    assert "CartesianProduct" not in p8 and "BatchEvalPython" not in p8
+    assert "EqualTo(p_type,PROMO)" in p8  # dim filter reaches the part scan
+    p9 = plan_of(spark, "q9_product_type_profit")
+    assert "StringContains(p_name,widget)" in p9  # LIKE pushed as Contains
+    assert "CartesianProduct" not in p9
+
+
+def test_q11_threshold_is_one_row_broadcast(spark):
+    # the only nested-loop join is the sanctioned 1-row scalar threshold
+    p = plan_of(spark, "q11_important_parts")
+    assert "CartesianProduct" not in p
+    # exactly one BNLJ node (formatted output names each node twice:
+    # once in the tree, once in the detail section)
+    assert p.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q20_semi_join_chain(spark):
+    p = plan_of(spark, "q20_excess_suppliers")
+    assert "LeftSemi" in p
+    assert "StringStartsWith(p_name,small)" in p  # prefix LIKE pushed
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_embedding_screen_and_anti_join(spark):
+    # same Arrow-batched screen as sim_cosine_pairs, then an id-only anti-join
+    p = plan_of(spark, "dedup_embedding")
+    assert "FlatMapGroupsInPandas" in p
+    assert "LeftAnti" in p
+    assert "BatchEvalPython" not in p
