@@ -292,3 +292,28 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "dau", "wau")
         .orderBy("day")
     )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    on each subsequent active day (offset 0–13).
+
+    Scale shape: the raw event stream collapses to the distinct
+    (user, day) table FIRST (map-side combinable), the per-user MIN is one
+    key-partitioned aggregation, and the cohort join is user_id⋈user_id —
+    both sides already hash-partitioned on the same key, so AQE plans one
+    co-located shuffle, never a day-range explosion. Because (user, day)
+    is distinct, the final per-(cohort, offset) count needs no
+    COUNT DISTINCT — each user contributes exactly one row per active
+    day. Cost is linear in active (user, day) pairs, never raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .withColumn("day_offset", F.datediff(F.col("day"), F.col("cohort_day")).cast("long"))
+        .filter(F.col("day_offset") <= 13)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1242,3 +1242,21 @@ _register(
     ORDER BY s_name
     """,
 )
+
+_register(
+    "events_cohort_retention",
+    RX.events_cohort_retention,
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM ud JOIN first USING (user_id)
+    WHERE date_diff('day', cohort_day, day) <= 13
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
