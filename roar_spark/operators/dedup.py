@@ -347,3 +347,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
         .select("doc_id_a", "doc_id_b", "hamming")
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Near-dup clusters: connected components over the verified ngram-
+    Jaccard pair graph, every doc labeled with its component's min doc_id
+    (singletons label themselves).
+
+    Iterative min-label propagation (Pregel-style BSP on DataFrames): each
+    round every node takes min(own label, neighbors' labels); the fixpoint
+    is reached in graph-diameter rounds, and near-dup graphs are unions of
+    near-cliques, so the diameter — and round count — is tiny. Per round:
+    one key-partitioned join + one map-side-combinable min aggregation,
+    both hash-partitioned on doc_id, so AQE reuses one co-located shuffle
+    layout. localCheckpoint() truncates lineage each round (an iterative
+    plan would otherwise grow a 2^rounds tree); the convergence probe is a
+    LIMIT 1 existence check, not a full count. The per-round driver action
+    is inherent to any BSP loop (Pregel ticks the same way). At adversarial
+    scale (long chains), swap the loop body for alternating large-/small-
+    star (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log n) rounds on any topology — same per-round shape.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        improved = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")

@@ -62,6 +62,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
     "dedup_minhash_lsh": D.dedup_minhash_lsh,
     "dedup_simhash": D.dedup_simhash,
+    "dedup_clusters": D.dedup_clusters,
     "sim_brute_topk": S.sim_brute_topk,
     "sim_cosine_pairs": S.sim_cosine_pairs,
     "dedup_embedding": S.dedup_embedding,
@@ -122,6 +123,22 @@ _bit_sums = ",\n           ".join(
 _sim_terms = " + ".join(
     f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(SIMHASH_BITS)
 )
+PIPELINE_ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    pairs AS (
+      SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id)
+    SELECT doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
 PIPELINE_ORACLES["dedup_simhash"] = f"""
     WITH tok AS (
       SELECT doc_id, md5(unnest({_TOKS})) AS h FROM documents),
