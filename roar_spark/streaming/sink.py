@@ -20,7 +20,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["spark_type_to_sql", "create_table_ddl", "start_parquet_sink"]
+__all__ = [
+    "spark_type_to_sql",
+    "create_table_ddl",
+    "start_parquet_sink",
+    "start_duckdb_sink",
+]
 
 # arrowToDuckDBType parity (duckdb/sink.go:212-250), keyed by Spark type.
 # Unsigned arrow types cannot arise from Spark; date/timestamp keep the
@@ -75,5 +80,80 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
         parsed.writeStream.foreachBatch(_persist)
         .option("checkpointLocation", os.path.join(checkpoint_base, f"sink-{topic}"))
         .queryName(f"roar-sink-{topic}")
+        .start()
+    )
+
+
+_HWM_DDL = (
+    "CREATE TABLE IF NOT EXISTS _roar_sink_batches"
+    " (topic VARCHAR, batch_id BIGINT, PRIMARY KEY (topic, batch_id))"
+)
+
+
+def insert_batch_exactly_once(con, table: str, topic: str, batch_id: int, pdf) -> int:
+    """Insert one micro-batch into an open DuckDB connection, guarded by a
+    high-water-mark table — the transactional fix for the reference's
+    duplicating poll loop (duckdb/sink.go:89-125 re-inserts every buffered
+    batch each tick; §2.3.1). The data insert and the batch-id record
+    commit atomically, so a foreachBatch retry of an already-landed batch
+    is a no-op. Returns rows inserted (0 on replay)."""
+    con.execute(_HWM_DDL)
+    seen = con.execute(
+        "SELECT 1 FROM _roar_sink_batches WHERE topic = ? AND batch_id = ?",
+        [topic, batch_id],
+    ).fetchone()
+    if seen:
+        return 0
+    con.execute("BEGIN")
+    try:
+        con.register("_roar_batch", pdf)
+        con.execute(f'INSERT INTO "{table}" SELECT * FROM _roar_batch')
+        con.execute(
+            "INSERT INTO _roar_sink_batches VALUES (?, ?)", [topic, batch_id]
+        )
+        con.execute("COMMIT")
+    except Exception:
+        con.execute("ROLLBACK")
+        raise
+    finally:
+        con.unregister("_roar_batch")
+    return len(pdf)
+
+
+def start_duckdb_sink(parsed: DataFrame, topic: str, db_path: str, checkpoint_base: str):
+    """The reference's DuckDB persist loop, actually runnable: one table
+    per topic (DDL from create_table_ddl), every micro-batch landed in a
+    DuckDB database file with exactly-once semantics (streaming checkpoint
+    for restarts + the high-water-mark transaction for foreachBatch
+    replays — see insert_batch_exactly_once).
+
+    The insert is driver-side by design: a DuckDB file is a single-writer
+    embedded database, so per-executor writes cannot exist — the batch is
+    collected through Arrow and appended in one transaction. At cluster
+    scale the equivalent contract is start_parquet_sink (object storage,
+    per-executor writes) with the warehouse ATTACHing the parquet
+    directory; this sink is the literal-parity path for the reference's
+    single-node deployment (duckdb/sink.go:128-156)."""
+    import duckdb
+
+    schema = parsed.schema
+
+    def _persist(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(create_table_ddl(topic, schema))
+            n = insert_batch_exactly_once(con, topic, topic, batch_id, pdf)
+        finally:
+            con.close()
+        if n:
+            from roar_spark.metrics import REGISTRY
+
+            REGISTRY.inc("roar_duckdb_insert_rows_total", n, topic=topic)
+
+    return (
+        parsed.writeStream.foreachBatch(_persist)
+        .option("checkpointLocation", os.path.join(checkpoint_base, f"duckdb-sink-{topic}"))
+        .queryName(f"roar-duckdb-sink-{topic}")
         .start()
     )

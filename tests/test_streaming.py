@@ -380,3 +380,53 @@ def test_custom_converter_hook(spark, tmp_path):
     rows = {r.kafka_offset: r for r in engine.fetch("csvtopic", limit=-1).collect()}
     assert rows[2].name == "item2" and rows[2].qty == 20 and rows[2].flag is True
     assert rows[1].flag is False
+
+
+def test_duckdb_sink_end_to_end(spark, tmp_path):
+    """Micro-batches actually land in a DuckDB database file: DDL + insert
+    + high-water-mark, exactly-once across foreachBatch replays."""
+    import duckdb
+    import json as _json
+
+    from roar_spark.sources.files import file_envelope_stream, write_envelope_file
+    from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
+    from roar_spark.streaming.sink import insert_batch_exactly_once, start_duckdb_sink
+
+    src = str(tmp_path / "src")
+    db = str(tmp_path / "sink.duckdb")
+    payload = {"event_id": 1, "value": 2.5, "name": "a"}
+    write_envelope_file(
+        src,
+        [{"key": "k0", "value": _json.dumps(payload), "timestamp": "2026-08-13T09:00:00Z",
+          "offset": 0, "partition": 0},
+         {"key": "k1", "value": _json.dumps({**payload, "event_id": 2}),
+          "timestamp": "2026-08-13T09:00:01Z", "offset": 1, "partition": 0}],
+        file_name="a.json",
+    )
+    schema = bootstrap_schema([_json.dumps(payload)])
+    parsed = parse_envelope(file_envelope_stream(spark, src), schema)
+    q = start_duckdb_sink(parsed, "t1", db, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        # second micro-batch appends exactly once
+        write_envelope_file(
+            src,
+            [{"key": "k2", "value": _json.dumps({**payload, "event_id": 3}),
+              "timestamp": "2026-08-13T09:00:02Z", "offset": 2, "partition": 0}],
+            file_name="b.json",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    con = duckdb.connect(db)
+    ids = [r[0] for r in con.execute('SELECT event_id FROM "t1" ORDER BY event_id').fetchall()]
+    assert ids == [1, 2, 3]
+    # replaying an already-landed batch is a transactional no-op
+    import pandas as pd
+
+    replay = pd.DataFrame({"x": [99]})
+    con.execute('CREATE TABLE "t2" (x BIGINT)')
+    assert insert_batch_exactly_once(con, "t2", "t2", 7, replay) == 1
+    assert insert_batch_exactly_once(con, "t2", "t2", 7, replay) == 0
+    assert con.execute('SELECT COUNT(*) FROM "t2"').fetchone()[0] == 1
+    con.close()
