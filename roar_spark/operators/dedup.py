@@ -369,16 +369,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Dat
     converges in O(log n) rounds on any topology — same per-round shape.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return min_label_propagation(docs, pairs, max_iters).orderBy("doc_id")
+
+
+def min_label_propagation(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """BSP min-label propagation: (doc_id, cluster_id) where cluster_id is
+    the min doc_id reachable through the (doc_id_a, doc_id_b) pair graph.
+    Factored out of dedup_clusters so chain (non-clique) topologies — which
+    need label flow across MULTIPLE rounds — are unit-testable directly
+    (the corpus's planted components are all cliques, where a broken
+    single-round loop would still produce the right answer)."""
     edges = (
         pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
         .persist()
     )
-    labels = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -403,4 +410,4 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Dat
         if improved == 0:
             break
     edges.unpersist()
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
