@@ -82,3 +82,45 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batches, DECODE_SCHEMA).orderBy("doc_id")
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_ts_ms bigint, frame_md5 string"
+MAX_FRAMES = 4
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a media column: evenly spaced timestamps, one
+    output row per sampled frame — the video-pipeline fan-out shape
+    (input rows ≠ output rows through one Arrow-batched stage).
+
+    The payload is ``documents.text`` standing in for media (corpus ships
+    none) and the "frame extract" is a deterministic slice+md5 instead of
+    a codec — but *deliberately arithmetic*, so unlike the decode stub
+    this operator has an EXACT SQL oracle pinning the whole fan-out
+    (count, timestamps, per-frame digests) cross-engine. Swapping the
+    slice for av.open(...) frame grabs changes no plumbing: same schema,
+    same batching, same partition independence. Fake media params:
+    duration_ms = 1000·(1 + n_chars mod 60), frames = min(4, 1 + n_chars
+    mod 7), frame k at t = ⌊k·duration/frames⌋ sliced 16 chars from
+    offset (37k mod max(n_chars−15, 1))."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_ts_ms", "frame_md5")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                n_frames = min(MAX_FRAMES, 1 + n % 7)
+                duration_ms = 1000 * (1 + n % 60)
+                for k in range(n_frames):
+                    start = (k * 37) % max(n - 15, 1)  # 0-based slice start
+                    frame = text[start : start + 16]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_ts_ms"].append(k * duration_ms // n_frames)
+                    out["frame_md5"].append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample_batches, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")

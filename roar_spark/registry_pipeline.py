@@ -73,6 +73,7 @@ PIPELINE_QUERIES = {
     "text_fingerprint": X.text_fingerprint,
     "multimodal_meta": M.multimodal_meta,
     "multimodal_decode_stub": M.multimodal_decode_stub,  # STUB codec → rows-only
+    "multimodal_frame_sample": M.multimodal_frame_sample,
 }
 
 PIPELINE_ORACLES["dedup_exact"] = """
@@ -191,6 +192,25 @@ PIPELINE_ORACLES["dedup_embedding"] = f"""
     SELECT vec_id FROM e
     WHERE vec_id NOT IN (SELECT vec_id_b FROM pairs)
     ORDER BY vec_id
+"""
+
+PIPELINE_ORACLES["multimodal_frame_sample"] = """
+    WITH f AS (
+      SELECT doc_id, text, LENGTH(text) AS n_chars,
+             LEAST(4, 1 + LENGTH(text) % 7) AS n_frames,
+             1000 * (1 + LENGTH(text) % 60) AS duration_ms
+      FROM documents),
+    k AS (
+      SELECT doc_id, text, n_chars, n_frames, duration_ms,
+             unnest(range(0, n_frames)) AS frame_idx
+      FROM f)
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * duration_ms // n_frames AS BIGINT) AS frame_ts_ms,
+           md5(substr(text, CAST(1 + (frame_idx * 37) % GREATEST(n_chars - 15, 1) AS BIGINT), 16))
+             AS frame_md5
+    FROM k
+    ORDER BY doc_id, frame_idx
 """
 
 _EN = "['the','and','of','to','a','in','is','it']"
