@@ -317,3 +317,25 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per user, consecutive event pairs in
+    (ts, event_id) order, counted corpus-wide — the Markov/path-analysis
+    primitive behind funnels and next-action models.
+
+    One hash shuffle on user_id for the lead() window (event_id breaks ts
+    ties deterministically), then a partial-agg count on the tiny
+    (src, dst) type-pair space — the second shuffle carries at most
+    |event_types|² rows per partition."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"), F.col("next_type").alias("dst_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "src_type", "dst_type")
+    )

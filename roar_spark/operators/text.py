@@ -110,3 +110,33 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_bpe.cast("double") / n_ws.cast("double"), 6).alias("bpe_per_word"),
         F.element_at(bpe, 1).alias("first_bpe_token"),
     ).orderBy("doc_id")
+
+
+N_FEATURE_BUCKETS = 64
+
+
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): bag-of-words counts into a
+    fixed 64-bucket space, emitted as sparse (doc_id, bucket, n_tokens)
+    rows — HashingTF re-expressed relationally.
+
+    The scale property IS the trick: no vocabulary is built or broadcast
+    (unbounded-vocab corpora can't afford one); the bucket is pure
+    per-token arithmetic (md5 → last two hex digits → mod 64, portable via
+    the same strpos lattice simhash uses), the count is one partial-agg
+    shuffle on (doc_id, bucket), and the feature dimension bounds output
+    regardless of corpus size."""
+    from roar_spark.functions.text_fns import hex_digit_val
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    md5 = F.md5(F.col("t"))
+    bucket = (
+        (hex_digit_val(md5, 31) * 16 + hex_digit_val(md5, 32)) % N_FEATURE_BUCKETS
+    ).cast("long")
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("doc_id", "bucket")
+    )

@@ -1260,3 +1260,20 @@ _register(
     ORDER BY 1, 2
     """,
 )
+
+_register(
+    "events_path_transitions",
+    RX.events_path_transitions,
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS src_type, next_type AS dst_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n_transitions DESC, src_type, dst_type
+    """,
+)

@@ -69,6 +69,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_topk": S.ann_lsh_topk,  # approximate by design → rows-only
     "ann_ivf_topk": S.ann_ivf_topk,  # approximate by design → rows-only
     "text_stats": X.text_stats,
+    "text_hashing_features": X.text_hashing_features,
     "text_langid": X.text_langid,
     "text_fingerprint": X.text_fingerprint,
     "multimodal_meta": M.multimodal_meta,
@@ -211,6 +212,18 @@ PIPELINE_ORACLES["multimodal_frame_sample"] = """
              AS frame_md5
     FROM k
     ORDER BY doc_id, frame_idx
+"""
+
+PIPELINE_ORACLES["text_hashing_features"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(t), 31, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1) % 64 AS bucket
+      FROM tok)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_tokens
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 _EN = "['the','and','of','to','a','in','is','it']"
