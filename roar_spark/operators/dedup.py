@@ -411,3 +411,36 @@ def min_label_propagation(docs: DataFrame, pairs: DataFrame, max_iters: int = 20
             break
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+EVAL_MOD = 100  # doc_id % 100 == 0 stands in for the benchmark/eval set
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing ANY
+    word-3-gram with the eval set (here: doc_id ≡ 0 mod 100 stands in for
+    the benchmark suite) — the n-gram-overlap contamination check LLM
+    data pipelines run before training.
+
+    Scale shape: the eval side is small by nature (benchmarks are
+    thousands of docs vs billions of training docs), so its distinct
+    shingle set BROADCASTS — the training shingle table streams through a
+    broadcast hash join and never shuffles; no threshold, no self-join.
+    At extreme eval sizes the same plan degrades gracefully to a shuffle
+    hash join on the shingle key (or a bloom-filter pre-pass). Output is
+    per-contaminated-doc evidence counts, not just a flag."""
+    sh = _doc_shingles(spark, sf_dir)
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    eval_sh = F.broadcast(
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    )
+    return (
+        train.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("eval_doc_id").alias("n_eval_docs_hit"),
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+        )
+        .orderBy("doc_id")
+    )

@@ -140,3 +140,26 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tokens"))
         .orderBy("doc_id", "bucket")
     )
+
+
+TOP_TOKENS_K = 50
+
+
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-50 tokens by document frequency and
+    raw count. Partial aggregation collapses per-partition duplicates
+    map-side; the final top-k is TakeOrderedAndProject (per-partition
+    heaps + a 50-row driver merge) — no global sort at any corpus size.
+    Exact here; at extreme cardinality the same query swaps the exact
+    count for a count-min/space-saving sketch."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    return (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(TOP_TOKENS_K)
+    )

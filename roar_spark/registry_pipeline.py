@@ -63,6 +63,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": D.dedup_minhash_lsh,
     "dedup_simhash": D.dedup_simhash,
     "dedup_clusters": D.dedup_clusters,
+    "dedup_decontaminate": D.dedup_decontaminate,
     "sim_brute_topk": S.sim_brute_topk,
     "sim_cosine_pairs": S.sim_cosine_pairs,
     "dedup_embedding": S.dedup_embedding,
@@ -70,6 +71,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_topk": S.ann_ivf_topk,  # approximate by design → rows-only
     "text_stats": X.text_stats,
     "text_hashing_features": X.text_hashing_features,
+    "text_top_tokens": X.text_top_tokens,
     "text_langid": X.text_langid,
     "text_fingerprint": X.text_fingerprint,
     "multimodal_meta": M.multimodal_meta,
@@ -224,6 +226,28 @@ PIPELINE_ORACLES["text_hashing_features"] = f"""
       FROM tok)
     SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_tokens
     FROM h GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+PIPELINE_ORACLES["dedup_decontaminate"] = f"""
+    WITH {_SHINGLE_CTES},
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 != 0),
+    ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 100 = 0)
+    SELECT train.doc_id,
+           COUNT(DISTINCT eval_doc_id) AS n_eval_docs_hit,
+           COUNT(*) AS n_shared_shingles
+    FROM train JOIN ev USING (s)
+    GROUP BY train.doc_id
+    ORDER BY train.doc_id
+"""
+
+PIPELINE_ORACLES["text_top_tokens"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    SELECT t AS token, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY t
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
 """
 
 _EN = "['the','and','of','to','a','in','is','it']"
