@@ -191,3 +191,15 @@ def test_dedup_embedding_screen_and_anti_join(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "LeftAnti" in p
     assert "BatchEvalPython" not in p
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    # the eval shingle set must broadcast; the training shingle table
+    # streams through without a shuffle on the shingle key
+    p = plan_of(spark, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_top_tokens_no_global_sort(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "text_top_tokens")
