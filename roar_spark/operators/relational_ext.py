@@ -339,3 +339,47 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy(F.desc("n_transitions"), "src_type", "dst_type")
     )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: every user gets a dense
+    daily row over their active span — missing days appear with
+    n_events = 0, a running event total, and the last active day carried
+    forward (the imputation shape feeding downstream feature pipelines).
+
+    Scale shape: raw events collapse to (user, day) counts FIRST; the
+    dense calendar is generated distributed via sequence()+explode per
+    user (never a driver loop), bounded by each user's own span; the
+    fill join and both window functions share ONE hash shuffle on
+    user_id. All emitted metrics are integers/dates — exact under any
+    partitioning."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    all_days = span.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    filled = all_days.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_events")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        filled.select(
+            "user_id",
+            "day",
+            "n_events",
+            F.sum("n_events").over(w).alias("cum_events"),
+            F.last(
+                F.when(F.col("n_events") > 0, F.col("day")), ignorenulls=True
+            ).over(w).alias("last_active_day"),
+        )
+        .orderBy("user_id", "day")
+    )

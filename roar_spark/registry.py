@@ -1277,3 +1277,30 @@ _register(
     ORDER BY n_transitions DESC, src_type, dst_type
     """,
 )
+
+_register(
+    "events_gap_fill",
+    RX.events_gap_fill,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_raw
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    all_days AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span),
+    filled AS (
+      SELECT a.user_id, a.day, CAST(COALESCE(n_raw, 0) AS BIGINT) AS n_events
+      FROM all_days a
+      LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day)
+    SELECT user_id, day, n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS cum_events,
+           LAST_VALUE(CASE WHEN n_events > 0 THEN day END IGNORE NULLS)
+             OVER w AS last_active_day
+    FROM filled
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+)
