@@ -30,6 +30,7 @@ __all__ = [
     "stream_stream_join",
     "recent_buffer",
     "recent_buffer_tws",
+    "chained_windowed_counts",
     "merge_evict",
 ]
 
@@ -314,3 +315,39 @@ def stream_stream_join(
         & (F.col(right_time) <= F.col(left_time) + F.expr(within))
     )
     return lw.join(rw, cond, "inner")
+
+
+def chained_windowed_counts(
+    parsed: DataFrame,
+    time_col: str,
+    key_col: str,
+    inner: str = "1 minute",
+    outer: str = "5 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Two chained event-time aggregations in ONE streaming query:
+    per-``inner``-window counts rolled up into per-``outer``-window sums
+    (the minute→hour→day rollup cascade every metrics pipeline wants).
+
+    Chained stateful operators are a Spark 3.4+/4.x capability: the second
+    groupBy windows over the FIRST aggregation's window struct directly,
+    and both stages share the watermark, so each finalizes exactly once —
+    no intermediate sink, no reprocessing. The reference's processing-time
+    buffer cannot express even one event-time stage. State is bounded per
+    stage by the watermark; shuffle keys are (window, key) both times."""
+    inner_counts = (
+        parsed.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), inner).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_inner"))
+    )
+    return (
+        inner_counts.groupBy(
+            F.window(F.col("w"), outer).alias("w_outer"), F.col(key_col)
+        )
+        .agg(F.sum("n_inner").alias("n_events"))
+        .select(
+            F.col("w_outer.start").alias("window_start"),
+            key_col,
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )

@@ -312,3 +312,38 @@ def test_recent_buffer_tws_plan_and_gate(spark, tmp_path):
         pytest.skip("TWS state-server protocol needs protobuf (not in container)")
     rows = _run_to_memory(spark, tws, "rbt_out", "update")
     assert {(r.user_id, r.n_buffered) for r in rows} == {(1, 1)}
+
+
+def test_chained_windowed_aggregations(spark, tmp_path):
+    """Two event-time aggregations chained in one streaming query (minute
+    counts → 5-minute rollup): the outer window finalizes once the shared
+    watermark passes its end."""
+    from roar_spark.streaming.stateful import chained_windowed_counts
+
+    src = str(tmp_path / "cw")
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", event_id=0, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:00:10Z"),
+            _msg(1, "2026-08-13T09:00:01Z", event_id=1, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:00:20Z"),
+            _msg(2, "2026-08-13T09:00:02Z", event_id=2, kind="view", user_id=1, value=1.0,
+                 ts="2026-08-13T10:01:30Z"),  # second inner window, same outer
+            _msg(3, "2026-08-13T09:00:03Z", event_id=3, kind="click", user_id=2, value=1.0,
+                 ts="2026-08-13T10:03:00Z"),
+        ],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    rolled = chained_windowed_counts(parsed, "ts", "kind")
+    mover = [
+        # advances the watermark past 10:05 → outer window [10:00, 10:05) closes
+        _msg(4, "2026-08-13T09:00:04Z", event_id=4, kind="view", user_id=1, value=1.0,
+             ts="2026-08-13T10:07:00Z"),
+    ]
+    rows = _run_to_memory(spark, rolled, "cw_out", "append", src_more=mover, src=src)
+    got = {(r.window_start.isoformat(), r.kind): r.n_events for r in rows}
+    # 3 views across two minute-windows collapse into one 5-minute row
+    assert got.get(("2026-08-13T10:00:00", "view")) == 3
+    assert got.get(("2026-08-13T10:00:00", "click")) == 1
