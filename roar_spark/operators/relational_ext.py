@@ -383,3 +383,43 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+DQ_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of ``orders``: per-column row/null/distinct
+    counts — the validation pass a pipeline runs before trusting a drop.
+
+    ONE aggregation computes every column's metrics (the count-distincts
+    expand map-side; no per-column table rescans — profiling N columns
+    costs one scan, which is the only acceptable cost at 100 TB), then a
+    six-row stack() unpivot reshapes metrics into rows. Counts only — no
+    min/max, whose cross-engine float formatting is non-portable."""
+    orders = load_table(spark, "orders", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in DQ_PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(c).alias(f"{c}__nd"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd" for c in DQ_PROFILE_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(DQ_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nonnull, n_distinct)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+            "n_distinct",
+        )
+        .orderBy("column_name")
+    )

@@ -1304,3 +1304,27 @@ _register(
     ORDER BY user_id, day
     """,
 )
+
+_register(
+    "dq_profile",
+    RX.dq_profile,
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS o_orderkey__nn, COUNT(DISTINCT o_orderkey) AS o_orderkey__nd,
+             COUNT(o_custkey) AS o_custkey__nn, COUNT(DISTINCT o_custkey) AS o_custkey__nd,
+             COUNT(o_orderstatus) AS o_orderstatus__nn, COUNT(DISTINCT o_orderstatus) AS o_orderstatus__nd,
+             COUNT(o_totalprice) AS o_totalprice__nn, COUNT(DISTINCT o_totalprice) AS o_totalprice__nd,
+             COUNT(o_orderdate) AS o_orderdate__nn, COUNT(DISTINCT o_orderdate) AS o_orderdate__nd,
+             COUNT(o_orderpriority) AS o_orderpriority__nn, COUNT(DISTINCT o_orderpriority) AS o_orderpriority__nd
+      FROM orders)
+    SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+      SELECT 'o_orderkey' AS column_name, n_rows, n_rows - o_orderkey__nn AS n_nulls, o_orderkey__nd AS n_distinct FROM m
+      UNION ALL SELECT 'o_custkey' AS column_name, n_rows, n_rows - o_custkey__nn AS n_nulls, o_custkey__nd AS n_distinct FROM m
+      UNION ALL SELECT 'o_orderstatus' AS column_name, n_rows, n_rows - o_orderstatus__nn AS n_nulls, o_orderstatus__nd AS n_distinct FROM m
+      UNION ALL SELECT 'o_totalprice' AS column_name, n_rows, n_rows - o_totalprice__nn AS n_nulls, o_totalprice__nd AS n_distinct FROM m
+      UNION ALL SELECT 'o_orderdate' AS column_name, n_rows, n_rows - o_orderdate__nn AS n_nulls, o_orderdate__nd AS n_distinct FROM m
+      UNION ALL SELECT 'o_orderpriority' AS column_name, n_rows, n_rows - o_orderpriority__nn AS n_nulls, o_orderpriority__nd AS n_distinct FROM m)
+    ORDER BY column_name
+    """,
+)
