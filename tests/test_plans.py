@@ -203,3 +203,32 @@ def test_decontaminate_broadcasts_eval_side(spark):
 
 def test_top_tokens_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "text_top_tokens")
+
+
+def test_gap_fill_single_user_shuffle(spark):
+    # daily collapse, calendar explode, fill join and both windows all
+    # meet on ONE user_id hash partitioning; no range/cartesian blowup
+    p = plan_of(spark, "events_gap_fill")
+    assert "hashpartitioning(user_id" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cohort_retention_no_range_join(spark):
+    p = plan_of(spark, "events_cohort_retention")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dq_profile_is_single_scan(spark):
+    # profiling all columns must cost ONE table scan (tree + detail
+    # sections each name the node once → max 2 mentions)
+    p = plan_of(spark, "dq_profile")
+    assert p.count("Scan parquet") <= 2
+    assert "Expand" in p  # multi-count-distinct expansion, map-side
+
+
+def test_frame_sample_is_arrow_batched(spark):
+    p = plan_of(spark, "multimodal_frame_sample")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
