@@ -57,3 +57,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# Temperature resampling: α-smoothed mixture weights (w_l ∝ n_l^α, α=0.5 —
+# the standard multilingual-corpus smoothing) over a fixed doc budget.
+# sqrt(n) is scaled to an INTEGER (×1e6, floor) before the cross-stratum
+# sum so the normalizer is exact and order-independent — a plain double
+# SUM would make the sample depend on partition reduce order.
+TEMP_BUDGET_DOCS = 250
+_TEMP_SCALE = 1_000_000
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature sampling by language: low-resource strata are
+    up-weighted (w_l ∝ √n_l), each stratum keeps a content-stable hash
+    sample at its own rate, so the result is reproducible under
+    reprocessing AND any partitioning. Per-stratum math is a broadcast of
+    a few rows; the corpus-side work is one scan + hash filter."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.floor(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_SCALE).cast("long")
+    scaled = counts.withColumn("sq", sq)
+    z = scaled.agg(F.sum("sq").alias("z"))
+    frac = (
+        scaled.crossJoin(F.broadcast(z))
+        .withColumn(
+            "sample_frac",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(TEMP_BUDGET_DOCS))
+                * F.col("sq").cast("double")
+                / F.col("z").cast("double")
+                / F.col("n_docs").cast("double"),
+            ),
+        )
+        .withColumn("cutoff", F.floor(F.col("sample_frac") * 0x10000).cast("long"))
+        .select("lang", "n_docs", "sample_frac", "cutoff")
+    )
+    return (
+        docs.join(F.broadcast(frac), "lang")
+        .filter(_hash16(F.col("doc_id")) < F.col("cutoff"))
+        .select("lang", F.round(F.col("sample_frac"), 6).alias("sample_frac"), "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# Deterministic global shuffle: content-keyed order + shard assignment.
+N_SHUFFLE_SHARDS = 16
+
+
+def dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order materialization: a content-stable global shuffle.
+    Every doc gets a uniform shuffle key md5("shuffle0|" + doc_id) and a
+    shard = top byte of the key mod 16; ordering by key IS the shuffled
+    order. No RNG state, reproducible on any engine/cluster; at scale the
+    ORDER BY is a range-partitioned sort whose output file order carries
+    the global position implicitly — no single-partition row_number()
+    anywhere (that window would serialize the whole corpus through one
+    task)."""
+    docs = load_table(spark, "documents", sf_dir)
+    key = F.md5(F.concat(F.lit("shuffle0|"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(key, 1, 2), 16, 10).cast("long") % N_SHUFFLE_SHARDS).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id", key.alias("shuffle_key"), shard.alias("shard")
+    ).orderBy("shuffle_key")

@@ -446,3 +446,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    serving compression step of an embedding pipeline. Per vector:
+    abs_max = max |x_i|, q_i = floor(x_i * 127/abs_max + 0.5) (explicit
+    half-up, identical arithmetic in any IEEE engine — no banker's-
+    rounding divergence). Pure per-row projection over built-in array
+    expressions: embarrassingly parallel, no shuffle but the final sort,
+    no Python."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    abs_max = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.lit(127.0) / abs_max
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(abs_max, 6).alias("abs_max"),
+        q.alias("q_embedding"),
+    ).orderBy("vec_id")

@@ -163,3 +163,77 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(TOP_TOKENS_K)
     )
+
+
+# Gopher-style repetition/quality gate thresholds (Rae et al. 2021 §A1.1
+# shapes, constants calibrated to this corpus so the flag is non-trivial).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.2
+GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.1
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher rules family):
+    per-doc token count, fraction of token-bigram occurrences taken by the
+    single most frequent bigram, fraction of trigram occurrences whose
+    trigram repeats within the doc, alphabetic-token ratio, and the
+    resulting keep/drop flag.
+
+    Shape: one token explode feeds two n-gram aggregations (each keyed by
+    (doc_id, gram) then re-aggregated by doc_id — partial aggregation
+    collapses repeats map-side) joined back to the per-doc projection on
+    doc_id. Every shuffle is keyed by doc_id or (doc_id, gram); nothing is
+    quadratic and no Python runs."""
+    from roar_spark.functions.text_fns import word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            docs.filter(F.size(toks) >= n)
+            .select("doc_id", F.explode(word_shingles(toks, n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    bigram = gram_counts(2).groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_bigram_frac"
+        )
+    )
+    trigram = gram_counts(3).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_trigram_frac")
+    )
+    joined = (
+        base.join(bigram, "doc_id", "left")
+        .join(trigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)).alias("dup_trigram_frac"),
+            "alpha_ratio",
+        )
+    )
+    keep = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        & (F.col("dup_trigram_frac") <= GOPHER_MAX_DUP_TRIGRAM_FRAC)
+    )
+    return joined.withColumn("gopher_pass", keep).orderBy("doc_id")

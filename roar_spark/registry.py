@@ -878,6 +878,42 @@ _register(
 )
 
 _register(
+    "sample_temperature",
+    SM.sample_temperature,
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    scaled AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+      FROM counts),
+    z AS (SELECT SUM(sq) AS z FROM scaled),
+    frac AS (
+      SELECT lang,
+             LEAST(1.0, 250.0 * CAST(sq AS DOUBLE) / CAST(z.z AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE)) AS sample_frac
+      FROM scaled CROSS JOIN z)
+    SELECT d.lang, round(f.sample_frac, 6) AS sample_frac, d.doc_id
+    FROM documents d JOIN frac f ON d.lang = f.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          < CAST(floor(f.sample_frac * 65536) AS BIGINT)
+    ORDER BY d.lang, d.doc_id
+    """,
+)
+
+_register(
+    "dataset_shuffle",
+    SM.dataset_shuffle,
+    """
+    SELECT doc_id,
+           md5('shuffle0|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(('0x' || substr(md5('shuffle0|' || CAST(doc_id AS VARCHAR)), 1, 2))
+                AS BIGINT) % 16 AS shard
+    FROM documents
+    ORDER BY shuffle_key
+    """,
+)
+
+_register(
     "agg_salted_twophase",
     RX.agg_salted_twophase,
     """

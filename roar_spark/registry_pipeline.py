@@ -317,3 +317,58 @@ PIPELINE_ORACLES["text_bpe_tokens"] = f"""
            bpe[1] AS first_bpe_token
     FROM t ORDER BY doc_id
 """
+
+PIPELINE_QUERIES["text_gopher_quality"] = X.text_gopher_quality
+PIPELINE_ORACLES["text_gopher_quality"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             round(CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE), 6) AS alpha_ratio
+      FROM tok),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS g
+      FROM tok WHERE len(t) >= 2),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (SELECT doc_id,
+                   round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                     AS top_bigram_frac
+            FROM bgc GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM tok WHERE len(t) >= 3),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    tga AS (SELECT doc_id,
+                   round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(c) AS DOUBLE), 6) AS dup_trigram_frac
+            FROM tgc GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(bga.top_bigram_frac, 0.0) AS top_bigram_frac,
+           COALESCE(tga.dup_trigram_frac, 0.0) AS dup_trigram_frac,
+           b.alpha_ratio,
+           (b.n_tokens >= {X.GOPHER_MIN_TOKENS}
+            AND b.n_tokens <= {X.GOPHER_MAX_TOKENS}
+            AND COALESCE(bga.top_bigram_frac, 0.0) <= {X.GOPHER_MAX_TOP_BIGRAM_FRAC}
+            AND COALESCE(tga.dup_trigram_frac, 0.0) <= {X.GOPHER_MAX_DUP_TRIGRAM_FRAC})
+             AS gopher_pass
+    FROM base b
+    LEFT JOIN bga ON b.doc_id = bga.doc_id
+    LEFT JOIN tga ON b.doc_id = tga.doc_id
+    ORDER BY b.doc_id
+"""
+
+PIPELINE_QUERIES["embedding_quantize"] = S.embedding_quantize
+PIPELINE_ORACLES["embedding_quantize"] = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS abs_max
+      FROM embeddings)
+    SELECT vec_id, round(abs_max, 6) AS abs_max,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / abs_max) + 0.5) AS INTEGER))
+             AS q_embedding
+    FROM e ORDER BY vec_id
+"""

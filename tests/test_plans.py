@@ -232,3 +232,38 @@ def test_frame_sample_is_arrow_batched(spark):
     p = plan_of(spark, "multimodal_frame_sample")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_sample_temperature_broadcasts_rates(spark):
+    # per-stratum rates are a handful of rows: the corpus-side join must
+    # broadcast them, never shuffle the documents on lang
+    p = plan_of(spark, "sample_temperature")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dataset_shuffle_prunes_to_id(spark):
+    # shuffle key derives from doc_id only — the scan must not read text
+    p = plan_of(spark, "dataset_shuffle")
+    read_schema = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema
+    # global order comes from a range-partitioned sort, not a single task
+    assert "rangepartitioning" in p.lower()
+    assert "BatchEvalPython" not in p
+
+
+def test_gopher_quality_keyed_shuffles_only(spark):
+    # two n-gram aggregations + joins, all keyed by doc_id / (doc_id, g):
+    # no cartesian pair space, no Python in the plan
+    p = plan_of(spark, "text_gopher_quality")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final per n-gram stage
+
+
+def test_embedding_quantize_single_scan_no_python(spark):
+    p = plan_of(spark, "embedding_quantize")
+    assert p.count("Scan parquet") <= 2  # tree + detail sections
+    assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
