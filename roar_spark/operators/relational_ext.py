@@ -423,3 +423,55 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+RANGE_JOIN_WINDOW_SEC = 60
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested loop: for every purchase event,
+    count error events in the following 60 s (any user — incident
+    correlation).
+
+    A naive t-range join is O(n·m) (BroadcastNestedLoopJoin). This is the
+    bin-bucketed form: both sides get a minute-bin key; a 60 s window
+    starting anywhere spans at most two adjacent bins, so the probe side
+    fans out to (bin, bin+1) and the join is a plain EQUI-join on the bin
+    key with the exact (ts, ts+60 s] predicate as a cheap post-filter.
+    Shuffle is keyed by time bin — uniform for event streams — and cost is
+    candidates-per-bin, linear at any scale. The same shape handles any
+    bounded-window interval join (the streaming twin is
+    stream_stream_join's watermarked time-range join)."""
+    ev = load_table(spark, "events", sf_dir)
+    win = RANGE_JOIN_WINDOW_SEC
+    bin_of = lambda c: F.floor(c.cast("double") / win).cast("long")  # noqa: E731
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        bin_of(F.col("ts")).alias("bin"),
+    )
+    probe = purchases.withColumn("probe", F.explode(F.array(F.col("bin"), F.col("bin") + 1))).drop(
+        "bin"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), bin_of(F.col("ts")).alias("probe")
+    )
+    hits = (
+        probe.join(errors, "probe")
+        .filter(
+            (F.col("e_ts") > F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {win} SECONDS"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        purchases.select("purchase_id", "p_ts")
+        .join(hits, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.col("p_ts").alias("purchase_ts"),
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors_60s"),
+        )
+        .orderBy("purchase_id")
+    )

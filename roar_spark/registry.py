@@ -878,6 +878,25 @@ _register(
 )
 
 _register(
+    "events_range_join",
+    RX.events_range_join,
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS e_ts FROM events WHERE event_type = 'error')
+    SELECT p.purchase_id,
+           p.p_ts AS purchase_ts,
+           COUNT(e.e_ts) AS n_errors_60s
+    FROM p LEFT JOIN e
+      ON e.e_ts > p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 60 SECOND
+    GROUP BY p.purchase_id, p.p_ts
+    ORDER BY p.purchase_id
+    """,
+)
+
+_register(
     "sample_temperature",
     SM.sample_temperature,
     """

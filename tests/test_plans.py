@@ -267,3 +267,11 @@ def test_embedding_quantize_single_scan_no_python(spark):
     p = plan_of(spark, "embedding_quantize")
     assert p.count("Scan parquet") <= 2  # tree + detail sections
     assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+
+
+def test_range_join_is_bin_bucketed(spark):
+    # the interval join must be an equi-join on the minute bin (probe side
+    # exploded to 2 bins), never a nested-loop over the t-range predicate
+    p = plan_of(spark, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Generate" in p
