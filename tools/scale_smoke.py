@@ -1,0 +1,142 @@
+"""Scale smoke: measure the pipeline operators on synthetic corpora well
+beyond the driver SFs, to check the SCALE.md claims with numbers instead
+of asymptotics ("measure, don't guess").
+
+Generates documents/embeddings parquet (same schemas as the driver
+corpus) at several row counts under /tmp/roar_scale/n{N}/ and times each
+operator end-to-end (full collect). Near-linear wall-clock growth across
+the sizes is the pass signal for the sub-quadratic paths; the quadratic-
+by-definition ops (sim_cosine_pairs) are capped at the smaller sizes.
+
+Usage:
+    python tools/scale_smoke.py [--sizes 5000,20000,80000] [--ops op1,op2]
+
+Manual tool, not part of pytest — a full run is minutes of wall-clock.
+Results from this box are recorded in SCALE.md §measured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/tmp/roar_scale"
+VOCAB = [f"w{i}" for i in range(2000)]
+DOC_TOKENS = 60
+NEAR_DUP_FRAC = 0.005
+EMB_DIM = 64
+
+# ops timed at every size vs. ops with quadratic output/work by definition
+LINEAR_OPS = [
+    "dedup_exact",
+    "dedup_dataset",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_gopher_quality",
+    "text_stats",
+    "sim_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_quantize",
+    "dataset_shuffle",
+    "sample_temperature",
+]
+QUADRATIC_OPS = ["sim_cosine_pairs"]
+QUADRATIC_CAP = 20_000
+
+
+def gen_corpus(n: int) -> str:
+    """Deterministic synthetic corpus: zipf-ish token draws, 0.5% planted
+    near-dups (one token changed), N(0,1) embeddings with planted
+    neighbors for the ANN ops."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"{BASE}/n{n}"
+    if os.path.exists(f"{out}/embeddings.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = random.Random(42)
+    weights = [1.0 / (i + 10) for i in range(len(VOCAB))]
+    texts: list[str] = []
+    for i in range(n):
+        if i > 0 and rng.random() < NEAR_DUP_FRAC:
+            toks = texts[rng.randrange(i)].split(" ")
+            toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+            texts.append(" ".join(toks))
+        else:
+            texts.append(" ".join(rng.choices(VOCAB, weights=weights, k=DOC_TOKENS)))
+    langs = [rng.choices(["en", "es", "de", "fr", "zh"], [6, 1, 1, 1, 1])[0] for _ in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array([f"src{i % 20}" for i in range(n)]),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+    nprng = np.random.default_rng(42)
+    emb = nprng.standard_normal((n, EMB_DIM)).astype("float32")
+    for i in range(0, min(n, 200), 20):  # planted near neighbors
+        emb[i + 1] = emb[i] + 0.05 * nprng.standard_normal(EMB_DIM).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in emb], pa.list_(pa.float32())),
+                "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,20000,80000")
+    ap.add_argument("--ops", default=None)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    ops = args.ops.split(",") if args.ops else LINEAR_OPS + QUADRATIC_OPS
+
+    from roar_spark.registry import QUERIES
+    from roar_spark.session import get_spark
+
+    spark = get_spark(app_name="roar_scale_smoke")
+    spark.range(64).selectExpr("id", "id % 8 as g").groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"
+    ).collect()
+
+    dirs = {n: gen_corpus(n) for n in sizes}
+    print(f"{'op':28s}" + "".join(f"{f'n={n}':>14s}" for n in sizes))
+    digest = hashlib.md5()
+    for op in ops:
+        row = []
+        for n in sizes:
+            if op in QUADRATIC_OPS and n > QUADRATIC_CAP:
+                row.append("capped")
+                continue
+            t0 = time.perf_counter()
+            res = QUERIES[op](spark, dirs[n]).collect()
+            dt = time.perf_counter() - t0
+            row.append(f"{dt:.1f}s/{len(res)}r")
+            digest.update(f"{op}:{n}:{len(res)}".encode())
+        print(f"{op:28s}" + "".join(f"{c:>14s}" for c in row))
+    print(f"result-shape digest: {digest.hexdigest()[:12]}")
+
+
+if __name__ == "__main__":
+    main()
