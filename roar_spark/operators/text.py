@@ -165,6 +165,98 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing: the redaction pass every training-data pipeline runs
+# before anything else. Patterns are the lookahead-free common subset of
+# Java regex (Spark) and RE2 (DuckDB) so both engines match identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with audit counts: emails / phone numbers / IPv4s are
+    counted then replaced by typed placeholders; the scrubbed text is
+    returned as an md5 so the oracle compares full redacted content
+    without hauling text through the result.
+
+    The corpus text is synthetic and PII-free, so the op PLANTS
+    deterministic PII derived from doc_id (same expression in the SQL
+    oracle) — this makes the cross-engine comparison actually exercise
+    every regex path instead of vacuously agreeing on zero matches.
+
+    Shape: pure per-row projection, no shuffle but the final orderBy —
+    scrubbing 100 TB is exactly a map-only scan and stays JVM-side
+    (regexp_replace is a codegen'd Catalyst expression, no Python)."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit("."), (did % 100).cast("string"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+    )
+    n_of = lambda c, p: F.size(F.regexp_extract_all(c, F.lit(p), 0)).cast("long")  # noqa: E731
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        n_of(planted, PII_EMAIL_RE).alias("n_emails"),
+        n_of(planted, PII_PHONE_RE).alias("n_phones"),
+        n_of(planted, PII_IP_RE).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate measurement (the RefinedWeb/CCNet-style
+    duplicated-n-gram signal): per doc, the fraction of its distinct word
+    3-grams that also occur in at least one OTHER document. Near-duplicate
+    and template-heavy docs score high and get dropped by the curation
+    gate downstream.
+
+    Shape: distinct (doc_id, shingle) explode → document frequency per
+    shingle (one partial-agg shuffle keyed by shingle) → join back on
+    shingle → per-doc re-aggregation keyed by doc_id. Nothing quadratic:
+    unlike pairwise dedup, the cross-doc signal here is just df ≥ 2, so
+    the hot-shingle skew that plagues pair generation is absorbed by
+    partial aggregation (each partition pre-counts its shingles map-side;
+    AQE skew-join handles the residual on the df join at scale)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    from roar_spark.functions.text_fns import word_shingles
+
+    sh = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(word_shingles(toks))).alias("shingle"))
+    )
+    df_freq = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        sh.join(df_freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Gopher-style repetition/quality gate thresholds (Rae et al. 2021 §A1.1
 # shapes, constants calibrated to this corpus so the flag is non-trivial).
 GOPHER_MIN_TOKENS = 20

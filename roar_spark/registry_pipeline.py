@@ -372,3 +372,81 @@ PIPELINE_ORACLES["embedding_quantize"] = """
              AS q_embedding
     FROM e ORDER BY vec_id
 """
+
+# --- round-2 additions: PII scrub, boilerplate n-grams, sequence packing ---
+
+from roar_spark.operators import packing as P  # noqa: E402
+
+PIPELINE_QUERIES["text_pii_scrub"] = X.text_pii_scrub
+PIPELINE_ORACLES["text_pii_scrub"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS planted
+      FROM documents),
+    s AS (
+      SELECT doc_id, planted,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(planted, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{X.PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{X.PII_IP_RE}', '<IP>', 'g') AS scrubbed
+      FROM p)
+    SELECT doc_id,
+           len(regexp_extract_all(planted, '{X.PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(planted, '{X.PII_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(planted, '{X.PII_IP_RE}')) AS n_ips,
+           md5(scrubbed) AS scrubbed_md5,
+           LENGTH(scrubbed) AS scrubbed_len
+    FROM s ORDER BY doc_id
+"""
+
+PIPELINE_QUERIES["text_dup_ngrams"] = X.text_dup_ngrams
+PIPELINE_ORACLES["text_dup_ngrams"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE len(t) >= 3) raw),
+    freq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM sh JOIN freq USING (s)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+PIPELINE_QUERIES["pack_sequences"] = P.pack_sequences
+PIPELINE_ORACLES["pack_sequences"] = f"""
+    WITH d AS (SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents),
+    laid AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM d),
+    spans AS (
+      SELECT source, doc_id, st, st + n_tok AS en,
+             unnest(generate_series(CAST(st // {P.PACK_WINDOW} AS BIGINT),
+                                    CAST((st + n_tok - 1) // {P.PACK_WINDOW} AS BIGINT)))
+               AS window_id
+      FROM laid)
+    SELECT source, CAST(window_id AS BIGINT) AS window_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(en, (window_id + 1) * {P.PACK_WINDOW})
+                    - GREATEST(st, window_id * {P.PACK_WINDOW})) AS BIGINT)
+             AS window_tokens
+    FROM spans GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -275,3 +275,29 @@ def test_range_join_is_bin_bucketed(spark):
     p = plan_of(spark, "events_range_join")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Generate" in p
+
+
+def test_pii_scrub_map_only_no_python(spark):
+    # redaction is a pure projection: one scan, no exchange before the
+    # final sort, nothing leaves the JVM
+    p = plan_of(spark, "text_pii_scrub")
+    assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert p.count("Scan parquet") <= 2  # tree + detail sections
+    assert "HashAggregate" not in p
+
+
+def test_dup_ngrams_keyed_shuffles_only(spark):
+    # df computation + join back are keyed by shingle / doc_id — no pair
+    # explosion, no Python
+    p = plan_of(spark, "text_dup_ngrams")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_pack_sequences_sharded_window(spark):
+    # the running offset must be partitioned by source (parallel across
+    # shards), never a global single-partition window
+    p = plan_of(spark, "pack_sequences")
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p
