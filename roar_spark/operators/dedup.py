@@ -58,9 +58,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs."""
-    docs = load_table(spark, "documents", sf_dir)
+def _doc_shingles(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs.
+
+    ``spread=True``: the tokenize+shingle+md5 pipeline above this table is
+    the heaviest map work in the dedup family, and a single-row-group
+    documents file would serialize it through a handful of tasks (measured
+    12.5 s for the 4-task shingle build at n=80k vs ~3 s spread). Callers
+    that PERSIST the result also inherit the spread partitioning for every
+    downstream stage, which is where most of the win lives."""
+    docs = load_table(spark, "documents", sf_dir, spread=spread)
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
         # filter BEFORE shingling: F.sequence(0, size-3) runs backwards for
@@ -143,7 +150,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     see _prefix_candidates) and are verified with the candidate-driven
     exact Jaccard; output is provably identical to the full co-shingle
     join the DuckDB oracle computes."""
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     cand = _prefix_candidates(sh, JACCARD_THRESHOLD)
     return (
         _verify_pairs(cand, sh)
@@ -161,21 +168,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the SAME banding, so output matches exactly even for
     the probabilistic part.
     """
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     sig = sh.groupBy("doc_id").agg(
         *[F.min(minhash_str(F.col("shingle"), j)).alias(f"mh{j}") for j in range(N_MINHASH)]
     )
     rows_per_band = N_MINHASH // N_BANDS
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "band_key"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # Single-pass banding: explode one array of (band, band_key) structs per
+    # doc. A per-band union of selects over `sig` re-evaluates the whole
+    # signature aggregation once PER BAND (4 copies of the min-agg map side
+    # — measured as the dominant cost at n=80k); the explode plan computes
+    # it exactly once.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     a = bands.alias("a")
     b2 = bands.alias("b")
     cand = (
