@@ -83,6 +83,39 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, spread: bool = False) -> Dat
 JACCARD_THRESHOLD = 0.5
 
 
+def _bucket_pairs(df: DataFrame, *keys: str) -> DataFrame:
+    """Distinct (doc_id_a < doc_id_b) pairs of docs sharing a bucket key.
+
+    One shuffle groups ``df`` by ``keys`` and collects each bucket's sorted
+    doc ids; the i<j pairs are then expanded MAP-SIDE with nested array
+    transforms. The equivalent self-join evaluates the (often expensive)
+    plan below ``df`` once per join side and shuffles it twice — this form
+    computes it once and shuffles it once. In-bucket expansion is quadratic
+    per bucket by definition (a bucket IS the candidate set); callers keep
+    buckets small (chained-minhash band keys, rarest-prefix shingles)."""
+    ids = F.sort_array(F.collect_list("doc_id"))
+    return (
+        df.groupBy(*keys)
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
+
+
 def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """Candidate pairs via the PREFIX FILTER (Bayardo et al. / SSJoin):
     shingles are canonically ordered by (global frequency asc, shingle),
@@ -105,32 +138,39 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
     ).select("doc_id", "shingle")
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    # bucket-grouped pair expansion (see _bucket_pairs): the prefix
+    # pipeline (freq join + window) is computed once, not once per
+    # self-join side
+    return _bucket_pairs(prefix, "shingle")
 
 
 def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Candidate-driven exact Jaccard (shared with dedup_minhash_lsh's
-    verification): per-side joins into the shingle table count |A∩B| for
-    candidate pairs only — O(|candidates| · shingles/doc), no shingle
-    self-join anywhere."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    exp_a = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
-    inter = (
-        exp_a.join(sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"), ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    verification): collect each doc's distinct shingles into a sorted
+    array ONCE, join candidates to the two per-doc arrays, and compute
+    |A∩B| map-side with ``array_intersect`` inside codegen.
+
+    The earlier form expanded every candidate to one row PER SHINGLE and
+    re-joined the shingle table — O(|cand| · shingles/doc) rows through a
+    hash-join shuffle (measured 21M rows / ~9 s at sf0.1 where the corpus'
+    30-word vocabulary makes 409k of the 12.5M doc pairs candidates).
+    Here the shuffled volume is |cand| + 2 scans of doc-sized arrays, and
+    the per-pair set intersection is pure whole-stage-codegen compute —
+    the same work lands in the CPU, not the network."""
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("n_shingles"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("sset_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sset").alias("sset_b"), F.col("n_shingles").alias("n_b")
+    )
     return (
-        inter.join(sa, "doc_id_a")
+        cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sset_a", "sset_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -139,6 +179,7 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
                 6,
             ),
         )
+        .drop("sset_a", "sset_b")
     )
 
 
@@ -151,7 +192,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard; output is provably identical to the full co-shingle
     join the DuckDB oracle computes."""
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
-    cand = _prefix_candidates(sh, JACCARD_THRESHOLD)
+    # Materialize the cache BEFORE the plan branches: sh feeds the
+    # frequency/size/prefix pipeline AND both verification sides. A lazy
+    # persist populates per-partition on first touch, and the branches of
+    # one action race — each can miss and recompute the whole
+    # tokenize+shingle build (measured: the no-op count is ~0.3 s; the
+    # racing recompute costs multiples of the full query).
+    sh.count()
+    # Materialized too: without stats Catalyst guesses the candidate side
+    # small and broadcasts it — which executes the whole
+    # freq-join+window+bucket-pair subtree ON THE DRIVER (measured ~20 s);
+    # cached, the broadcast is a cheap cache read and AQE sees real sizes.
+    cand = _prefix_candidates(sh, JACCARD_THRESHOLD).persist()
+    cand.count()
     return (
         _verify_pairs(cand, sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -169,6 +222,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probabilistic part.
     """
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
+    # Materialize the cache before the plan branches (same rationale as
+    # dedup_ngram_jaccard): sh feeds the signature aggregation AND both
+    # verification sides; a lazy persist lets those branches race and
+    # recompute the shingle build several times over (measured 12-31 s for
+    # the full query cold vs ~3 s with the cache populated).
+    sh.count()
     sig = sh.groupBy("doc_id").agg(
         *[F.min(minhash_str(F.col("shingle"), j)).alias(f"mh{j}") for j in range(N_MINHASH)]
     )
@@ -194,18 +253,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    # Candidates by bucket grouping, not a bands⋈bands self-join (see
+    # _bucket_pairs): the signature pipeline is computed once and the band
+    # table shuffles once. Band keys are 2 chained minhashes, so bucket
+    # cardinality stays near 1 except for true near-dup groups.
+    cand = _bucket_pairs(bands, "band", "band_key")
     # Candidate-driven verification (the 100 TB shape, stronger than the
     # round-1 footnote's semi-join): exact Jaccard only for candidate
     # pairs via _verify_pairs — the shingle self-join never runs, cost is
