@@ -6,10 +6,10 @@ Surface parity (SURVEY.md §2 A22-A26):
 - ListFlights  → one FlightInfo per schema-bearing stream: descriptor
   path=[topic], ticket=topic, total_records/bytes = -1 (unbounded stream,
   flight/server.go:120-121)
-- GetFlightInfo(topic) → same info; unknown topic → error (the reference
-  returns codes.NotFound, flight/server.go:156-160; pyarrow's Python
-  server API exposes no NOT_FOUND error class, so UNAVAILABLE is raised —
-  documented divergence. We do NOT create-on-probe — §2.3.7.)
+- GetFlightInfo(topic) → same info; unknown topic → gRPC NOT_FOUND, same
+  code as the reference (flight/server.go:156-160): the engine's KeyError
+  propagates and pyarrow maps it to NOT_FOUND on the wire (clients see
+  ArrowKeyError). We do NOT create-on-probe — §2.3.7.
 - metadata RPCs (ListFlights/GetFlightInfo/GetSchema) resolve schemas
   WITHOUT touching stream state: no TTL refresh, no request-counter bump
   (the reference bumps LastUpdated only on data reads, GetBatches —
@@ -68,26 +68,21 @@ class RoarFlightServer(flight.FlightServerBase):
         for topic in self._engine.list_streams():
             yield self._info(topic)
 
+    # Unknown topics: the engine's KeyError propagates UNCAUGHT — pyarrow
+    # maps a Python KeyError raised in a server handler to gRPC NOT_FOUND
+    # on the wire (clients see ArrowKeyError), matching the reference's
+    # codes.NotFound (flight/server.go:156-160). Wrapping it in a
+    # FlightError subclass would DOWNGRADE parity: pyarrow exposes no
+    # NOT_FOUND FlightError class, only UNAVAILABLE et al.
+
     def get_flight_info(self, context, descriptor):  # A23
-        topic = descriptor.path[0].decode()
-        try:
-            return self._info(topic)
-        except KeyError:
-            raise flight.FlightUnavailableError(f"stream not found: {topic}") from None
+        return self._info(descriptor.path[0].decode())
 
     def get_schema(self, context, descriptor):  # A24
-        topic = descriptor.path[0].decode()
-        try:
-            return flight.SchemaResult(self._arrow_schema(topic))
-        except KeyError:
-            raise flight.FlightUnavailableError(f"stream not found: {topic}") from None
+        return flight.SchemaResult(self._arrow_schema(descriptor.path[0].decode()))
 
     def do_get(self, context, ticket):  # A25
-        topic = ticket.ticket.decode()
-        try:
-            table = self._engine.fetch(topic, limit=-1).toArrow()
-        except KeyError:
-            raise flight.FlightUnavailableError(f"stream not found: {topic}") from None
+        table = self._engine.fetch(ticket.ticket.decode(), limit=-1).toArrow()
         return flight.RecordBatchStream(table)
 
     def do_action(self, context, action):  # A26

@@ -67,8 +67,15 @@ def test_flight_info_unbounded_totals(served_engine):
 def test_unknown_topic_not_found_and_no_create_on_probe(served_engine):
     engine, location = served_engine
     client = flight.connect(location)
-    with pytest.raises(flight.FlightError):
+    # the engine's KeyError crosses the wire as gRPC NOT_FOUND (pyarrow
+    # surfaces it as ArrowKeyError) — the reference's exact status code
+    # (flight/server.go:156-160), not UNAVAILABLE/UNKNOWN
+    import pyarrow as pa
+
+    with pytest.raises(pa.lib.ArrowKeyError):
         client.get_flight_info(flight.FlightDescriptor.for_path("ghost"))
+    with pytest.raises(pa.lib.ArrowKeyError):
+        client.do_get(flight.Ticket(b"ghost"))
     # reference quirk NOT replicated: the probe must not create a stream
     assert engine.list_streams() == ["clicks"]
 
