@@ -104,6 +104,14 @@ def load_table(
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             # integer div — epoch-ns (~1.7e18) overflows double precision
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Files written with TIMESTAMP(isAdjustedToUTC=false) surface as
+    # TIMESTAMP_NTZ; normalize to TimestampType so epoch arithmetic
+    # (unix_micros & co.) works uniformly. Session tz is UTC, so the cast
+    # reinterprets the same wall-clock as the same instant — value-identical
+    # to what the DuckDB oracle sees (naive timestamps).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if spread and name not in BROADCAST_TABLES:
         parallelism = spark.sparkContext.defaultParallelism
         groups, rows = _scan_layout(path)
