@@ -475,3 +475,53 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over hourly event counts —
+    the ops-dashboard "is this hour abnormal for this event type" query.
+
+    Each (event_type, hour) count is scored against the trailing 24 hourly
+    observations (ROWS frame, current hour excluded); hours with fewer
+    than 12 observed predecessors are unscored (cold start). Mean and
+    sample variance come from EXACT integer window sums (Σc and Σc² of
+    bigint counts), so the doubles on both engines derive from identical
+    integers through an identical operation order — bit-exact across
+    engines, unlike stddev_samp whose accumulation order is
+    engine-internal. Shape: one shuffle for the hourly pre-aggregation
+    (map-side combined), one hash shuffle on event_type for the window;
+    the window frame is O(24) state per row. The pre-aggregation bounds
+    the window input to |event_types| × |hours| rows regardless of raw
+    event volume."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type").orderBy("hour_start").rowsBetween(-24, -1)
+    c = F.col("n_events").cast("double")
+    n = F.col("hist_n").cast("double")
+    s = F.col("hist_s").cast("double")
+    ss = F.col("hist_ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    z = (c - mean) / F.sqrt(var)
+    return (
+        hourly.select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.count(F.lit(1)).over(w).alias("hist_n"),
+            F.sum("n_events").over(w).alias("hist_s"),
+            F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("hist_ss"),
+        )
+        .filter(F.col("hist_n") >= 12)
+        .select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.round(mean, 6).alias("trailing_mean"),
+            F.when(var > 0, F.round(z, 6)).alias("z_score"),
+            F.coalesce(F.abs(F.when(var > 0, z)) > 2.5, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("hour_start", "event_type")
+    )

@@ -897,6 +897,42 @@ _register(
 )
 
 _register(
+    "events_anomaly",
+    RX.events_anomaly,
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT hour_start, event_type, n_events,
+             COUNT(*) OVER w AS hist_n,
+             SUM(n_events) OVER w AS hist_s,
+             SUM(n_events * n_events) OVER w AS hist_ss
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT hour_start, event_type, n_events,
+             CAST(hist_s AS DOUBLE) / CAST(hist_n AS DOUBLE) AS mean,
+             (CAST(hist_ss AS DOUBLE)
+              - CAST(hist_s AS DOUBLE) * CAST(hist_s AS DOUBLE)
+                / CAST(hist_n AS DOUBLE))
+             / (CAST(hist_n AS DOUBLE) - 1.0) AS var
+      FROM win WHERE hist_n >= 12)
+    SELECT hour_start, event_type, n_events,
+           round(mean, 6) AS trailing_mean,
+           CASE WHEN var > 0 THEN
+             round((CAST(n_events AS DOUBLE) - mean) / sqrt(var), 6)
+           END AS z_score,
+           COALESCE(abs(CASE WHEN var > 0 THEN
+             (CAST(n_events AS DOUBLE) - mean) / sqrt(var) END) > 2.5,
+             FALSE) AS is_anomaly
+    FROM scored ORDER BY hour_start, event_type
+    """,
+)
+
+_register(
     "sample_temperature",
     SM.sample_temperature,
     """
