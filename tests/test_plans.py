@@ -317,3 +317,15 @@ def test_pack_sequences_sharded_window(spark):
     assert "hashpartitioning(source" in p
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_events_anomaly_preagg_before_window(spark):
+    # the hourly aggregation must run BEFORE the trailing window (two
+    # HashAggregate levels = partial+final), bounding the window's input to
+    # |event_types| x |hours| rows regardless of raw event volume; the
+    # window itself must not trigger Python or a nested loop
+    p = plan_of(spark, "events_anomaly")
+    assert "HashAggregate" in p and "Window" in p
+    assert p.index("HashAggregate") > p.index("Window")  # formatted plan is top-down: agg feeds window
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
