@@ -508,6 +508,98 @@ _register(
 
 _register("agg_stats_sketches", _agg_stats_sketches, None)  # rows-only
 
+
+def _agg_stats_exact(spark, sf_dir):
+    """EXACT twin of the statistical half of agg_stats_sketches: sample
+    stddev and Pearson correlation per return flag, plus exact distinct
+    parts. Where stddev_samp/corr are float-order-dependent (engine-
+    internal accumulation order over doubles), here every moment (Σq, Σq²,
+    Σp, Σp², Σqp) is an INTEGER sum — quantities are integral, prices are
+    2-decimal ×100-scaled — accumulated in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB), so the statistics derive from identical integers
+    through an identical double operation order: bit-exact cross-engine,
+    order- and partitioning-independent at any cluster size. Same
+    moment-sum technique as events_anomaly's z-scores. Shape: one scan,
+    map-side partial aggregation, a 3-row result."""
+    from pyspark.sql import functions as F
+
+    from roar_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    q = F.round(F.col("l_quantity")).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.select(
+        "l_returnflag",
+        "l_partkey",
+        q.alias("q"),
+        p.alias("p"),
+        (q * q).alias("q2"),
+        (p * p).alias("p2"),
+        (q * p).alias("qp"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    agg = g.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        dec("q").alias("sq"),
+        dec("q2").alias("sq2"),
+        dec("p").alias("sp"),
+        dec("p2").alias("sp2"),
+        dec("qp").alias("sqp"),
+    )
+    n = F.col("n_rows").cast("double")
+    sq = F.col("sq").cast("double")
+    sq2 = F.col("sq2").cast("double")
+    sp = F.col("sp").cast("double")
+    sp2 = F.col("sp2").cast("double")
+    sqp = F.col("sqp").cast("double")
+    var_q = n * sq2 - sq * sq
+    var_p = n * sp2 - sp * sp
+    cov = n * sqp - sq * sp
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "n_parts",
+        F.round(F.sqrt(var_q / (n * (n - F.lit(1.0)))), 6).alias("stddev_qty"),
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).alias("qty_price_corr"),
+    ).orderBy("l_returnflag")
+
+
+_register(
+    "agg_stats_exact",
+    _agg_stats_exact,
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_partkey,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem),
+    a AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             SUM(CAST(q AS HUGEINT)) AS sq,
+             SUM(CAST(q AS HUGEINT) * q) AS sq2,
+             SUM(CAST(p AS HUGEINT)) AS sp,
+             SUM(CAST(p AS HUGEINT) * p) AS sp2,
+             SUM(CAST(q AS HUGEINT) * p) AS sqp
+      FROM s GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows, n_parts,
+           round(sqrt((CAST(n_rows AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))),
+                 6) AS stddev_qty,
+           round((CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * sqrt(CAST(n_rows AS DOUBLE) * CAST(sp2 AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+                 6) AS qty_price_corr
+    FROM a ORDER BY l_returnflag
+    """,
+)
+
 # --- extended scalar surface + dataset dedup ------------------------------
 from roar_spark.operators import scalar_ext as SE  # noqa: E402
 
