@@ -155,12 +155,19 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic ordering: per order, the sorted
     list of its line numbers and quantities-by-line. collect_list is
     order-nondeterministic in a distributed engine, so the sort happens
-    explicitly AFTER collection (array_sort ↔ DuckDB list(… ORDER BY …))."""
+    explicitly AFTER collection (array_sort ↔ DuckDB list(… ORDER BY …)).
+    The list is serialized to a CSV string for the driver's canonicalizer
+    (raw array columns are unhashable in its pandas sort — r2 finding)."""
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 100 == 0)
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list(F.col("l_linenumber").cast("long"))).alias("line_numbers"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_linenumber").cast("long"))).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("line_numbers"),
             F.size(F.collect_list("l_linenumber")).cast("long").alias("n_lines"),
         )
         .orderBy("l_orderkey")

@@ -496,8 +496,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
     )
+    # Serialized (CSV string, not array<int>) because the driver's result
+    # canonicalizer sorts rows via pandas and raw list columns are
+    # unhashable there (r2 `err`). Same digits either engine: int→string
+    # cast is locale-free in both Spark and DuckDB.
     return emb.select(
         "vec_id",
         F.round(F.col("_abs_max"), 6).alias("abs_max"),
-        q.alias("q_embedding"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_embedding"),
     ).orderBy("vec_id")

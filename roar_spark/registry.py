@@ -868,7 +868,8 @@ _register(
     RX.agg_array_collect,
     """
     SELECT l_orderkey,
-           list(CAST(l_linenumber AS BIGINT) ORDER BY l_linenumber) AS line_numbers,
+           array_to_string(list(CAST(l_linenumber AS BIGINT) ORDER BY l_linenumber), ',')
+             AS line_numbers,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_orderkey % 100 = 0

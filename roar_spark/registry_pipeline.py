@@ -367,8 +367,8 @@ PIPELINE_ORACLES["embedding_quantize"] = """
                AS abs_max
       FROM embeddings)
     SELECT vec_id, round(abs_max, 6) AS abs_max,
-           list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / abs_max) + 0.5) AS INTEGER))
+           array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / abs_max) + 0.5) AS INTEGER)), ',')
              AS q_embedding
     FROM e ORDER BY vec_id
 """

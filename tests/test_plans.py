@@ -282,7 +282,32 @@ def test_embedding_quantize_abs_max_hoisted(spark):
 
     df = embedding_quantize(spark, sf_dir())
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert not re.search(r"lambdafunction\([^)]*array_max", optimized)
+    # Same-line match ('.' stops at newline): a regressed plan inlines
+    # array_max INSIDE the lambdafunction(...) printout on one plan line,
+    # while the hoisted _abs_max projection prints on its own line. The
+    # earlier [^)]* form stopped at the lambda's first ')' and could never
+    # match (ADVICE r2) — verified this form fails on a hand-inlined plan.
+    assert not re.search(r"lambdafunction\(.*array_max", optimized)
+
+
+def test_registry_outputs_are_driver_hashable(spark):
+    # The driver's canonicalizer sorts result rows via pandas; list/struct/
+    # map cells are unhashable there and crash the whole correctness row
+    # (r2: embedding_quantize `err`). Every registry query must therefore
+    # emit only atomic top-level columns — arrays get serialized (CSV
+    # string) before leaving the operator.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from roar_spark.catalog import sf_dir
+    from roar_spark.registry import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, sf_dir()).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"non-hashable driver outputs: {offenders}"
 
 
 def test_range_join_is_bin_bucketed(spark):
