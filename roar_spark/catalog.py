@@ -106,12 +106,19 @@ def load_table(
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     # Files written with TIMESTAMP(isAdjustedToUTC=false) surface as
     # TIMESTAMP_NTZ; normalize to TimestampType so epoch arithmetic
-    # (unix_micros & co.) works uniformly. Session tz is UTC, so the cast
-    # reinterprets the same wall-clock as the same instant — value-identical
-    # to what the DuckDB oracle sees (naive timestamps).
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    # (unix_micros & co.) works uniformly. The cast reinterprets wall-clock
+    # in the SESSION timezone, so pin it to UTC first (runtime-settable) —
+    # a driver-built session isn't guaranteed UTC, and under any other zone
+    # the cast would shift the instant, diverging unix_micros/epoch
+    # arithmetic from the DuckDB oracle's naive timestamps (ADVICE r2).
+    if any(dtype == "timestamp_ntz" for _, dtype in df.dtypes):
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:  # noqa: BLE001 — read-only conf: keep going
+            pass
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
     if spread and name not in BROADCAST_TABLES:
         parallelism = spark.sparkContext.defaultParallelism
         groups, rows = _scan_layout(path)

@@ -488,9 +488,14 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window z-score anomaly detection over hourly event counts —
     the ops-dashboard "is this hour abnormal for this event type" query.
 
-    Each (event_type, hour) count is scored against the trailing 24 hourly
-    observations (ROWS frame, current hour excluded); hours with fewer
-    than 12 observed predecessors are unscored (cold start). Mean and
+    Each (event_type, hour) count is scored against the observed hourly
+    counts in the trailing 24 WALL-CLOCK hours (RANGE frame over integral
+    epoch-hours, current hour excluded) — a ROWS frame would silently
+    stretch the lookback across gaps in the hourly pre-aggregation
+    (ADVICE r2). Hours with zero events are absent, so they contribute no
+    observations rather than zeros (documented observed-rows semantics;
+    events_gap_fill is the densified twin). Hours with fewer than 12
+    observed trailing hours are unscored (cold start). Mean and
     sample variance come from EXACT integer window sums (Σc and Σc² of
     bigint counts), so the doubles on both engines derive from identical
     integers through an identical operation order — bit-exact across
@@ -504,7 +509,10 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    w = W.partitionBy("event_type").orderBy("hour_start").rowsBetween(-24, -1)
+    hourly = hourly.withColumn(
+        "epoch_hour", (F.unix_micros(F.col("hour_start")) / F.lit(3_600_000_000)).cast("long")
+    )
+    w = W.partitionBy("event_type").orderBy("epoch_hour").rangeBetween(-24, -1)
     c = F.col("n_events").cast("double")
     n = F.col("hist_n").cast("double")
     s = F.col("hist_s").cast("double")

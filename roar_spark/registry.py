@@ -516,9 +516,14 @@ def _agg_stats_exact(spark, sf_dir):
     internal accumulation order over doubles), here every moment (Σq, Σq²,
     Σp, Σp², Σqp) is an INTEGER sum — quantities are integral, prices are
     2-decimal ×100-scaled — accumulated in decimal(38,0) (Spark) /
-    HUGEINT (DuckDB), so the statistics derive from identical integers
-    through an identical double operation order: bit-exact cross-engine,
-    order- and partitioning-independent at any cluster size. Same
+    HUGEINT (DuckDB), and the variance/covariance NUMERATORS
+    (n·Σx²−(Σx)²) are computed in that exact integer arithmetic too, so
+    each engine casts one exact integer per term to double (no float
+    cancellation, no accumulation-order dependence at any cluster size).
+    The single int→double cast is correctly-rounded in Spark (BigDecimal)
+    while DuckDB's HUGEINT cast composes two roundings (upper·2⁶⁴+lower),
+    so agreement is exact integers + doubles pinned at the rounded 6
+    decimals (a ≤1-ulp cast divergence sits ~10 orders below that). Same
     moment-sum technique as events_anomaly's z-scores. Shape: one scan,
     map-side partial aggregation, a 3-row result."""
     from pyspark.sql import functions as F
@@ -547,15 +552,13 @@ def _agg_stats_exact(spark, sf_dir):
         dec("p2").alias("sp2"),
         dec("qp").alias("sqp"),
     )
+    nd = F.col("n_rows").cast("decimal(38,0)")
+    # numerators stay in decimal(38,0): products ~1e22 at sf0.1, ~1e33 at
+    # the 100 TB SF — inside decimal(38,0)/int128 range either way
     n = F.col("n_rows").cast("double")
-    sq = F.col("sq").cast("double")
-    sq2 = F.col("sq2").cast("double")
-    sp = F.col("sp").cast("double")
-    sp2 = F.col("sp2").cast("double")
-    sqp = F.col("sqp").cast("double")
-    var_q = n * sq2 - sq * sq
-    var_p = n * sp2 - sp * sp
-    cov = n * sqp - sq * sp
+    var_q = (nd * F.col("sq2") - F.col("sq") * F.col("sq")).cast("double")
+    var_p = (nd * F.col("sp2") - F.col("sp") * F.col("sp")).cast("double")
+    cov = (nd * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double")
     return agg.select(
         "l_returnflag",
         "n_rows",
@@ -583,20 +586,18 @@ _register(
              SUM(CAST(p AS HUGEINT)) AS sp,
              SUM(CAST(p AS HUGEINT) * p) AS sp2,
              SUM(CAST(q AS HUGEINT) * p) AS sqp
-      FROM s GROUP BY l_returnflag)
+      FROM s GROUP BY l_returnflag),
+    b AS (
+      SELECT l_returnflag, n_rows, n_parts,
+             CAST(n_rows * sq2 - sq * sq AS DOUBLE) AS var_q,
+             CAST(n_rows * sp2 - sp * sp AS DOUBLE) AS var_p,
+             CAST(n_rows * sqp - sq * sp AS DOUBLE) AS cov
+      FROM a)
     SELECT l_returnflag, n_rows, n_parts,
-           round(sqrt((CAST(n_rows AS DOUBLE) * CAST(sq2 AS DOUBLE)
-                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-                      / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))),
-                 6) AS stddev_qty,
-           round((CAST(n_rows AS DOUBLE) * CAST(sqp AS DOUBLE)
-                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-                 / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sq2 AS DOUBLE)
-                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-                    * sqrt(CAST(n_rows AS DOUBLE) * CAST(sp2 AS DOUBLE)
-                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
-                 6) AS qty_price_corr
-    FROM a ORDER BY l_returnflag
+           round(sqrt(var_q / (CAST(n_rows AS DOUBLE)
+                               * (CAST(n_rows AS DOUBLE) - 1.0))), 6) AS stddev_qty,
+           round(cov / (sqrt(var_q) * sqrt(var_p)), 6) AS qty_price_corr
+    FROM b ORDER BY l_returnflag
     """,
 )
 
@@ -995,16 +996,18 @@ _register(
     """
     WITH hourly AS (
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000
+               AS epoch_hour,
              event_type, COUNT(*) AS n_events
-      FROM events GROUP BY 1, 2),
+      FROM events GROUP BY 1, 2, 3),
     win AS (
       SELECT hour_start, event_type, n_events,
              COUNT(*) OVER w AS hist_n,
              SUM(n_events) OVER w AS hist_s,
              SUM(n_events * n_events) OVER w AS hist_ss
       FROM hourly
-      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
-                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_hour
+                   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
     scored AS (
       SELECT hour_start, event_type, n_events,
              CAST(hist_s AS DOUBLE) / CAST(hist_n AS DOUBLE) AS mean,
