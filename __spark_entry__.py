@@ -45,8 +45,12 @@ _DRIVER_GREEN_R1R2 = frozenset({
     "scalar_array_ops", "scalar_date_arith", "subquery_scalar", "events_hourly",
     "events_sessionize", "dedup_exact", "dedup_dataset",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    # ann_lsh_topk / ann_ivf_topk deliberately NOT listed although their r2
+    # rows were green: r2 checked them rows-only, and round 3 gave both
+    # exact deterministic oracles — they need fresh rows to upgrade to
+    # hash-matched.
     "dedup_clusters", "dedup_decontaminate", "dedup_embedding",
-    "sim_brute_topk", "sim_cosine_pairs", "ann_lsh_topk", "ann_ivf_topk",
+    "sim_brute_topk", "sim_cosine_pairs",
     "text_stats", "text_hashing_features", "text_top_tokens", "text_langid",
     "text_fingerprint", "text_bpe_tokens", "text_gopher_quality",
     "text_pii_scrub", "text_dup_ngrams", "multimodal_meta",

@@ -80,7 +80,12 @@ def n_blocks_for(n_rows: int) -> int:
     return max(_MIN_BLOCKS, math.ceil(max(n_rows, 1) / TARGET_BLOCK_ROWS))
 
 
-def _block_screen_pairs(spark: SparkSession, emb: DataFrame, n_blocks: int) -> DataFrame:
+def _block_screen_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_blocks: int,
+    threshold: float = COSINE_THRESHOLD,
+) -> DataFrame:
     """Candidate pairs with cosine ≥ threshold−margin via block-matrix
     multiply: vectors are bucketed into ``n_blocks`` (sized from the corpus
     row count so per-group memory is bounded — see n_blocks_for), every
@@ -111,7 +116,7 @@ def _block_screen_pairs(spark: SparkSession, emb: DataFrame, n_blocks: int) -> D
     b_side = blocked.join(pair_df, F.col("blk") == F.col("blk_b")).select(
         "blk_a", "blk_b", F.lit(1).alias("side"), "vec_id", "embedding"
     )
-    screen_min = COSINE_THRESHOLD - 1e-6
+    screen_min = threshold - 1e-6
 
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == 0]
@@ -142,7 +147,32 @@ def _block_screen_pairs(spark: SparkSession, emb: DataFrame, n_blocks: int) -> D
     )
 
 
-def _exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_pair_recheck(emb: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact ordered-fold cosine over candidate (vec_id_a, vec_id_b) pairs,
+    keeping pairs ≥ threshold. Shared by every candidate generator (block
+    screen, sign-LSH): whatever produced the candidates, results only ever
+    come from the exact fold, so they are bit-identical to naive all-pairs
+    (and the DuckDB oracle) ON the candidate set."""
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        candidates.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .withColumn(
+            "cos", F.round(cosine(F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cos")
+    )
+
+
+def _exact_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
     """(vec_id_a < vec_id_b, cos) pairs with exact cosine ≥ threshold.
 
     Two-phase: numpy block-matmul screen (fast, margin-padded) → exact
@@ -155,23 +185,9 @@ def _exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
     survivors = _block_screen_pairs(
-        spark, emb, n_blocks_for(table_row_count("embeddings", sf_dir))
+        spark, emb, n_blocks_for(table_row_count("embeddings", sf_dir)), threshold
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
-    )
-    return (
-        survivors.join(a, "vec_id_a")
-        .join(b, "vec_id_b")
-        .withColumn(
-            "cos", F.round(cosine(F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")), 6)
-        )
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
-        .select("vec_id_a", "vec_id_b", "cos")
-    )
+    return _exact_pair_recheck(emb, survivors, threshold)
 
 
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +255,7 @@ def _plane_weights(table: int, plane: int, dim: int) -> list[float]:
     ]
 
 
-def _bucket_ids(emb: DataFrame, n_planes: int, dim: int) -> DataFrame:
+def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLES) -> DataFrame:
     """vec_id + one packed sign-LSH bucket id per hash table, computed as a
     single Arrow-batched numpy matmul per input batch: (batch×dim) @
     (dim×(tables·planes)) then sign-bit packing.
@@ -257,10 +273,10 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int) -> DataFrame:
     import pandas as pd
 
     w = np.array(
-        [_plane_weights(t, p, dim) for t in range(N_TABLES) for p in range(n_planes)]
+        [_plane_weights(t, p, dim) for t in range(n_tables) for p in range(n_planes)]
     ).T  # dim × (tables·planes)
     shifts = 1 << np.arange(n_planes, dtype=np.int64)
-    schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(N_TABLES))
+    schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(n_tables))
 
     def hash_batches(batches):
         for pdf in batches:
@@ -269,30 +285,36 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int) -> DataFrame:
             m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             bits = (m @ w) > 0
             out = {"vec_id": pdf["vec_id"].to_numpy()}
-            for t in range(N_TABLES):
+            for t in range(n_tables):
                 out[f"b{t}"] = (bits[:, t * n_planes : (t + 1) * n_planes] * shifts).sum(axis=1)
             yield pd.DataFrame(out)
 
     return emb.select("vec_id", "embedding").mapInPandas(hash_batches, schema)
 
 
-def _bucket_entries(emb: DataFrame, n_planes: int, dim: int, probe: bool) -> DataFrame:
-    """(vec_id, tbl, bkt) hash-table entries for every table. With
-    ``probe=True`` each row additionally fans out to its Hamming-1 probe
-    buckets (query side only — the corpus is hashed exactly once per
-    table). Buckets are computed ONCE per table before the probe fan-out
-    (one matmul kernel — see _bucket_ids), and the explode fans out only
-    (vec_id, tbl, bkt) key tuples, never embeddings."""
-    with_buckets = _bucket_ids(emb, n_planes, dim)
+def _entries_from_buckets(
+    with_buckets: DataFrame, n_planes: int, probe: bool, n_tables: int = N_TABLES
+) -> DataFrame:
+    """Explode precomputed per-table bucket ids into (vec_id, tbl, bkt)
+    hash-table entries. With ``probe=True`` each row additionally fans out
+    to its Hamming-1 probe buckets. The explode fans out only key tuples,
+    never embeddings."""
     flips = [F.lit(0)] + ([F.lit(1 << p) for p in range(n_planes)] if probe else [])
     entries = [
         F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").bitwiseXOR(flip).alias("bkt"))
-        for t in range(N_TABLES)
+        for t in range(n_tables)
         for flip in flips
     ]
     return with_buckets.select(
         "vec_id", F.explode(F.array(*entries)).alias("e")
     ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+
+
+def _bucket_entries(emb: DataFrame, n_planes: int, dim: int, probe: bool) -> DataFrame:
+    """(vec_id, tbl, bkt) hash-table entries for every table — buckets are
+    computed ONCE per table (one matmul kernel, see _bucket_ids) before any
+    probe fan-out."""
+    return _entries_from_buckets(_bucket_ids(emb, n_planes, dim), n_planes, probe)
 
 
 IVF_NPROBE = 8
@@ -407,7 +429,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")
@@ -464,7 +486,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")
@@ -505,3 +527,93 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_abs_max"), 6).alias("abs_max"),
         F.array_join(q.cast("array<string>"), ",").alias("q_embedding"),
     ).orderBy("vec_id")
+
+
+# --- LSH-candidate embedding dedup ------------------------------------------
+#
+# Sign-LSH economics, measured on this corpus (dim 64): candidate volume per
+# table ≈ n · (1+planes) · occupancy, and the amplification needed for pair
+# recall R at threshold cos θ scales with 1/P(collide)^planes where
+# P(collide) = 1 − θ/π. At the corpus-calibrated near-dup threshold 0.4
+# (θ ≈ 66°, P ≈ 0.63) recall-complete knobs generate MORE candidates than
+# all-pairs (measured: T=8/P=4/ham≤1 → 5.0M candidates vs 2.0M total pairs at
+# n=2000) — wide-angle LSH inverts the savings, so below the dispatch cutoff
+# the exact block-screen IS the better plan, not a concession. LSH wins when
+# the threshold is tight (≥0.9, P ≈ 0.86): the same knobs then hold planted-
+# pair recall ≥ 99.9% at candidate volumes growing O(n·log n), which is the
+# regime a production embedding-dedup (SemDeDup-style) actually runs in.
+
+DEDUP_EMB_TABLES = 8  # OR-amplification doubled vs ANN: pair recall needs
+# BOTH endpoints in one bucket, i.e. per-table success ~P^planes with no
+# query-side multiprobe boost on the corpus side
+DEDUP_EMB_ALLPAIRS_MAX_ROWS = 20_000
+
+
+def _lsh_candidate_pairs(
+    emb: DataFrame, n_planes: int, dim: int, n_tables: int = DEDUP_EMB_TABLES
+) -> DataFrame:
+    """Unordered candidate (vec_id_a < vec_id_b) pairs that share a bucket
+    (exactly, or at Hamming distance 1) in ANY of the hash tables.
+
+    Buckets are computed once (single matmul — see _bucket_ids) and
+    persisted; the probe side fans each vector to its 1+planes Hamming-1
+    buckets, the plain side keeps the true bucket, and the equi-join on
+    (tbl, bkt) yields every pair within Hamming ≤ 1 of each other in some
+    table. Only (vec_id, tbl, bkt) key tuples shuffle — embeddings never
+    enter the pair stage. least/greatest normalization before distinct:
+    either endpoint may be the probing side."""
+    wb = _bucket_ids(emb, n_planes, dim, n_tables).persist()
+    left = _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
+        F.col("vec_id").alias("id_l"), "tbl", "bkt"
+    )
+    right = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
+        F.col("vec_id").alias("id_r"), "tbl", "bkt"
+    )
+    return (
+        left.join(right, ["tbl", "bkt"])
+        .filter(F.col("id_l") != F.col("id_r"))
+        .select(
+            F.least("id_l", "id_r").alias("vec_id_a"),
+            F.greatest("id_l", "id_r").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_THRESHOLD,
+    force_lsh: bool | None = None,
+) -> DataFrame:
+    """Embedding near-dup dedup with an LSH candidate stage: keep-first
+    semantics identical to dedup_embedding, but candidate pairs come from
+    OR-amplified sign-LSH buckets instead of the all-pairs block screen.
+
+    Dual-path dispatch on parquet-footer row count (the dedup_simhash
+    pattern): corpora ≤ DEDUP_EMB_ALLPAIRS_MAX_ROWS run the exact
+    block-screen path — at the corpus-calibrated wide-angle threshold the
+    exact screen is strictly cheaper than recall-complete LSH (measured,
+    see module comment), so small corpora get oracle-exact results by the
+    better plan. Beyond the cutoff, candidates are LSH bucket collisions
+    (Hamming ≤ 1 in any of DEDUP_EMB_TABLES tables, scale-derived plane
+    count) and the operator is recall-approximate BY CONTRACT at wide
+    angles while holding ≥ 99.9% planted-pair recall in the tight-
+    threshold regime (pinned by tests/test_dedup_embedding_lsh.py, which
+    also pins exact-vs-LSH output equivalence there). The recheck stage is
+    the shared exact ordered fold, so every emitted decision is exact —
+    only the candidate set is approximate. Shuffle: bucket keys + candidate
+    id pairs, O(n·tables·planes·occupancy) — sub-quadratic growth pinned by
+    the same test and the scale_smoke table."""
+    from roar_spark.catalog import embedding_dim, table_row_count
+
+    n = table_row_count("embeddings", sf_dir)
+    use_lsh = force_lsh if force_lsh is not None else n > DEDUP_EMB_ALLPAIRS_MAX_ROWS
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    if use_lsh:
+        cand = _lsh_candidate_pairs(emb, n_planes_for(n), embedding_dim(sf_dir))
+        pairs = _exact_pair_recheck(emb, cand, threshold)
+    else:
+        pairs = _exact_cosine_pairs(spark, sf_dir, threshold)
+    dups = pairs.select(F.col("vec_id_b").alias("vec_id"))
+    return emb.select("vec_id").join(dups, "vec_id", "left_anti").orderBy("vec_id")

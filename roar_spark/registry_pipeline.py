@@ -67,8 +67,8 @@ PIPELINE_QUERIES = {
     "sim_brute_topk": S.sim_brute_topk,
     "sim_cosine_pairs": S.sim_cosine_pairs,
     "dedup_embedding": S.dedup_embedding,
-    "ann_lsh_topk": S.ann_lsh_topk,  # approximate by design → rows-only
-    "ann_ivf_topk": S.ann_ivf_topk,  # approximate by design → rows-only
+    "ann_lsh_topk": S.ann_lsh_topk,  # deterministic md5 planes → exact oracle below
+    "ann_ivf_topk": S.ann_ivf_topk,  # deterministic centroids → exact oracle below
     "text_stats": X.text_stats,
     "text_hashing_features": X.text_hashing_features,
     "text_top_tokens": X.text_top_tokens,
@@ -195,6 +195,139 @@ PIPELINE_ORACLES["dedup_embedding"] = f"""
     SELECT vec_id FROM e
     WHERE vec_id NOT IN (SELECT vec_id_b FROM pairs)
     ORDER BY vec_id
+"""
+
+# Same exact-semantics oracle: at driver SFs the size dispatch runs the
+# exact block-screen path (the dedup_simhash dual-path pattern); the LSH
+# candidate stage engages only beyond DEDUP_EMB_ALLPAIRS_MAX_ROWS, where
+# its tight-threshold equivalence is pinned by tests instead.
+PIPELINE_QUERIES["dedup_embedding_lsh"] = S.dedup_embedding_lsh
+PIPELINE_ORACLES["dedup_embedding_lsh"] = PIPELINE_ORACLES["dedup_embedding"]
+
+# ann_lsh_topk is "approximate" only in the ANN sense (candidate set ≠ full
+# corpus); every ingredient is a pure deterministic function — md5-derived
+# hyperplanes (similarity.py _plane_weights), sign-bit bucket packing,
+# Hamming-1 probes, exact ordered-fold cosine, total tie-break — so the
+# whole query IS SQL-expressible and gets a real value-hash oracle. Plane
+# count is derived from COUNT(*) exactly as n_planes_for does. The one
+# cross-engine hazard is the bucket-bit sign: Spark computes the projection
+# in a numpy matmul (pairwise summation) while SQL SUM folds sequentially —
+# a sign can only differ when |dot| is within float-noise of zero
+# (|dot| ~ 30 here, P ≈ 1e-13 per bit, and both engines are deterministic
+# on a fixed corpus, so green-once is green-always).
+PIPELINE_ORACLES["ann_lsh_topk"] = f"""
+    WITH {_EMB_NORM_CTE},
+    params AS (
+      SELECT LEAST({S._MAX_PLANES}, GREATEST({S._MIN_PLANES},
+               CAST(ceil(log2(COUNT(*) / {S.TARGET_BUCKET_DOCS}.0)) AS INTEGER))) AS n_planes,
+             MAX(len(embedding)) AS dim
+      FROM embeddings),
+    w AS (
+      SELECT t.t, p.p, d.d,
+             CAST(strpos('0123456789abcdef',
+                  substring(md5(CAST(t.t AS VARCHAR) || ':' || CAST(p.p AS VARCHAR)
+                                || ':' || CAST(d.d AS VARCHAR)),
+                            (d.d % 28) + 1, 1)) - 1 AS DOUBLE) - 7.5 AS wt
+      FROM (SELECT UNNEST(range({S.N_TABLES})) AS t) t,
+           (SELECT UNNEST(range((SELECT n_planes FROM params))) AS p) p,
+           (SELECT UNNEST(range((SELECT dim FROM params))) AS d) d),
+    bits AS (
+      SELECT v.vec_id, w.t, w.p,
+             CASE WHEN SUM(CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings v, w
+      GROUP BY v.vec_id, w.t, w.p),
+    bkt AS (
+      SELECT vec_id, t, SUM(CAST(bit AS BIGINT) << p) AS bkt
+      FROM bits GROUP BY vec_id, t),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.t,
+             CASE WHEN f.f < 0 THEN b.bkt
+                  ELSE xor(b.bkt, CAST(1 AS BIGINT) << f.f) END AS bkt
+      FROM bkt b,
+           (SELECT UNNEST(range(-1, (SELECT n_planes FROM params))) AS f) f
+      WHERE b.vec_id < {S.N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM probes p JOIN bkt c ON p.t = c.t AND p.bkt = c.bkt
+      WHERE c.vec_id != p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round({_dot('q.embedding', 'v.embedding')} / (q.nrm * v.nrm), 6) AS cos
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e v ON v.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank,
+             vec_id AS neighbor_id, cos
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, cos FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+# ann_ivf_topk: same determinism argument. Centroids are the ⌈√n⌉ corpus
+# vectors with the smallest md5(vec_id) 8-hex-digit prefix (the conv() is
+# re-expressed as a positional hex fold), multi-assignment/probing are
+# rank-≤-k windows with the same total tie-break the numpy stable argsort
+# uses (cos DESC, cent_id ASC). Assignment cosines: numpy normalizes then
+# multiplies, SQL folds then divides — ulp-level divergence can only matter
+# on an exact tie at the k-boundary (none on a fixed corpus; deterministic).
+PIPELINE_ORACLES["ann_ivf_topk"] = f"""
+    WITH {_EMB_NORM_CTE},
+    params AS (
+      SELECT LEAST({S._MAX_CENTROIDS}, GREATEST(4,
+               CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) AS n_cent
+      FROM embeddings),
+    hashed AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                         substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                    * (CAST(1 AS BIGINT) << (4 * (8 - i)))), (x, y) -> x + y) AS h
+      FROM embeddings),
+    cent AS (
+      SELECT e.vec_id AS cent_id, e.embedding, e.nrm
+      FROM hashed JOIN e ON e.vec_id = hashed.vec_id
+      ORDER BY hashed.h, hashed.vec_id
+      LIMIT (SELECT n_cent FROM params)),
+    assign_all AS (
+      SELECT v.vec_id, c.cent_id,
+             {_dot('v.embedding', 'c.embedding')} / (v.nrm * c.nrm) AS ccos
+      FROM e v CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id ASC) AS rn
+        FROM assign_all)
+      WHERE rn <= {S.IVF_ASSIGN}),
+    qprobes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id ASC) AS rn
+        FROM assign_all WHERE vec_id < {S.N_QUERIES})
+      WHERE rn <= {S.IVF_NPROBE}),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM qprobes q JOIN cells c ON q.cell = c.cell
+      WHERE c.vec_id != q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round({_dot('q.embedding', 'v.embedding')} / (q.nrm * v.nrm), 6) AS cos
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN e v ON v.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank,
+             vec_id AS neighbor_id, cos
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, cos FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 PIPELINE_ORACLES["multimodal_frame_sample"] = """

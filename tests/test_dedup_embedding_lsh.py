@@ -1,0 +1,97 @@
+"""Quality contract for dedup_embedding_lsh's LSH candidate stage.
+
+The registry entry is oracle-exact at driver SFs via the size dispatch
+(exact block-screen path); what needs pinning here is the LSH path itself:
+  1. in the tight-threshold regime (cos ≥ 0.9 — where a production
+     embedding-dedup runs), the LSH path's OUTPUT equals the exact path's
+     output on a corpus with planted near-dups, and
+  2. candidate volume grows sub-quadratically with corpus size (the whole
+     point of the variant).
+Planes are md5-derived and the corpora are seeded, so both pins are
+deterministic — no flaky-recall tolerance needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from roar_spark.catalog import load_table
+from roar_spark.operators.similarity import (
+    _lsh_candidate_pairs,
+    _with_norm,
+    dedup_embedding_lsh,
+    n_planes_for,
+)
+
+DIM = 64
+TIGHT_THRESHOLD = 0.9
+N_PLANTED = 10
+
+
+def _planted_dir(tmp_path_factory, n: int) -> str:
+    """Seeded corpus: random unit vectors, with N_PLANTED near-dup pairs
+    (ids (20i, 20i+1), noise 0.05 → cos ≈ 0.999). At threshold 0.9 only
+    the planted pairs qualify: a background pair would need |cos| ≥ 0.9 ≈
+    7σ of the N(0, 1/64) background cosine distribution."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, DIM))
+    for i in range(0, N_PLANTED * 20, 20):
+        noisy = vecs[i] + 0.05 * rng.standard_normal(DIM)
+        vecs[i + 1] = noisy
+    out = tmp_path_factory.mktemp(f"lsh_dedup_{n}")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype("float32") for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    return str(out)
+
+
+def test_lsh_path_equals_exact_path_at_tight_threshold(spark, tmp_path_factory):
+    d = _planted_dir(tmp_path_factory, 2000)
+    exact = dedup_embedding_lsh(spark, d, threshold=TIGHT_THRESHOLD, force_lsh=False).collect()
+    lsh = dedup_embedding_lsh(spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True).collect()
+    assert [r.vec_id for r in exact] == [r.vec_id for r in lsh]
+    # the corpus actually exercised the dedup: every planted larger id dropped
+    kept = {r.vec_id for r in lsh}
+    planted_dups = {i + 1 for i in range(0, N_PLANTED * 20, 20)}
+    assert planted_dups.isdisjoint(kept)
+    assert len(kept) == 2000 - N_PLANTED
+
+
+def test_candidate_volume_grows_subquadratically(spark, tmp_path_factory):
+    counts = {}
+    for n in (1000, 4000):
+        d = _planted_dir(tmp_path_factory, n)
+        emb = _with_norm(load_table(spark, "embeddings", d))
+        counts[n] = _lsh_candidate_pairs(emb, n_planes_for(n), DIM).count()
+    # 4x the rows: quadratic candidates grow 16x; measured growth on random
+    # background corpora is 8.3x here (small-n saturation inflates the base:
+    # at n=1000 most pairs are candidates) falling to 5.8x by n=8k..32k,
+    # with candidate fraction 0.60 -> 0.26 -> 0.096 at 2k/8k/32k. 12x is
+    # the regression line: a quadratic rewrite trips it, measured noise
+    # doesn't.
+    assert counts[4000] < 12 * counts[1000], counts
+    # and the candidate set is a strict subset of all pairs, not a rename
+    assert counts[4000] < 0.5 * 4000 * 3999 / 2, counts
+
+
+def test_dispatch_uses_exact_path_at_driver_sf(spark):
+    # at sf0.01 (500 rows <= cutoff) the registry entry must take the
+    # exact path: results match dedup_embedding exactly (same oracle)
+    from roar_spark.operators.similarity import dedup_embedding
+
+    sf = "/root/testdata/sf0.01"
+    a = [r.vec_id for r in dedup_embedding(spark, sf).collect()]
+    b = [r.vec_id for r in dedup_embedding_lsh(spark, sf).collect()]
+    assert a == b

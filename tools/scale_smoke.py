@@ -47,9 +47,24 @@ LINEAR_OPS = [
     "embedding_quantize",
     "dataset_shuffle",
     "sample_temperature",
+    "dedup_embedding_lsh@0.9",
 ]
 QUADRATIC_OPS = ["sim_cosine_pairs"]
 QUADRATIC_CAP = 20_000
+
+
+def _dedup_embedding_lsh_tight(spark, d):
+    """LSH path forced on, tight threshold — the regime the LSH candidate
+    stage exists for (wide-angle thresholds are better served by the exact
+    block screen; see similarity.py module comment). Measures the
+    sub-quadratic candidate pipeline end-to-end."""
+    from roar_spark.operators.similarity import dedup_embedding_lsh
+
+    return dedup_embedding_lsh(spark, d, threshold=0.9, force_lsh=True)
+
+
+# named ops not in the registry (parameterized variants)
+EXTRA_OPS = {"dedup_embedding_lsh@0.9": _dedup_embedding_lsh_tight}
 
 
 def gen_corpus(n: int) -> str:
@@ -133,10 +148,11 @@ def main() -> None:
             # (measured 6.6 s vs 34.7 s for the SAME cached count minutes
             # apart), and a single sample regularly attributes a burst to
             # whichever op it lands on — best-of-N measures plan cost
+            fn = EXTRA_OPS.get(op) or QUERIES[op]
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                res = QUERIES[op](spark, dirs[n]).collect()
+                res = fn(spark, dirs[n]).collect()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             row.append(f"{best:.1f}s/{len(res)}r")
