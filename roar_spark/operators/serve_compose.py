@@ -65,3 +65,72 @@ def served_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
+
+
+def served_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON envelopes through the FULL inference/coercion serve path
+    with ``infer_nested=True`` (the Struct/Array extension, SURVEY.md §1.3),
+    then queried relationally — the missing serve→query composition for the
+    nested lattice (COVERAGE A7-A9 extension).
+
+    events rows are re-serialized as nested JSON payloads
+    ``{event_id, event_type, user:{uid, score}, tags:[...]}``; a 10-payload
+    sample bootstraps the frozen schema through the nested promotion
+    lattice (struct + array fields inferred, not stringified), every
+    envelope parses through from_json at the nested carrier shape
+    (coerce.carrier_type passes nested targets through typed), and the
+    served snapshot is flattened with struct/array accessors and
+    aggregated. The oracle is the equivalent flat aggregation DuckDB runs
+    directly on events — a hash match proves the nested roundtrip
+    (serialize → infer → parse → store → snapshot → flatten) loses
+    nothing. Aggregates are chosen order-independent (count / integer sum
+    / max / min) so the proof is exact. Scale shape: serialization and
+    parsing are per-row codegen projections; the one shuffle is the final
+    aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("value").alias("score")
+            ).alias("user"),
+            F.array(F.col("event_type"), F.upper(F.col("event_type"))).alias("tags"),
+        )
+    )
+    env = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").alias("offset"),
+        F.lit(0).alias("partition"),
+        payload.alias("value"),
+    )
+    topic = "events_nested_feed"
+    engine = StreamEngine(
+        spark,
+        EngineConfig(infer_nested=True),
+        store_base=tempfile.mkdtemp(prefix="roar_serve_nested_"),
+    )
+    # deterministic bootstrap sample: the 10 lowest-offset payloads
+    sample = [
+        r.value for r in env.orderBy("offset").limit(10).select("value").collect()
+    ]
+    engine.register_stream(topic, sample)
+    engine.append_batch(topic, env)
+    served = engine.fetch(topic, limit=-1)
+    return (
+        served.select(
+            "event_type",
+            F.col("user.uid").alias("uid"),
+            F.col("user.score").alias("score"),
+            F.element_at("tags", 2).alias("tag2"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("uid").alias("sum_uid"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.min("tag2").alias("tag_upper"),
+        )
+        .orderBy("event_type")
+    )

@@ -1078,7 +1078,7 @@ _register(
 )
 
 # --- serve→query composition (streaming store feeds the relational surface)
-from roar_spark.operators.serve_compose import served_rollup  # noqa: E402
+from roar_spark.operators.serve_compose import served_nested, served_rollup  # noqa: E402
 
 _register(
     "served_rollup",
@@ -1090,6 +1090,26 @@ _register(
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+
+# Oracle = the flat aggregation on events the nested serve path must
+# reproduce: Spark serializes each row to nested JSON, infers a Struct/
+# Array schema from a 10-payload sample (infer_nested=True), parses and
+# stores every envelope, and flattens the snapshot — any loss anywhere in
+# that roundtrip breaks the hash match.
+_register(
+    "served_nested",
+    served_nested,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           round(MAX(value), 6) AS max_score,
+           MIN(upper(event_type)) AS tag_upper
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
     """,
 )
 

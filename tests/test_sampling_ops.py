@@ -74,7 +74,11 @@ def test_quantize_roundtrip_error_bounded(spark):
         orig = emb[r.vec_id]
         assert max(abs(v) for v in orig) - r.abs_max < 1e-6
         step = r.abs_max / 127.0
-        assert all(abs(q) <= 127 for q in r.q_embedding)
+        # q_embedding is CSV-serialized (driver canonicalizer can't hash
+        # list cells — r2 finding)
+        quants = [int(q) for q in r.q_embedding.split(",")]
+        assert len(quants) == len(orig)
+        assert all(abs(q) <= 127 for q in quants)
         # dequantized value sits within half a step of the original
-        for x, q in zip(orig, r.q_embedding):
+        for x, q in zip(orig, quants):
             assert abs(x - q * step) <= step / 2 + 1e-9
