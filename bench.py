@@ -77,6 +77,20 @@ BUDGETS_SF01 = {
 REGRESSION_FACTOR = 1.5
 REGRESSION_SLACK_SEC = 3.0
 
+
+def find_regressions(times: dict[str, float], budgets: dict[str, float]) -> list[str]:
+    """Queries whose measured time exceeds max(1.5x budget, budget + 3 s).
+    Factored out so the gate itself is unit-tested (tests/test_bench_gate.py)."""
+    return [
+        f"{name}: {times[name]:.2f}s > allowed "
+        f"{max(REGRESSION_FACTOR * budgets[name], budgets[name] + REGRESSION_SLACK_SEC):.2f}s "
+        f"(budget {budgets[name]:.2f}s)"
+        for name in times
+        if name in budgets
+        and times[name]
+        > max(REGRESSION_FACTOR * budgets[name], budgets[name] + REGRESSION_SLACK_SEC)
+    ]
+
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
@@ -158,18 +172,7 @@ def main() -> None:
     )
 
     if sf == "0.1" and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
-        regressed = [
-            f"{name}: {times[name]:.2f}s > allowed "
-            f"{max(REGRESSION_FACTOR * BUDGETS_SF01[name], BUDGETS_SF01[name] + REGRESSION_SLACK_SEC):.2f}s "
-            f"(budget {BUDGETS_SF01[name]:.2f}s)"
-            for name in HEADLINE
-            if name in BUDGETS_SF01
-            and times[name]
-            > max(
-                REGRESSION_FACTOR * BUDGETS_SF01[name],
-                BUDGETS_SF01[name] + REGRESSION_SLACK_SEC,
-            )
-        ]
+        regressed = find_regressions(times, BUDGETS_SF01)
         if regressed:
             print("BENCH REGRESSION:\n  " + "\n  ".join(regressed), file=sys.stderr)
             sys.exit(1)

@@ -50,3 +50,41 @@ def test_bucketed_join_avoids_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_catalog_mode_end_to_end(spark):
+    """The opt-in catalog mode, not just a hand-built demo: after
+    enable_bucketed_catalog, load_table transparently serves the bucketed
+    managed copies, an orderkey merge-join plans with no exchange below
+    the join, and a real registry query returns identical results in both
+    modes."""
+    from roar_spark.catalog import (
+        disable_bucketed_catalog,
+        enable_bucketed_catalog,
+    )
+    from roar_spark.operators.relational import q12_shipmode_priority
+
+    plain = q12_shipmode_priority(spark, SF).collect()
+    enable_bucketed_catalog(spark, SF)
+    try:
+        joined = (
+            load_table(spark, "lineitem", SF)
+            .hint("merge")
+            .join(
+                load_table(spark, "orders", SF),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section
+        bucketed = q12_shipmode_priority(spark, SF).collect()
+        assert plain == bucketed
+    finally:
+        disable_bucketed_catalog()
