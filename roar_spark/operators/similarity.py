@@ -561,7 +561,13 @@ def _lsh_candidate_pairs(
     (tbl, bkt) yields every pair within Hamming ≤ 1 of each other in some
     table. Only (vec_id, tbl, bkt) key tuples shuffle — embeddings never
     enter the pair stage. least/greatest normalization before distinct:
-    either endpoint may be the probing side."""
+    either endpoint may be the probing side.
+
+    DIAGNOSTIC surface: this materialization makes candidate VOLUME
+    directly countable (tests/test_dedup_embedding_lsh.py's sub-quadratic
+    pin, SCALE.md table). The production dedup path enumerates the same
+    pair space inside bucket groups with a matmul screen instead
+    (_lsh_screened_pairs) so per-pair cost is BLAS, not a fold."""
     wb = _bucket_ids(emb, n_planes, dim, n_tables).persist()
     left = _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
         F.col("vec_id").alias("id_l"), "tbl", "bkt"
@@ -577,6 +583,70 @@ def _lsh_candidate_pairs(
             F.greatest("id_l", "id_r").alias("vec_id_b"),
         )
         .distinct()
+    )
+
+
+def _lsh_screened_pairs(
+    emb: DataFrame,
+    n_planes: int,
+    dim: int,
+    threshold: float,
+    n_tables: int = DEDUP_EMB_TABLES,
+) -> DataFrame:
+    """The production pair stage: bucket-grouped matmul screen over the
+    same candidate space as _lsh_candidate_pairs, emitting only pairs with
+    screen cosine ≥ threshold−margin.
+
+    _lsh_candidate_pairs materializes every bucket collision as an id pair
+    and re-joins embeddings — fine for measuring candidate volume, but the
+    per-pair interpreted cosine fold then dominates wall-clock (measured
+    44.5 s at n=20k: ~25 M candidate folds + a 25 M-row distinct). Here the
+    pair enumeration never leaves the bucket group: entries join embeddings
+    ONCE (replication = tables·(1+planes) key-tagged copies ≈ 96n rows,
+    linear), each (tbl, bkt) group does one plain×probe numpy matmul (the
+    BLAS kernel the per-pair folds should have been), and only screen
+    survivors — actual near-dups, not candidates — reach the distinct and
+    the exact recheck. Per-group memory is bounded by bucket occupancy
+    (targeted 32, see n_planes_for); a skewed hot bucket concentrates work
+    the same way any bucketed pair stage does (simhash pigeonhole,
+    minhash banding) and is equally visible in the group size."""
+    import numpy as np
+    import pandas as pd
+
+    wb = _bucket_ids(emb, n_planes, dim, n_tables).persist()
+    plain = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
+        "vec_id", "tbl", "bkt", F.lit(0).alias("side")
+    )
+    probe = _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
+        "vec_id", "tbl", "bkt", F.lit(1).alias("side")
+    )
+    tagged = plain.unionAll(probe).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    screen_min = threshold - 1e-6
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["side"] == 0]
+        q = pdf[pdf["side"] == 1]
+        if p.empty or q.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype("int64")
+        mp = np.stack(p["embedding"].to_numpy()).astype("float64")
+        mq = np.stack(q["embedding"].to_numpy()).astype("float64")
+        cos = (mp / np.linalg.norm(mp, axis=1, keepdims=True)) @ (
+            mq / np.linalg.norm(mq, axis=1, keepdims=True)
+        ).T
+        ip, iq = np.nonzero(cos >= screen_min)
+        ids_p = p["vec_id"].to_numpy()[ip]
+        ids_q = q["vec_id"].to_numpy()[iq]
+        lo = np.minimum(ids_p, ids_q)
+        hi = np.maximum(ids_p, ids_q)
+        keep = lo < hi  # drops self-pairs and orients the rest
+        return pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]}).drop_duplicates()
+
+    return (
+        tagged.groupBy("tbl", "bkt")
+        .applyInPandas(screen, "vec_id_a long, vec_id_b long")
+        .distinct()  # pairs survive in several tables/buckets
     )
 
 
@@ -611,7 +681,9 @@ def dedup_embedding_lsh(
     use_lsh = force_lsh if force_lsh is not None else n > DEDUP_EMB_ALLPAIRS_MAX_ROWS
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
     if use_lsh:
-        cand = _lsh_candidate_pairs(emb, n_planes_for(n), embedding_dim(sf_dir))
+        cand = _lsh_screened_pairs(
+            emb, n_planes_for(n), embedding_dim(sf_dir), threshold
+        )
         pairs = _exact_pair_recheck(emb, cand, threshold)
     else:
         pairs = _exact_cosine_pairs(spark, sf_dir, threshold)
