@@ -679,7 +679,10 @@ def dedup_embedding_lsh(
 
     n = table_row_count("embeddings", sf_dir)
     use_lsh = force_lsh if force_lsh is not None else n > DEDUP_EMB_ALLPAIRS_MAX_ROWS
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    # spread on the LSH path: the first stage is the dense hash matmul
+    # (heavy per-row work, no early shuffle) — exactly the documented
+    # opt-in case; a single-row-group file would serialize it in one task
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=use_lsh))
     if use_lsh:
         cand = _lsh_screened_pairs(
             emb, n_planes_for(n), embedding_dim(sf_dir), threshold

@@ -86,6 +86,16 @@ def test_candidate_volume_grows_subquadratically(spark, tmp_path_factory):
     assert counts[4000] < 0.5 * 4000 * 3999 / 2, counts
 
 
+def test_lsh_path_plan_shape(spark):
+    # the pair stage must be the ONE grouped-Pandas matmul screen — no
+    # row-at-a-time Python, no cartesian/nested-loop join anywhere
+    df = dedup_embedding_lsh(spark, "/root/testdata/sf0.001", force_lsh=True)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_dispatch_uses_exact_path_at_driver_sf(spark):
     # at sf0.01 (500 rows <= cutoff) the registry entry must take the
     # exact path: results match dedup_embedding exactly (same oracle)
