@@ -42,7 +42,9 @@ _DRIVER_GREEN_R1R2 = frozenset({
     "window_topk_per_group", "topk_global", "sort_offset_fetch",
     "setop_union_distinct", "setop_intersect", "setop_except",
     "scalar_string_date", "scalar_json_extract", "scalar_conditional",
-    "scalar_array_ops", "scalar_date_arith", "subquery_scalar", "events_hourly",
+    # subquery_scalar dropped from this set in r3: its rounding semantics
+    # changed (exact integer cent-rounding) and it should earn a fresh row
+    "scalar_array_ops", "scalar_date_arith", "events_hourly",
     "events_sessionize", "dedup_exact", "dedup_dataset",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     # ann_lsh_topk / ann_ivf_topk deliberately NOT listed although their r2

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roar_spark.catalog import load_table
-from roar_spark.operators.relational import davg
 
 
 def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,15 +54,43 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery semantics: customers above their own
     nation's average balance. Declared as a join against the per-nation
-    aggregate — the plan Catalyst would decorrelate the subquery into."""
+    aggregate — the plan Catalyst would decorrelate the subquery into.
+
+    The displayed 2-decimal average is rounded in EXACT integer
+    arithmetic (half-away-from-zero on the cents rational s/cnt), not
+    with round() on the computed double: a double average landing on a
+    .xx5 boundary rounds differently in Spark (BigDecimal HALF_UP on the
+    exact binary expansion) than in DuckDB — caught at sf0.001 where 5 of
+    75 rows differed by exactly one cent. The filter compares against the
+    UNROUNDED average with an identical (s/100.0)/cnt operation order on
+    both engines, so the row set is unaffected."""
+    from roar_spark.operators.relational import _scaled
+
     cust = load_table(spark, "customer", sf_dir)
-    nation_avg = (
-        cust.groupBy("c_nationkey").agg(davg(F.col("c_acctbal")).alias("nation_avg"))
+    na = cust.groupBy("c_nationkey").agg(
+        F.sum(_scaled(F.col("c_acctbal"))).alias("s_cents"),
+        F.count("c_acctbal").alias("cnt"),
+    )
+    # round-half-away-from-zero of the rational s_cents/cnt, in integers:
+    # sign(s) * ((2|s| + cnt) div (2 cnt)); div truncates toward zero and
+    # operands are non-negative, so truncate == floor
+    mag = F.expr("(2 * abs(s_cents) + cnt) div (2 * cnt)")
+    na = na.select(
+        "c_nationkey",
+        (F.col("s_cents") / F.lit(100.0) / F.col("cnt")).alias("nation_avg_raw"),
+        (
+            F.when(F.col("s_cents") < 0, -mag).otherwise(mag) / F.lit(100.0)
+        ).alias("nation_avg_r2"),
     )
     return (
-        cust.join(F.broadcast(nation_avg), "c_nationkey")
-        .filter(F.col("c_acctbal") > F.col("nation_avg"))
-        .select("c_custkey", "c_nationkey", "c_acctbal", F.round("nation_avg", 2).alias("nation_avg"))
+        cust.join(F.broadcast(na), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg_raw"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.col("nation_avg_r2").alias("nation_avg"),
+        )
         .orderBy("c_custkey")
     )
 

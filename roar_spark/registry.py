@@ -638,12 +638,15 @@ _register(
     """
     WITH na AS (
       SELECT c_nationkey,
-             (SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0)
-               / COUNT(c_acctbal) AS nation_avg
+             SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s_cents,
+             COUNT(c_acctbal) AS cnt
       FROM customer GROUP BY c_nationkey)
-    SELECT c_custkey, c.c_nationkey, c_acctbal, ROUND(nation_avg, 2) AS nation_avg
+    SELECT c_custkey, c.c_nationkey, c_acctbal,
+           (CASE WHEN s_cents < 0
+                 THEN -((2 * abs(s_cents) + cnt) // (2 * cnt))
+                 ELSE (2 * s_cents + cnt) // (2 * cnt) END) / 100.0 AS nation_avg
     FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
-    WHERE c_acctbal > nation_avg
+    WHERE c_acctbal > (s_cents / 100.0) / cnt
     ORDER BY c_custkey
     """,
 )
