@@ -157,6 +157,8 @@ def enable_bucketed_catalog(
     load_table first, so the timestamp normalizations bake into the managed
     schema."""
     import hashlib
+    import shutil
+    from urllib.parse import urlparse
 
     directory = directory or sf_dir()
     for name in tables:
@@ -165,6 +167,11 @@ def enable_bucketed_catalog(
         tbl = f"roar_bucketed_{name}_{tag}"
         if (directory, name) not in _bucketed_tables:
             if not spark.catalog.tableExists(tbl):
+                # the warehouse location can outlive the (in-memory) catalog
+                # entry across sessions; a stale location makes the CREATE
+                # refuse. It is OUR derived table path — clear it.
+                wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+                shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
                 load_table(spark, name, directory).write.bucketBy(
                     n_buckets, key
                 ).sortBy(key).mode("overwrite").saveAsTable(tbl)
