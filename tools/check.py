@@ -75,9 +75,22 @@ def canon_duck(dtype: str) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="roar_spark_check")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # the DRIVER's conditions: a bare session with default confs
+        # (ANSI/defaults per Spark 4, 200 shuffle partitions, 10 MB
+        # broadcast threshold, no nanosAsLong/timezone presets — queries
+        # must set what they need at runtime, as load_table does)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "roar_check_vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark(app_name="roar_spark_check")
 
     con = duckdb.connect()
     for t in TABLES:
