@@ -692,3 +692,53 @@ def dedup_embedding_lsh(
         pairs = _exact_cosine_pairs(spark, sf_dir, threshold)
     dups = pairs.select(F.col("vec_id_b").alias("vec_id"))
     return emb.select("vec_id").join(dups, "vec_id", "left_anti").orderBy("vec_id")
+
+
+# Fixed-point scale for the exact centroid accumulator: 1e6 keeps float32
+# inputs (|v| < ~4 here) well inside int64 even at trillions of vectors per
+# (label, dim) group (1e12 rows × 4e6 ≈ 4e18 < 2^63).
+CENTROID_MICRO_SCALE = 1_000_000
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column in long (label, dim)
+    format — the class-prototype / cluster-summary aggregation of an
+    embedding pipeline (and the building block of a Lloyd iteration).
+
+    Determinism at any parallelism: each float is fixed-point-quantized
+    per row (floor(v·1e6 + 0.5), explicit half-up — the embedding_quantize
+    arithmetic), so the per-group accumulator is an exact int64 SUM —
+    order- and partitioning-independent, unlike a double sum whose value
+    depends on reduction order. The displayed centroid divides the exact
+    integer by (n·1e6) once, then round(…, 6).
+
+    Shape: posexplode fans each vector into (dim, value) rows and partial
+    aggregation collapses them map-side to ≤ labels×dim rows per task, so
+    the shuffle moves O(labels·dim·tasks) bytes regardless of corpus size.
+    Long output format (rows, not an array column) keeps the result
+    canonicalizer-friendly and join-ready for assignment steps."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    micro = F.floor(
+        F.col("v").cast("double") * F.lit(float(CENTROID_MICRO_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        x.select("label", F.col("dim").cast("long").alias("dim"), micro.alias("micro"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("micro").alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_micro",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_vecs").cast("double") * CENTROID_MICRO_SCALE),
+                6,
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )

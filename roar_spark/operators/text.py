@@ -341,3 +341,53 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("dup_trigram_frac") <= GOPHER_MAX_DUP_TRIGRAM_FRAC)
     )
     return joined.withColumn("gopher_pass", keep).orderBy("doc_id")
+
+
+# Context-window chunking knobs: 32-token windows advancing by 24 tokens
+# (8-token overlap) — the RAG / training-sequence preparation shape, sized
+# so the synthetic corpus (≤ ~90 tokens/doc) actually fans out.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the document→context-
+    window fan-out that precedes embedding or training-sequence assembly in
+    a retrieval/training pipeline. Chunk ``i`` of a doc covers tokens
+    ``[i·stride, i·stride + window)``; the last chunk truncates at the end
+    of the doc, and every token lands in at least one chunk.
+
+    Shape: pure map-side fan-out — chunk count from integer arithmetic on
+    the token count, ``sequence``+``explode`` to produce chunk ids,
+    ``slice`` to cut each window out of the one tokenization (no
+    re-tokenize per chunk), md5 of the joined slice as the chunk content
+    digest. One scan, zero shuffles before the display sort; at 100 TB this
+    parallelizes per input split with no data movement, and the ~w/s
+    output-row amplification is the operator's contract, not a plan cost."""
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    toks = tokens(F.col("text"))
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    # ceil((n - w) / s) via integer floor-division keeps the chunk count in
+    # exact int64 arithmetic in both engines (no float ceil anywhere)
+    n_chunks = F.when(F.col("n_tokens") <= w, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((F.col("n_tokens") - w + (s - 1)) / F.lit(s))
+    )
+    chunks = base.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    sliced = F.slice(
+        F.col("toks"), (F.col("chunk_id") * s + 1).cast("int"), F.lit(w)
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * s).alias("start_tok"),
+            F.size(sliced).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", sliced)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

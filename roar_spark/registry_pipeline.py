@@ -583,3 +583,42 @@ PIPELINE_ORACLES["pack_sequences"] = f"""
              AS window_tokens
     FROM spans GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+PIPELINE_QUERIES["text_chunk"] = X.text_chunk
+PIPELINE_ORACLES["text_chunk"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) <= {X.CHUNK_TOKENS} THEN CAST(1 AS BIGINT)
+                      ELSE 1 + (len(toks) - {X.CHUNK_TOKENS} + {X.CHUNK_STRIDE - 1})
+                               // {X.CHUNK_STRIDE} END AS nc
+          FROM t),
+    e AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM c),
+    s AS (SELECT doc_id, chunk_id,
+                 list_slice(toks, chunk_id * {X.CHUNK_STRIDE} + 1,
+                            chunk_id * {X.CHUNK_STRIDE} + {X.CHUNK_TOKENS}) AS sl
+          FROM e)
+    SELECT doc_id, chunk_id,
+           chunk_id * {X.CHUNK_STRIDE} AS start_tok,
+           len(sl) AS n_chunk_tokens,
+           md5(array_to_string(sl, ' ')) AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_id
+"""
+
+PIPELINE_QUERIES["embedding_label_centroids"] = S.embedding_label_centroids
+PIPELINE_ORACLES["embedding_label_centroids"] = f"""
+    WITH x AS (
+      SELECT label,
+             unnest(list_transform(embedding,
+                    (v, i) -> {{'dim': i - 1, 'v': v}})) AS u
+      FROM embeddings),
+    m AS (SELECT label, CAST(u.dim AS BIGINT) AS dim,
+                 CAST(floor(CAST(u.v AS DOUBLE) * {S.CENTROID_MICRO_SCALE}
+                            + 0.5) AS BIGINT) AS micro
+          FROM x)
+    SELECT label, dim, COUNT(*) AS n_vecs,
+           CAST(SUM(micro) AS BIGINT) AS sum_micro,
+           round(CAST(SUM(micro) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * {S.CENTROID_MICRO_SCALE}), 6)
+             AS centroid
+    FROM m GROUP BY label, dim ORDER BY label, dim
+"""
