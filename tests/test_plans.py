@@ -354,3 +354,26 @@ def test_events_anomaly_preagg_before_window(spark):
     assert p.index("HashAggregate") > p.index("Window")  # formatted plan is top-down: agg feeds window
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_text_chunk_plan_is_map_only(spark):
+    """The chunk fan-out must stay a map-side generate: no exchange before
+    the display sort, no Python, and the scan reads only what it needs."""
+    plan = plan_of(spark, "text_chunk")
+    assert "Generate" in plan  # sequence+explode, not a join against an index table
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only partitioning in the plan is the rangepartitioning of the
+    # final orderBy — no hash shuffle anywhere in the chunk logic
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning(doc_id" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_centroids_aggregate_partially_before_shuffle(spark):
+    """posexplode fan-out must collapse map-side: partial+final HashAggregate
+    around a single (label, dim)-keyed exchange, all JVM-side."""
+    plan = plan_of(spark, "embedding_label_centroids")
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(label" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -45,6 +45,8 @@ LINEAR_OPS = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_quantize",
+    "embedding_label_centroids",
+    "text_chunk",
     "dataset_shuffle",
     "sample_temperature",
     "dedup_embedding_lsh@0.9",
