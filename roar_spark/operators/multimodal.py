@@ -124,3 +124,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(sample_batches, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
+POOL_SRC = 8  # source grid side (first 64 payload bytes, row-major)
+POOL_DST = 4  # pooled grid side (2x2 mean pooling)
+
+
+def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample step of an image pipeline: 2×2 pooling of an
+    8×8 grayscale grid to 4×4 — one output row per payload with the pooled
+    grid and summary stats.
+
+    Like multimodal_frame_sample (and unlike the decode stub), the pixel
+    source is deliberately arithmetic so the WHOLE operator carries an
+    exact cross-engine oracle: the "image" is the first 64 bytes of the
+    payload (text standing in for media, right-padded with spaces),
+    grid[r][c] = code point of byte r·8+c. A real resize swaps this for a
+    codec decode in mapInPandas; the pooling math, schema, and plan shape
+    are exactly what ships.
+
+    Pooled cells are kept as exact integer SUMS (0..1020) serialized to
+    CSV — no float formatting crosses the engine boundary — with the grid
+    mean as a round(…,6) double from the same exact integers. Shape: pure
+    per-row projection of built-in expressions (substring/ascii), no
+    Python, no shuffle before the display sort — embarrassingly parallel
+    at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    padded = F.rpad(F.col("text"), POOL_SRC * POOL_SRC, " ")
+
+    def px(r: int, c: int) -> F.Column:
+        return F.ascii(F.substring(padded, r * POOL_SRC + c + 1, 1))
+
+    pooled = [
+        (
+            px(2 * pr, 2 * pc)
+            + px(2 * pr, 2 * pc + 1)
+            + px(2 * pr + 1, 2 * pc)
+            + px(2 * pr + 1, 2 * pc + 1)
+        ).cast("long")
+        for pr in range(POOL_DST)
+        for pc in range(POOL_DST)
+    ]
+    total = pooled[0]
+    for p in pooled[1:]:
+        total = total + p
+    pooled_csv = F.concat_ws(",", *[p.cast("string") for p in pooled])
+    return docs.select(
+        "doc_id",
+        pooled_csv.alias("pooled_csv"),
+        F.md5(pooled_csv).alias("pooled_md5"),
+        F.round(total.cast("double") / (POOL_SRC * POOL_SRC), 6).alias("mean_byte"),
+    ).orderBy("doc_id")

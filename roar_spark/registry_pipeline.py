@@ -622,3 +622,29 @@ PIPELINE_ORACLES["embedding_label_centroids"] = f"""
              AS centroid
     FROM m GROUP BY label, dim ORDER BY label, dim
 """
+
+PIPELINE_QUERIES["multimodal_resize_pool"] = M.multimodal_resize_pool
+
+
+def _pool_sql() -> str:
+    src, dst = M.POOL_SRC, M.POOL_DST
+    px = lambda r, c: (  # noqa: E731
+        f"ascii(substr(rpad(text, {src * src}, ' '), {r * src + c + 1}, 1))"
+    )
+    cells = [
+        f"CAST({px(2*pr, 2*pc)} + {px(2*pr, 2*pc+1)} + {px(2*pr+1, 2*pc)}"
+        f" + {px(2*pr+1, 2*pc+1)} AS BIGINT)"
+        for pr in range(dst)
+        for pc in range(dst)
+    ]
+    csv = "concat_ws(','," + ", ".join(f"CAST({c} AS VARCHAR)" for c in cells) + ")"
+    total = " + ".join(f"({c})" for c in cells)
+    return f"""
+    WITH p AS (SELECT doc_id, {csv} AS pooled_csv, {total} AS total FROM documents)
+    SELECT doc_id, pooled_csv, md5(pooled_csv) AS pooled_md5,
+           round(CAST(total AS DOUBLE) / {src * src}, 6) AS mean_byte
+    FROM p ORDER BY doc_id
+"""
+
+
+PIPELINE_ORACLES["multimodal_resize_pool"] = _pool_sql()
