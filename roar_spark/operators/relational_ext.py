@@ -540,3 +540,58 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# KMV (k-minimum-values) distinct sketch: k smallest hash values of the
+# set estimate its cardinality as (k-1)/F(v_k), F(v) = v / 16^15 the
+# uniform-fraction of the 60-bit hash space. Chosen over HLL for the
+# oracle story: every ingredient (md5, hex-digit arithmetic, rank, one
+# double division) is deterministic and portable, so unlike
+# agg_stats_sketches (engine-native HLL, rows-only check) this sketch is
+# exact-value verifiable cross-engine.
+KMV_K = 64
+KMV_HEX_DIGITS = 15  # 60-bit numeric hash: max value 16^15 = 2^60 < 2^63
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketch per event type: KMV over
+    md5(user_id), reported next to the exact distinct count.
+
+    Shape: DISTINCT (event_type, user_id) → one md5 per row, materialized
+    once (Horner fold over 15 hex digits into a 60-bit int64) → per-type
+    rank window over just (event_type, v). The shuffles are keyed exactly
+    like the exact distinct count the sketch sits beside — nothing here is
+    worse than COUNT(DISTINCT). At 100 TB the production form of this
+    sketch is a partially-mergeable accumulator (each task keeps its k
+    smallest, merge keeps the k smallest of unions — what
+    approx_count_distinct's HLL does natively); this operator demonstrates
+    the sketch mathematics with exact cross-engine verifiability, which
+    the engine-native HLL cannot offer."""
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+    )
+    from roar_spark.functions.text_fns import hex_digit_val
+
+    v = F.lit(0).cast("long")
+    for i in range(1, KMV_HEX_DIGITS + 1):
+        v = v * 16 + hex_digit_val(F.col("h"), i).cast("long")
+    d = d.select("event_type", v.alias("v"))
+    w = W.partitionBy("event_type").orderBy("v")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    space = float(16**KMV_HEX_DIGITS)  # 2^60, exact in double
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("v"))).alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        # (k-1) * 2^60 exact in double (6 significant bits); one division
+        F.round(F.lit((KMV_K - 1) * space) / F.col("kth_hash").cast("double"), 6)
+    )
+    return agg.select(
+        "event_type", "n_exact", "kth_hash", est.alias("kmv_est")
+    ).orderBy("event_type")

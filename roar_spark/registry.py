@@ -1538,3 +1538,29 @@ _register(
     ORDER BY column_name
     """,
 )
+
+
+from roar_spark.operators.relational_ext import agg_kmv_distinct  # noqa: E402
+
+_register(
+    "agg_kmv_distinct",
+    agg_kmv_distinct,
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM d),
+    v AS (SELECT event_type,
+                 (((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(hx, 15, 1)) - 1)) AS v
+          FROM h),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+          FROM v),
+    a AS (SELECT event_type, COUNT(*) AS n_exact,
+                 MAX(CASE WHEN rn <= 64 THEN v END) AS kth_hash
+          FROM r GROUP BY event_type)
+    SELECT event_type, n_exact, kth_hash,
+           CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 6)
+           END AS kmv_est
+    FROM a ORDER BY event_type
+    """,
+)

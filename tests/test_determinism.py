@@ -30,6 +30,7 @@ SENSITIVE = [
     "agg_stats_exact",
     "embedding_label_centroids",
     "agg_salted_twophase",
+    "agg_kmv_distinct",
     "events_anomaly",
     "sample_temperature",
     "dataset_shuffle",
