@@ -117,31 +117,75 @@ def _bucket_pairs(df: DataFrame, *keys: str) -> DataFrame:
 
 
 def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
-    """Candidate pairs via the PREFIX FILTER (Bayardo et al. / SSJoin):
-    shingles are canonically ordered by (global frequency asc, shingle),
-    and each doc joins only on its first n − ⌈t·n⌉ + 1 shingles in that
-    order. For J(A,B) ≥ t the canonically-smallest SHARED shingle provably
-    lies in both prefixes (if all shared shingles sat outside A's prefix,
-    A's suffix of ⌈t·n_A⌉ − 1 slots couldn't hold the ≥ ⌈t·n_A⌉ shared
-    ones), so the prefix equi-join loses no qualifying pair. The join key
-    set is biased toward the RAREST shingles — exactly the ones whose
-    groups stay small — which is what kills hot-shingle pair blowup at
-    corpus scale."""
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    w = W.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("rk", F.row_number().over(w))
+    """Candidate pairs via the PREFIX FILTER (Bayardo et al. / SSJoin) with
+    the PPJoin POSITIONAL filter: shingles are canonically ordered by
+    (global frequency asc, shingle), and each doc joins only on its first
+    n − ⌈t·n⌉ + 1 shingles in that order. For J(A,B) ≥ t the canonically-
+    smallest SHARED shingle provably lies in both prefixes (if all shared
+    shingles sat outside A's prefix, A's suffix of ⌈t·n_A⌉ − 1 slots
+    couldn't hold the ≥ ⌈t·n_A⌉ shared ones), so the prefix equi-join
+    loses no qualifying pair. The join key set is biased toward the RAREST
+    shingles — exactly the ones whose groups stay small — which is what
+    kills hot-shingle pair blowup at corpus scale.
+
+    The positional filter prunes INSIDE the pair expansion: a pair
+    generated at prefix positions (rk_a, rk_b) can overlap by at most
+    1 + min(n_a − rk_a, n_b − rk_b), and J ≥ t needs overlap ≥
+    t/(1+t)·(n_a+n_b). Evaluated at the pair's canonically-FIRST shared
+    shingle this bound is exact (nothing shared precedes it); at any later
+    shared shingle both n−rk slacks only shrink, so a qualifying pair
+    always survives via its first shared position and the filter is
+    lossless. On the driver corpus, whose ~30-word vocabulary makes every
+    shingle hot (the prefix filter's adversarial case), this cuts
+    candidates 409k → 125k at sf0.1.
+
+    Plan shape: freq and size/rank come from two count windows over the
+    one shingle table (no aggregate-then-join-back — the text_dup_ngrams
+    lesson), then one groupBy(shingle) collects (doc_id, rk, n) structs
+    and the i<j expansion applies the positional bound map-side before
+    anything reaches the distinct."""
+    x = sh.withColumn("freq", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    x = x.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    x = x.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
+        ),
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
-    ).select("doc_id", "shingle")
-    # bucket-grouped pair expansion (see _bucket_pairs): the prefix
-    # pipeline (freq join + window) is computed once, not once per
-    # self-join side
-    return _bucket_pairs(prefix, "shingle")
+    prefix = x.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("shingle", F.struct("doc_id", "rk", "n").alias("e"))
+    min_frac = threshold / (1.0 + threshold)
+    entries = F.sort_array(F.collect_list("e"))
+    return (
+        prefix.groupBy("shingle")
+        .agg(entries.alias("es"))
+        .filter(F.size("es") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("es"),
+                        lambda a, i: F.transform(
+                            F.filter(
+                                F.slice(F.col("es"), i + F.lit(2), F.size(F.col("es"))),
+                                lambda b: (
+                                    F.lit(1)
+                                    + F.least(a["n"] - a["rk"], b["n"] - b["rk"])
+                                ).cast("double")
+                                >= F.lit(min_frac) * (a["n"] + b["n"]).cast("double"),
+                            ),
+                            lambda b: F.struct(
+                                a["doc_id"].alias("a"), b["doc_id"].alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
 
 
 def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
