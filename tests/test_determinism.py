@@ -35,6 +35,7 @@ SENSITIVE = [
     "sample_temperature",
     "dataset_shuffle",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_brute_topk",
     "window_rank",
     "text_dup_ngrams",
