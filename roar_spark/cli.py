@@ -150,6 +150,36 @@ def cmd_client(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """In-engine SQL over the corpus tables (and, with --store-dir, over
+    served streams): the query surface a reference deployment delegates
+    to a client-side DuckDB (art/article.md:88-90), run on Spark instead.
+    Views are registered via catalog.register_views, so the same Catalyst
+    pushdown/pruning applies as in the registry queries."""
+    import pyarrow as pa
+
+    from roar_spark.catalog import register_views
+    from roar_spark.session import get_spark
+
+    spark = get_spark(app_name="roar_spark_sql")
+    register_views(spark, args.dir or None)
+    if args.store_dir:
+        # expose every served topic's retained batches as <topic> views
+        import os
+
+        for topic in sorted(os.listdir(args.store_dir)):
+            path = os.path.join(args.store_dir, topic)
+            if os.path.isdir(path):
+                spark.read.parquet(f"{path}/*").createOrReplaceTempView(topic)
+    df = spark.sql(args.query)
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    # dict-of-columns keeps headers and column order even for 0 rows
+    table = pa.table({c: [r[c] for r in rows] for c in df.columns})
+    render = render_csv if args.format == "csv" else render_table
+    print(render(table))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="roar_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -173,6 +203,14 @@ def main(argv: list[str] | None = None) -> int:
     client.add_argument("--format", choices=["table", "csv"], default="table")  # client.go:64
     client.add_argument("--list", action="store_true")
     client.set_defaults(fn=cmd_client)
+
+    sql = sub.add_parser("sql", help="run SQL over corpus tables / served streams")
+    sql.add_argument("query")
+    sql.add_argument("--dir", default="", help="corpus dir (default $SPARK_GRAFT_SF_DIR)")
+    sql.add_argument("--store-dir", default="", help="parquet retention store to expose as views")
+    sql.add_argument("--limit", type=int, default=0, help="truncate output rows (0 = all)")
+    sql.add_argument("--format", choices=["table", "csv"], default="table")
+    sql.set_defaults(fn=cmd_sql)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -73,3 +73,47 @@ def test_cli_client_end_to_end(spark, tmp_path, capsys):
 
 def test_cli_requires_topic_or_list(capsys):
     assert main(["client", "--addr", "localhost:1"]) == 2
+
+
+def test_cli_sql_over_corpus_and_store(spark, tmp_path, capsys):
+    """`roar_spark sql` runs in-engine SQL over the corpus views AND over a
+    parquet retention store directory (the served-stream surface) — the
+    query path a reference deployment delegates to client-side DuckDB."""
+    rc = main(
+        [
+            "sql",
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag",
+            "--dir",
+            "/root/testdata/sf0.001",
+            "--format",
+            "csv",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert lines[0] == "l_returnflag,n"
+    assert len(lines) == 4  # A/N/R
+
+    # store-dir path: one topic directory of parquet batches becomes a view
+    store = tmp_path / "store" / "metrics_topic"
+    store.mkdir(parents=True)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(
+        str(store / "batch0")
+    )
+    rc = main(
+        [
+            "sql",
+            "SELECT COUNT(*) AS n FROM metrics_topic",
+            "--dir",
+            "/root/testdata/sf0.001",
+            "--store-dir",
+            str(tmp_path / "store"),
+            "--format",
+            "csv",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.strip().splitlines()[1] == "2"
