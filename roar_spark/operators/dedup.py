@@ -539,6 +539,112 @@ def min_label_propagation(docs: DataFrame, pairs: DataFrame, max_iters: int = 20
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood. Strictly decreases large-neighbor
+    edges; preserves connectivity."""
+    both = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    grp = both.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.array_min("nbrs"), F.col("u"))
+    return (
+        grp.select(
+            m.alias("m"),
+            F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("w"),
+        )
+        .filter(F.col("w") != F.col("m"))
+        .select(F.col("w").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star operation: orient every edge large→small, then each node
+    re-points its SMALLER neighbors (and itself) at the minimum of that
+    set. Together with large-star this converges to per-component stars in
+    O(log n) rounds on ANY topology — including the long chains where
+    plain min-label propagation needs diameter rounds."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    grp = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.array_min("nbrs"), F.col("u"))
+    return (
+        grp.select(
+            "u",
+            m.alias("m"),
+            F.array_union("nbrs", F.array(F.col("u"))).alias("pts"),
+        )
+        .select(F.col("m"), F.explode("pts").alias("w"))
+        .filter(F.col("w") != F.col("m"))
+        .select(F.col("w").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def star_components(docs: DataFrame, pairs: DataFrame, max_iters: int = 30):
+    """Connected components by alternating large-star/small-star — the
+    adversarial-topology path SCALE.md names for the cluster operator:
+    O(log n) rounds on any graph where min-label propagation needs
+    graph-diameter rounds (long chains). Returns (labels, rounds) with the
+    same (doc_id, cluster_id) contract as min_label_propagation; the
+    equivalence on random graphs and chains is pinned by
+    tests/test_dedup_paths.py.
+
+    Per round: two groupBy(node) aggregations + explodes — the same
+    key-partitioned shape as the min-label round. Convergence probe is an
+    order-independent (count, xor-of-hashes) edge-set fingerprint: one
+    tiny aggregate per round instead of a two-sided anti-join. (A 64-bit
+    fingerprint collision would need 2^64-scale coincidence; the result
+    itself stays exact — a false "converged" is made impossible by
+    comparing AFTER the round's edges are already the new state, so the
+    final state is always a fixpoint of small∘large within max_iters.)"""
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-independent like sum but cannot
+            # overflow int64 under ANSI mode
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(least(u, v), greatest(u, v)))"),
+                F.lit(0).cast("long"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        nfp = fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    # at the fixpoint every edge points (member -> component root); a
+    # member with several root edges keeps the min (defensive: the true
+    # fixpoint already has exactly one)
+    member = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    labels = docs.select("doc_id").join(
+        member.select(F.col("u").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    )
+    return (
+        labels.select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        ),
+        rounds,
+    )
+
+
 EVAL_MOD = 100  # doc_id % 100 == 0 stands in for the benchmark/eval set
 
 

@@ -28,3 +28,43 @@ def test_min_label_propagation_crosses_chains(spark):
         for r in min_label_propagation(docs, pairs).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (9, 9)}
+
+
+def test_star_components_matches_min_label_on_random_graphs(spark):
+    """Alternating large-star/small-star (the SCALE.md adversarial-
+    topology path) must produce exactly the labels min-label propagation
+    produces — checked on seeded random graphs AND on a 60-node chain,
+    where the star variant must converge in far fewer rounds than the
+    chain's diameter (the entire point of the algorithm)."""
+    import random
+
+    from roar_spark.operators.dedup import min_label_propagation, star_components
+
+    def compare(n_nodes, edge_list, max_chain_rounds=100):
+        docs = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        pairs = spark.createDataFrame(
+            edge_list or [(0, 0)], "doc_id_a long, doc_id_b long"
+        )
+        if not edge_list:
+            pairs = pairs.limit(0)
+        want = {
+            (r.doc_id, r.cluster_id)
+            for r in min_label_propagation(docs, pairs, max_chain_rounds).collect()
+        }
+        labels, rounds = star_components(docs, pairs)
+        got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+        assert got == want
+        return rounds
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 25))
+        ]
+        compare(n, [e for e in edges if e[0] != e[1]])
+
+    # 60-node chain: diameter 59; star must need only O(log n) rounds
+    chain = [(i, i + 1) for i in range(59)]
+    rounds = compare(60, chain)
+    assert rounds <= 12, rounds
