@@ -60,3 +60,57 @@ def test_centroids_match_driver_side_exact_recompute(spark):
         assert r.sum_micro == sums[k]
         assert r.n_vecs == counts[k]
         assert abs(r.centroid - sums[k] / (counts[k] * CENTROID_MICRO_SCALE)) < 1e-6
+
+
+def test_chunk_property_matches_python_reference(spark):
+    """Property: for arbitrary texts, the distributed chunker must agree
+    exactly (ids, starts, sizes, digests) with a 6-line Python reference
+    implementation of the same contract."""
+    import hashlib
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import roar_spark.operators.text as X
+
+    def reference(text):
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t != ""]
+        if not toks:
+            toks = [""]  # split of empty string yields one empty token
+        w, s = CHUNK_TOKENS, CHUNK_STRIDE
+        n = len(toks)
+        nc = 1 if n <= w else 1 + -(-(n - w) // s)
+        out = []
+        for i in range(nc):
+            sl = toks[i * s : i * s + w]
+            out.append(
+                (i, i * s, len(sl), hashlib.md5(" ".join(sl).encode()).hexdigest())
+            )
+        return out
+
+    token = st.text(alphabet="abcxyz0", min_size=1, max_size=5)
+    texts = st.lists(token, min_size=1, max_size=90).map(" ".join)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(texts, min_size=1, max_size=12))
+    def run(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+        )
+        # drive the same expression pipeline text_chunk uses, over this df
+        orig = X.load_table
+        X.load_table = lambda spark_, name, d=None, spread=False: df
+        try:
+            rows = X.text_chunk(spark, "ignored").collect()
+        finally:
+            X.load_table = orig
+        got = {}
+        for r in rows:
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.start_tok, r.n_chunk_tokens, r.chunk_md5)
+            )
+        for i, t in enumerate(batch):
+            assert got[i] == reference(t), (t, got[i], reference(t))
+
+    run()
