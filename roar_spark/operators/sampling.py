@@ -123,3 +123,87 @@ def dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", key.alias("shuffle_key"), shard.alias("shard")
     ).orderBy("shuffle_key")
+
+
+K_PER_STRATUM = 20
+
+
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample per stratum (k=20 docs per lang):
+    rank docs inside each language by the md5 of their id (a content-
+    stable pseudo-random order) and keep the first k. The fixed-k
+    complement of sample_stratified's hash-THRESHOLD rule — the form
+    evaluation/audit pipelines need ("give me exactly 20 of each"),
+    reproducible across runs, engines and partitionings.
+
+    Plan: one hash shuffle on lang for the rank window; the md5 rank key
+    is computed map-side. Stratum skew is bounded by the window's
+    top-k-per-partition shape (rank + filter prunes to k rows per group
+    before anything else happens downstream). No RNG, no sampleBy
+    approximation, no collect."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= K_PER_STRATUM)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card mixture report: per (source, lang) document counts,
+    whitespace-token totals, character totals and corpus share — the
+    composition summary every training-data release publishes, and the
+    input to mixture-weight decisions (sample_temperature consumes
+    exactly these counts).
+
+    Plan: one scan + one partial-agg shuffle keyed by (source, lang);
+    token counts are map-side array sizes (no explode — nothing
+    per-token crosses the wire). The share column's unpartitioned window
+    runs over the AGGREGATED table, whose row count is the stratum
+    cardinality (sources × langs) — bounded at any corpus size, so the
+    single-partition window is on a few dozen rows, never the corpus.
+    Shares are double divisions of exact int64 sums, round(…, 6) →
+    engine-exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    agg = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).cast("long").alias("n_toks"),
+            F.col("n_chars"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    wall = W.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.lit(100.0) * F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wall).cast("double"),
+            6,
+        ).alias("pct_docs"),
+        F.round(
+            F.lit(100.0) * F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(wall).cast("double"),
+            6,
+        ).alias("pct_tokens"),
+    ).orderBy("source", "lang")

@@ -742,3 +742,62 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+KNN_K = 10
+
+
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: for each query vector (vec_id < N_QUERIES),
+    take its KNN_K nearest corpus neighbors by exact cosine (self
+    excluded) and predict the majority label; ties break by (votes desc,
+    best neighbor cosine desc, label asc) — fully deterministic, so the
+    result carries an exact SQL oracle.
+
+    Scale shape (the classifier-inference pattern over a labeled corpus,
+    e.g. quality/domain labeling of new documents against a curated seed
+    set): the QUERY side broadcasts — the labeled corpus streams through
+    one scan with no shuffle for the scoring join; the only shuffles are
+    the per-query rank window and the tiny vote aggregation, both keyed
+    by query_id (cardinality = |queries|, not |corpus|). For bulk
+    classification (|queries| ~ |corpus|) the same vote stage composes
+    with ann_lsh_topk's candidate generation instead of the brute join —
+    identical semantics above the candidate stage.
+
+    Reference scope: client-side similarity scoring delegated by the
+    serving gateway (SURVEY.md Part B north-star); no reference-engine
+    counterpart file."""
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = emb.join(q, F.col("vec_id") != F.col("query_id")).withColumn(
+        "cos",
+        F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cos").alias("best_cos"),
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.desc("best_cos"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            "best_cos",
+        )
+        .orderBy("query_id")
+    )

@@ -116,17 +116,12 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_FEATURE_BUCKETS = 64
 
 
-def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature hashing (the hashing trick): bag-of-words counts into a
-    fixed 64-bucket space, emitted as sparse (doc_id, bucket, n_tokens)
-    rows — HashingTF re-expressed relationally.
-
-    The scale property IS the trick: no vocabulary is built or broadcast
-    (unbounded-vocab corpora can't afford one); the bucket is pure
-    per-token arithmetic (md5 → last two hex digits → mod 64, portable via
-    the same strpos lattice simhash uses), the count is one partial-agg
-    shuffle on (doc_id, bucket), and the feature dimension bounds output
-    regardless of corpus size."""
+def _hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed term frequencies (doc_id, bucket, n_tokens) — the
+    shared TF stage of text_hashing_features and text_tfidf. Bucket is
+    pure per-token arithmetic (md5 → last two hex digits → mod 64,
+    portable via the same strpos lattice simhash uses); the count is one
+    partial-agg shuffle on (doc_id, bucket)."""
     from roar_spark.functions.text_fns import hex_digit_val
 
     docs = load_table(spark, "documents", sf_dir, spread=True)
@@ -139,6 +134,69 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): bag-of-words counts into a
+    fixed 64-bucket space, emitted as sparse (doc_id, bucket, n_tokens)
+    rows — HashingTF re-expressed relationally.
+
+    The scale property IS the trick: no vocabulary is built or broadcast
+    (unbounded-vocab corpora can't afford one); the feature dimension
+    bounds output regardless of corpus size. See _hashed_tf for the plan
+    shape."""
+    return _hashed_tf(spark, sf_dir).orderBy("doc_id", "bucket")
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighting over the hashed feature space — the classic
+    retrieval/quality-featurization step, vocabulary-free so it runs at
+    unbounded corpus scale.
+
+    Plan: the shared hashed-TF stage (one (doc_id, bucket) partial-agg
+    shuffle), then document frequency per bucket — an aggregation whose
+    output is bounded by N_FEATURE_BUCKETS rows at ANY corpus size — is
+    BROADCAST back onto the TF table (no second shuffle of the big side).
+    The corpus total-docs scalar rides the same tiny broadcast via a
+    cross join of two bounded aggregates.
+
+    Determinism across engines: idf = round(ln((1+N)/(1+df)) + 1, 6)
+    (sklearn's smoothed form) is rounded BEFORE the multiply, so the
+    product tf × idf multiplies identical doubles in both engines and the
+    final round(…, 6) matches exactly; ln of a ratio of small exact
+    integers agrees to well under 1e-6 between libm implementations."""
+    tf = _hashed_tf(spark, sf_dir)
+    n_docs = (
+        load_table(spark, "documents", sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    )
+    df_tab = (
+        tf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .select(
+            "bucket",
+            "df",
+            F.round(
+                F.log(
+                    (F.lit(1.0) + F.col("n_corpus_docs").cast("double"))
+                    / (F.lit(1.0) + F.col("df").cast("double"))
+                )
+                + F.lit(1.0),
+                6,
+            ).alias("idf"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_tab), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            F.col("n_tokens").alias("tf"),
+            "df",
+            F.round(F.col("n_tokens").cast("double") * F.col("idf"), 6).alias("tfidf"),
+        )
         .orderBy("doc_id", "bucket")
     )
 

@@ -1564,3 +1564,37 @@ _register(
     FROM a ORDER BY event_type
     """,
 )
+
+
+_register(
+    "sample_topk_per_stratum",
+    SM.sample_topk_per_stratum,
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT lang, rk, doc_id FROM r WHERE rk <= 20 ORDER BY lang, rk
+    """,
+)
+
+_register(
+    "corpus_mix_report",
+    SM.corpus_mix_report,
+    r"""
+    WITH a AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, n_tokens, n_chars,
+           round(100.0 * CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS pct_docs,
+           round(100.0 * CAST(n_tokens AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS pct_tokens
+    FROM a ORDER BY source, lang
+    """,
+)

@@ -648,3 +648,62 @@ def _pool_sql() -> str:
 
 
 PIPELINE_ORACLES["multimodal_resize_pool"] = _pool_sql()
+
+
+# --- k-NN label vote (classifier-inference pattern) -----------------------
+
+from roar_spark.operators.similarity import KNN_K, N_QUERIES  # noqa: E402
+
+PIPELINE_QUERIES["embedding_knn_classify"] = S.embedding_knn_classify
+PIPELINE_ORACLES["embedding_knn_classify"] = f"""
+    WITH e AS (SELECT vec_id, label, embedding,
+                      sqrt({_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label,
+                 embedding AS q_emb, nrm AS q_nrm
+          FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label, e.vec_id,
+             round({_dot('q_emb', 'embedding')} / (q_nrm * nrm), 6) AS cos
+      FROM e JOIN q ON e.vec_id <> q.query_id),
+    nn AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored),
+    votes AS (
+      SELECT query_id, true_label, label,
+             COUNT(*) AS n_votes, MAX(cos) AS best_cos
+      FROM nn WHERE rk <= {KNN_K} GROUP BY 1, 2, 3),
+    pick AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY n_votes DESC, best_cos DESC, label ASC) AS vrk
+      FROM votes)
+    SELECT query_id, true_label, label AS predicted_label, n_votes, best_cos
+    FROM pick WHERE vrk = 1 ORDER BY query_id
+"""
+
+# --- TF-IDF over the hashed feature space ---------------------------------
+
+PIPELINE_QUERIES["text_tfidf"] = X.text_tfidf
+PIPELINE_ORACLES["text_tfidf"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(t), 31, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1) % 64 AS bucket
+      FROM tok),
+    tf AS (
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS tf
+      FROM h GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_corpus_docs FROM documents),
+    idf AS (
+      SELECT bucket, COUNT(*) AS df,
+             round(ln((1.0 + n_corpus_docs) / (1.0 + COUNT(*))) + 1.0, 6) AS idf
+      FROM tf CROSS JOIN n GROUP BY bucket, n_corpus_docs)
+    SELECT tf.doc_id, tf.bucket, tf.tf, idf.df,
+           round(tf.tf * idf.idf, 6) AS tfidf
+    FROM tf JOIN idf USING (bucket)
+    ORDER BY doc_id, bucket
+"""
