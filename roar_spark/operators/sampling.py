@@ -169,8 +169,11 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality (sources × langs) — bounded at any corpus size, so the
     single-partition window is on a few dozen rows, never the corpus.
     Shares are double divisions of exact int64 sums, round(…, 6) →
-    engine-exact."""
-    docs = load_table(spark, "documents", sf_dir)
+    engine-exact. spread=True: the tokenize-and-count projection is the
+    heavy-map-work-before-first-shuffle case (single-row-group smoke
+    corpora serialize it through one task otherwise; a no-op on real
+    multi-file corpora)."""
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     from pyspark.sql import Window as W
 
     agg = (

@@ -166,7 +166,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     product tf × idf multiplies identical doubles in both engines and the
     final round(…, 6) matches exactly; ln of a ratio of small exact
     integers agrees to well under 1e-6 between libm implementations."""
-    tf = _hashed_tf(spark, sf_dir)
+    tf = _hashed_tf(spark, sf_dir).persist()
+    # Materialize before the plan branches (the dedup-family lesson):
+    # tf feeds BOTH the broadcast df side and the probe side, and Spark
+    # plans the tokenize+explode+agg subtree once PER BRANCH (no static
+    # exchange reuse across a broadcast boundary — verified in the
+    # formatted plan). The cached table is the bounded sparse TF matrix
+    # (≤ docs × 64 rows), far smaller than re-tokenizing the corpus.
+    tf.count()
     n_docs = (
         load_table(spark, "documents", sf_dir)
         .agg(F.count(F.lit(1)).alias("n_corpus_docs"))

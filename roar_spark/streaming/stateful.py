@@ -60,6 +60,22 @@ def streaming_dedup(parsed: DataFrame, id_cols: list[str], time_col: str, waterm
     return parsed.withWatermark(time_col, watermark).dropDuplicates(id_cols)
 
 
+def streaming_dedup_within_watermark(
+    parsed: DataFrame, id_cols: list[str], time_col: str, watermark: str = "1 minute"
+) -> DataFrame:
+    """Event-time-bounded dedup: duplicates whose event times fall within
+    the watermark delay of the first sighting are dropped, and — the
+    difference from plain streaming_dedup — the per-key state is EVICTED
+    once the watermark passes the stored event time, so a key can
+    legitimately re-emit after the delay (re-tried uploads, replayed
+    sources with day-scale gaps). This is the form whose state size is
+    bounded by the event-RATE × delay rather than by distinct-key
+    cardinality: on an unbounded key universe (doc ids, request ids at
+    100 TB/day) plain dropDuplicates' state grows without bound even
+    with a watermark, while this one's state is a sliding window."""
+    return parsed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
 def session_windows(
     parsed: DataFrame, time_col: str, key_col: str, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

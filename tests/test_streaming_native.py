@@ -347,3 +347,55 @@ def test_chained_windowed_aggregations(spark, tmp_path):
     # 3 views across two minute-windows collapse into one 5-minute row
     assert got.get(("2026-08-13T10:00:00", "view")) == 3
     assert got.get(("2026-08-13T10:00:00", "click")) == 1
+
+
+def test_streaming_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """Pins the dropDuplicatesWithinWatermark contract that matters at
+    scale: dups inside the delay are dropped, and the key's state is
+    EVICTED once the watermark passes it — so the same id re-emits after
+    the delay (bounded state on an unbounded key universe), where plain
+    dropDuplicates would suppress it forever."""
+    from roar_spark.streaming.stateful import streaming_dedup_within_watermark
+
+    src = str(tmp_path / "ddw")
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", event_id=100, kind="view", user_id=1,
+                 value=1.5, ts="2026-08-13T10:00:00Z"),
+            _msg(1, "2026-08-13T09:00:01Z", event_id=100, kind="view", user_id=1,
+                 value=1.5, ts="2026-08-13T10:00:30Z"),  # dup within 1-min delay
+        ],
+        file_name="a.json",
+    )
+    parsed = _parsed_stream(spark, src)
+    dedup = streaming_dedup_within_watermark(parsed, ["event_id"], "ts", watermark="1 minute")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past 10:00 + 1 min → evicts key 100
+        write_envelope_file(
+            src,
+            [_msg(2, "2026-08-13T09:10:00Z", event_id=200, kind="view", user_id=1,
+                  value=1.5, ts="2026-08-13T11:00:00Z")],
+            file_name="b.json",
+        )
+        q.processAllAvailable()
+        # same id again, well after eviction → must re-emit as a new row
+        write_envelope_file(
+            src,
+            [_msg(3, "2026-08-13T09:10:05Z", event_id=100, kind="view", user_id=1,
+                  value=1.5, ts="2026-08-13T11:00:05Z")],
+            file_name="c.json",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ddw_out").collect()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [100, 100, 200]

@@ -50,6 +50,10 @@ LINEAR_OPS = [
     "dataset_shuffle",
     "sample_temperature",
     "dedup_embedding_lsh@0.9",
+    "text_tfidf",
+    "embedding_knn_classify",
+    "sample_topk_per_stratum",
+    "corpus_mix_report",
 ]
 QUADRATIC_OPS = ["sim_cosine_pairs"]
 QUADRATIC_CAP = 20_000
