@@ -116,3 +116,55 @@ def test_mix_report_shares_close(spark):
     assert abs(sum(r.pct_tokens for r in rows) - 100.0) < 1e-3
     # counts are internally consistent
     assert all(r.n_tokens >= r.n_docs for r in rows)
+
+
+def test_tfidf_matches_driver_side_recompute(spark):
+    """Recompute TF, DF and the smoothed IDF in plain Python over the raw
+    parquet — the distributed build must agree exactly on the integer
+    counts and to float precision on the weights (order-independence and
+    bucket-hash portability are the point)."""
+    import hashlib
+    import math
+    import re
+
+    rows = text_tfidf(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    tf_ref: dict[tuple, int] = {}
+    for d in docs:
+        for t in re.split(r"\s+", d.text.strip().lower()):
+            b = int(hashlib.md5(t.encode()).hexdigest()[30:32], 16) % 64
+            k = (d.doc_id, b)
+            tf_ref[k] = tf_ref.get(k, 0) + 1
+    df_ref: dict[int, int] = {}
+    for (_, b) in tf_ref:
+        df_ref[b] = df_ref.get(b, 0) + 1
+    n = len(docs)
+    assert len(rows) == len(tf_ref)
+    for r in rows:
+        assert r.tf == tf_ref[(r.doc_id, r.bucket)]
+        assert r.df == df_ref[r.bucket]
+        idf = round(math.log((1.0 + n) / (1.0 + r.df)) + 1.0, 6)
+        assert abs(r.tfidf - round(r.tf * idf, 6)) < 1e-9
+
+
+def test_mix_report_matches_driver_side_recompute(spark):
+    import re
+
+    rows = corpus_mix_report(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ref: dict[tuple, list] = {}
+    for d in docs:
+        k = (d.source, d.lang)
+        toks = len(re.split(r"\s+", d.text.strip().lower()))
+        cur = ref.setdefault(k, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += toks
+        cur[2] += d.n_chars
+    assert len(rows) == len(ref)
+    tot_docs = sum(v[0] for v in ref.values())
+    tot_toks = sum(v[1] for v in ref.values())
+    for r in rows:
+        nd, nt, nc = ref[(r.source, r.lang)]
+        assert (r.n_docs, r.n_tokens, r.n_chars) == (nd, nt, nc)
+        assert abs(r.pct_docs - round(100.0 * nd / tot_docs, 6)) < 1e-9
+        assert abs(r.pct_tokens - round(100.0 * nt / tot_toks, 6)) < 1e-9
