@@ -180,6 +180,38 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_materialize(args: argparse.Namespace) -> int:
+    """Run a SQL query (or a named registry query) over the corpus and
+    write the result as a content-stable sharded parquet dataset +
+    manifest — the batch materialization step of a curation pipeline
+    (operators/writer.py). The in-memory result never routes through the
+    driver; only the O(n_shards) manifest counts do."""
+    from roar_spark.catalog import register_views
+    from roar_spark.operators.writer import write_sharded_dataset
+    from roar_spark.session import get_spark
+
+    spark = get_spark(app_name="roar_spark_materialize")
+    sf_dir = args.dir or None
+    if args.query_name:
+        from roar_spark.registry import QUERIES
+
+        import os
+
+        df = QUERIES[args.query_name](
+            spark, sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
+    else:
+        register_views(spark, sf_dir)
+        df = spark.sql(args.query)
+    manifest = write_sharded_dataset(
+        df, args.out, key_col=args.key, n_shards=args.shards
+    )
+    import json
+
+    print(json.dumps(manifest, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="roar_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -211,6 +243,18 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--limit", type=int, default=0, help="truncate output rows (0 = all)")
     sql.add_argument("--format", choices=["table", "csv"], default="table")
     sql.set_defaults(fn=cmd_sql)
+
+    mat = sub.add_parser(
+        "materialize", help="write a query result as sharded parquet + manifest"
+    )
+    grp = mat.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--query", default="", help="SQL over the corpus views")
+    grp.add_argument("--query-name", default="", help="named registry query")
+    mat.add_argument("--out", required=True, help="output dataset directory")
+    mat.add_argument("--key", default="doc_id", help="content key column for sharding")
+    mat.add_argument("--shards", type=int, default=16)
+    mat.add_argument("--dir", default="", help="corpus dir (default $SPARK_GRAFT_SF_DIR)")
+    mat.set_defaults(fn=cmd_materialize)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,78 @@
+"""Batch dataset materialization: write a curated corpus as content-
+stable sharded parquet + a manifest — the output side of a training-data
+pipeline (the reference covers the streaming sink path in
+`streaming/sink.py`; this is its batch twin for query results).
+
+Design for 100 TB:
+- shard = md5(key) mod n_shards is CONTENT-stable: a document lands in
+  the same shard under reprocessing, incremental append, or a different
+  cluster size — the property that makes shard-level dedup/resume
+  possible (same rationale as sampling.dataset_split).
+- one repartition() keyed by the shard id is the only shuffle; each
+  output task writes exactly its shard's file(s). Hash uniformity bounds
+  skew; `max_records_per_file` caps file sizes so a hot shard splits
+  into multiple files instead of one giant row group.
+- intra-shard order is the deterministic shuffle key (dataset_shuffle's
+  ordering) applied via sortWithinPartitions — a per-task sort, NO
+  global sort/range exchange.
+- the manifest is driver-side but O(n_shards) (aggregated counts
+  collected from a bounded groupBy), never O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_DEFAULT_SHARDS = 16
+
+
+def write_sharded_dataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    n_shards: int = N_DEFAULT_SHARDS,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Write ``df`` to ``out_dir`` partitioned into content-stable shards,
+    shuffled within each shard by the content key; returns the manifest
+    (also written to ``out_dir/_manifest.json``).
+
+    Layout: ``out_dir/shard=NN/part-*.parquet`` — readable back with
+    ``spark.read.parquet(out_dir)`` (the shard column comes back via
+    partition discovery, usable for shard-pruned reads)."""
+    if key_col not in df.columns:
+        raise ValueError(
+            f"shard key column {key_col!r} not in result columns {df.columns}; "
+            "pass key_col= (CLI: --key) naming one of them"
+        )
+    key_md5 = F.md5(F.col(key_col).cast("string"))
+    shard = (F.conv(F.substring(key_md5, 1, 4), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+    sharded = df.withColumn("shard", shard).withColumn("_skey", key_md5)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_skey")
+        .drop("_skey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    counts = {
+        int(r.shard): int(r.n)
+        for r in sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "total_rows": sum(counts.values()),
+        "rows_per_shard": {str(s): counts.get(s, 0) for s in range(n_shards)},
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
