@@ -399,3 +399,58 @@ def test_streaming_dedup_within_watermark_evicts_state(spark, tmp_path):
         q.stop()
     ids = sorted(r.event_id for r in rows)
     assert ids == [100, 100, 200]
+
+
+def test_curate_stream_end_to_end(spark, tmp_path):
+    """The curation composite as a live stream: gates drop low-quality
+    docs inside the micro-batch, the digest state drops an exact
+    duplicate arriving in a LATER batch, splits are content-stable."""
+    import hashlib
+
+    from roar_spark.operators.curate import curate_stream
+
+    good = "the quick brown fox jumps over it"
+    src = str(tmp_path / "cur")
+    sample = [json.dumps({"doc_id": 1, "text": good})]
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("cur", sample)
+    write_envelope_file(
+        src,
+        [
+            _msg(0, "2026-08-13T09:00:00Z", doc_id=1, text=good),
+            _msg(1, "2026-08-13T09:00:01Z", doc_id=2, text="too short"),
+            _msg(2, "2026-08-13T09:00:02Z", doc_id=3,
+                 text="spam spam spam spam spam spam the"),  # TTR gate
+        ],
+        file_name="a.json",
+    )
+    parsed = parse_envelope(file_envelope_stream(spark, src), handle.schema)
+    out = curate_stream(parsed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cur_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate of doc 1's text in a later batch → dropped by state;
+        # a new good doc passes
+        write_envelope_file(
+            src,
+            [
+                _msg(3, "2026-08-13T09:00:03Z", doc_id=9, text=good),
+                _msg(4, "2026-08-13T09:00:04Z", doc_id=4,
+                     text="a calm green bird sings in the rain"),
+            ],
+            file_name="b.json",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cur_out").collect()
+    finally:
+        q.stop()
+    by_id = {r.doc_id: r for r in rows}
+    assert sorted(by_id) == [1, 4]  # 2,3 gated out; 9 deduped against 1
+    assert by_id[1].digest == hashlib.md5(good.encode()).hexdigest()
+    for r in rows:
+        assert r.split in ("train", "val", "test")
