@@ -48,3 +48,24 @@ def test_csv_infer_schema_types(spark, docs, tmp_path_factory):
     assert dict(inferred.dtypes)["doc_id"] in ("int", "bigint")
     assert dict(inferred.dtypes)["text"] == "string"
     assert inferred.count() == docs.count()
+
+
+def test_orc_round_trip(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fmt") / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema  # ORC carries types natively
+    assert _multiset(back) == _multiset(docs)
+
+
+def test_orc_predicate_pushdown(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fmt") / "docs_orc2")
+    docs.write.mode("overwrite").orc(out)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        spark.read.orc(out).filter("doc_id < 10").select("doc_id").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
