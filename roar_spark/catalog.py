@@ -54,12 +54,14 @@ def _scan_layout(path: str) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
+        # recurse: real corpora are hive-partitioned (table/part=x/*.parquet)
         groups = rows = 0
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                m = pq.ParquetFile(os.path.join(path, f)).metadata
-                groups += m.num_row_groups
-                rows += m.num_rows
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    m = pq.ParquetFile(os.path.join(root, f)).metadata
+                    groups += m.num_row_groups
+                    rows += m.num_rows
         return groups, rows
     m = pq.ParquetFile(path).metadata
     return m.num_row_groups, m.num_rows
