@@ -168,3 +168,11 @@ def test_mix_report_matches_driver_side_recompute(spark):
         assert (r.n_docs, r.n_tokens, r.n_chars) == (nd, nt, nc)
         assert abs(r.pct_docs - round(100.0 * nd / tot_docs, 6)) < 1e-9
         assert abs(r.pct_tokens - round(100.0 * nt / tot_toks, 6)) < 1e-9
+
+
+def test_sample_topk_gets_window_group_limit(spark):
+    # Spark's rank-filter pushdown must insert a MAP-SIDE WindowGroupLimit
+    # (partial top-k per input partition BEFORE the lang shuffle) — the
+    # property that keeps a billion-row stratum from sorting in one task
+    plan = plan_of(spark, "sample_topk_per_stratum")
+    assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
