@@ -175,3 +175,50 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(pooled_csv).alias("pooled_md5"),
         F.round(total.cast("double") / (POOL_SRC * POOL_SRC), 6).alias("mean_byte"),
     ).orderBy("doc_id")
+
+
+N_FEATURE_BINS = 16
+FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sum_bytes bigint, top_bin int, hist_csv string"
+)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column as an Arrow-batched
+    kernel (the brief's decode → FEATURE-EXTRACT stage, with a feature
+    the oracle can verify exactly): per payload, the 16-bin byte
+    histogram (byte % 16), total bytes, byte sum, and the dominant bin
+    (ties → smallest bin). In production the same ``mapInPandas`` slot
+    computes embeddings/spectrograms from decoded media; the numpy
+    histogram here IS the vectorized batch shape that replaces
+    (np.frombuffer + bincount stand in for the codec + feature net).
+
+    Scale shape: one pass, zero shuffles before the display sort — the
+    kernel sees Arrow record batches, so Python cost is per-batch, not
+    per-row; features are exact integers, so the cross-engine comparison
+    needs no float tolerance."""
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(b % N_FEATURE_BINS, minlength=N_FEATURE_BINS)
+                out.append(
+                    (
+                        doc_id,
+                        int(b.size),
+                        int(b.sum()),
+                        int(hist.argmax()),  # np.argmax ties → first (smallest bin)
+                        ",".join(str(int(c)) for c in hist),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "sum_bytes", "top_bin", "hist_csv"]
+            )
+
+    src = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return src.mapInPandas(_extract, FEATURES_SCHEMA).orderBy("doc_id")

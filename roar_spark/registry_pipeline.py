@@ -707,3 +707,41 @@ PIPELINE_ORACLES["text_tfidf"] = f"""
     FROM tf JOIN idf USING (bucket)
     ORDER BY doc_id, bucket
 """
+
+# --- multimodal feature extraction (Arrow-batched byte histogram) ---------
+
+PIPELINE_QUERIES["multimodal_features"] = M.multimodal_features
+PIPELINE_ORACLES["multimodal_features"] = """
+    WITH b AS (
+      SELECT doc_id,
+             unicode(substr(text, CAST(i AS INT), 1)) AS v
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+    bins AS (
+      SELECT doc_id, v % 16 AS bin FROM b),
+    counts AS (
+      SELECT d.doc_id, g.bin, COUNT(bins.bin) AS cnt
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g
+      LEFT JOIN bins ON bins.doc_id = d.doc_id AND bins.bin = g.bin
+      GROUP BY d.doc_id, g.bin),
+    hist AS (
+      SELECT doc_id,
+             string_agg(cnt, ',' ORDER BY bin) AS hist_csv
+      FROM counts GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, bin AS top_bin,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bin ASC) AS rk
+      FROM counts),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bytes, SUM(v) AS sum_bytes FROM b GROUP BY doc_id)
+    SELECT agg.doc_id,
+           CAST(agg.n_bytes AS BIGINT) AS n_bytes,
+           CAST(agg.sum_bytes AS BIGINT) AS sum_bytes,
+           CAST(top.top_bin AS INT) AS top_bin,
+           hist.hist_csv
+    FROM agg
+    JOIN hist ON hist.doc_id = agg.doc_id
+    JOIN top ON top.doc_id = agg.doc_id AND top.rk = 1
+    ORDER BY agg.doc_id
+"""

@@ -176,3 +176,21 @@ def test_sample_topk_gets_window_group_limit(spark):
     # property that keeps a billion-row stratum from sorting in one task
     plan = plan_of(spark, "sample_topk_per_stratum")
     assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+
+
+def test_multimodal_features_kernel_is_arrow_batched_and_exact(spark):
+    from roar_spark.operators.multimodal import multimodal_features
+
+    plan = plan_of(spark, "multimodal_features")
+    assert "MapInPandas" in plan  # Arrow-batched kernel, not a row UDF
+    rows = multimodal_features(spark, SF).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    assert len(rows) == len(docs)
+    import numpy as np
+
+    for r in rows[:25]:
+        b = np.frombuffer(docs[r.doc_id].encode(), dtype=np.uint8)
+        hist = np.bincount(b % 16, minlength=16)
+        assert r.n_bytes == b.size and r.sum_bytes == int(b.sum())
+        assert r.hist_csv == ",".join(str(int(c)) for c in hist)
+        assert r.top_bin == int(hist.argmax())
