@@ -801,3 +801,76 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def embedding_knn_classify_bulk(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """Full-corpus k-NN label prediction — the bulk-classification path
+    the brute operator's docstring promises: EVERY vector is classified,
+    so the query side cannot broadcast; candidates come from the same
+    OR-amplified sign-LSH tables as ann_lsh_topk (one shuffle equi-join
+    on the (tbl, bkt) keys — never all-pairs), exact ordered-fold cosine
+    reranks each vector's candidates to its top-k, and the vote stage is
+    identical to embedding_knn_classify (votes desc, best cosine desc,
+    label asc — deterministic).
+
+    Scale shape: corpus hashes once per table (Arrow-batched matmul,
+    _bucket_ids); the probe side fans out Hamming-1 buckets; candidate
+    volume per vector is bounded by bucket occupancy (planes are sized
+    for ~32-doc buckets at any n — n_planes_for), so the join output is
+    O(n · tables · (1+planes) · 32) ≈ linear in corpus size where brute
+    classification is O(n²). Approximate only in the candidate set;
+    scores and votes above it are exact, like the ANN family."""
+    from roar_spark.catalog import embedding_dim, table_row_count
+
+    n = table_row_count("embeddings", sf_dir)
+    dim = embedding_dim(sf_dir)
+    n_planes = n_planes_for(n)
+
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    corpus_keys = _bucket_entries(emb, n_planes, dim, probe=False)
+    probe_keys = _bucket_entries(emb, n_planes, dim, probe=True).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bkt"
+    )
+    cand = (
+        corpus_keys.join(probe_keys, ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    sides_q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(sides_q, "query_id")
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cos").alias("best_cos"),
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.desc("best_cos"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            "best_cos",
+        )
+        .orderBy("query_id")
+    )
