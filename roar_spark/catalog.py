@@ -219,11 +219,8 @@ def table_row_count(name: str, directory: str | None = None) -> int:
     directory = directory or sf_dir()
     path = f"{directory}/{name}.parquet"
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
+        # _scan_layout recurses into hive-partition subdirectories
+        return _scan_layout(path)[1]
     return pq.ParquetFile(path).metadata.num_rows
 
 
@@ -236,8 +233,13 @@ def embedding_dim(directory: str | None = None, name: str = "embeddings") -> int
     directory = directory or sf_dir()
     path = f"{directory}/{name}.parquet"
     if os.path.isdir(path):
+        # first file in deterministic walk order — recurses for
+        # hive-partitioned layouts (part=x/*.parquet)
         files = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
         )
         path = files[0]
     pf = pq.ParquetFile(path)

@@ -63,3 +63,18 @@ def test_partition_pruning_reaches_scan(spark, part_dir):
     plan = buf.getvalue()
     line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "lang" in line  # directory pruning, not a post-scan row filter
+
+
+def test_row_count_and_dim_helpers_recurse(spark, tmp_path_factory):
+    from roar_spark.catalog import embedding_dim, table_row_count
+
+    d = tmp_path_factory.mktemp("part_emb")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    (
+        emb.withColumn("part", (emb.vec_id % 3).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(str(d / "embeddings.parquet"))
+    )
+    assert table_row_count("embeddings", str(d)) == emb.count()
+    assert embedding_dim(str(d)) == len(emb.first().embedding)
