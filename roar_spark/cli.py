@@ -202,6 +202,14 @@ def cmd_materialize(args: argparse.Namespace) -> int:
         )
     else:
         register_views(spark, sf_dir)
+        if args.store_dir:
+            # expose served topics' retained batches as views (same as 'sql')
+            import os
+
+            for topic in sorted(os.listdir(args.store_dir)):
+                p = os.path.join(args.store_dir, topic)
+                if os.path.isdir(p):
+                    spark.read.parquet(f"{p}/*").createOrReplaceTempView(topic)
         df = spark.sql(args.query)
     manifest = write_sharded_dataset(
         df, args.out, key_col=args.key, n_shards=args.shards
@@ -254,6 +262,9 @@ def main(argv: list[str] | None = None) -> int:
     mat.add_argument("--key", default="doc_id", help="content key column for sharding")
     mat.add_argument("--shards", type=int, default=16)
     mat.add_argument("--dir", default="", help="corpus dir (default $SPARK_GRAFT_SF_DIR)")
+    mat.add_argument(
+        "--store-dir", default="", help="parquet retention store to expose as views"
+    )
     mat.set_defaults(fn=cmd_materialize)
 
     args = parser.parse_args(argv)

@@ -804,7 +804,7 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_knn_classify_bulk(
-    spark: SparkSession, sf_dir: str, k: int = KNN_K
+    spark: SparkSession, sf_dir: str, k: int = KNN_K, probe: bool = False
 ) -> DataFrame:
     """Full-corpus k-NN label prediction — the bulk-classification path
     the brute operator's docstring promises: EVERY vector is classified,
@@ -816,12 +816,18 @@ def embedding_knn_classify_bulk(
     label asc — deterministic).
 
     Scale shape: corpus hashes once per table (Arrow-batched matmul,
-    _bucket_ids); the probe side fans out Hamming-1 buckets; candidate
-    volume per vector is bounded by bucket occupancy (planes are sized
-    for ~32-doc buckets at any n — n_planes_for), so the join output is
-    O(n · tables · (1+planes) · 32) ≈ linear in corpus size where brute
-    classification is O(n²). Approximate only in the candidate set;
-    scores and votes above it are exact, like the ANN family."""
+    _bucket_ids); candidate volume per vector is bounded by bucket
+    occupancy (planes are sized for ~32-doc buckets at any n —
+    n_planes_for), so the join output is O(n · tables · 32) ≈ linear in
+    corpus size where brute classification is O(n²). Approximate only in
+    the candidate set; scores and votes above it are exact.
+
+    ``probe`` (default False): Hamming-1 multi-probe multiplies the
+    probe-side fan-out by (1+planes) — the right recall/cost trade for a
+    SMALL query set (ann_lsh_topk uses it), but at bulk scale it turns
+    ~128 candidates/vector into ~1500 (measured: the 80k smoke ran 10×
+    longer); with every vector already OR-matched across N_TABLES
+    independent tables, table diversity supplies the recall instead."""
     from roar_spark.catalog import embedding_dim, table_row_count
 
     n = table_row_count("embeddings", sf_dir)
@@ -830,7 +836,7 @@ def embedding_knn_classify_bulk(
 
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
     corpus_keys = _bucket_entries(emb, n_planes, dim, probe=False)
-    probe_keys = _bucket_entries(emb, n_planes, dim, probe=True).select(
+    probe_keys = _bucket_entries(emb, n_planes, dim, probe=probe).select(
         F.col("vec_id").alias("query_id"), "tbl", "bkt"
     )
     cand = (

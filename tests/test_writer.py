@@ -85,3 +85,31 @@ def test_missing_shard_key_raises_cleanly(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("lang")
     with pytest.raises(ValueError, match="shard key column 'doc_id'"):
         write_sharded_dataset(docs, "/tmp/never_written")
+
+
+def test_cli_materialize_from_store(spark, tmp_path, capsys):
+    """materialize over a served-stream retention store: the store view is
+    queryable and its result lands as a sharded dataset + manifest."""
+    from roar_spark.cli import main
+
+    store = tmp_path / "store" / "metrics_topic"
+    store.mkdir(parents=True)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, v string"
+    ).write.parquet(str(store / "batch0"))
+    out = str(tmp_path / "mat_store")
+    rc = main(
+        [
+            "materialize",
+            "--query", "SELECT id, v FROM metrics_topic",
+            "--out", out,
+            "--key", "id",
+            "--shards", "2",
+            "--dir", SF,
+            "--store-dir", str(tmp_path / "store"),
+        ]
+    )
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["total_rows"] == 3
+    assert spark.read.parquet(out).count() == 3

@@ -70,7 +70,16 @@ def _dedup_embedding_lsh_tight(spark, d):
 
 
 # named ops not in the registry (parameterized variants)
-EXTRA_OPS = {"dedup_embedding_lsh@0.9": _dedup_embedding_lsh_tight}
+def _knn_bulk(spark, d):
+    from roar_spark.operators.similarity import embedding_knn_classify_bulk
+
+    return embedding_knn_classify_bulk(spark, d)
+
+
+EXTRA_OPS = {
+    "dedup_embedding_lsh@0.9": _dedup_embedding_lsh_tight,
+    "embedding_knn_classify_bulk": _knn_bulk,
+}
 
 
 def gen_corpus(n: int) -> str:
