@@ -68,3 +68,44 @@ def test_star_components_matches_min_label_on_random_graphs(spark):
     chain = [(i, i + 1) for i in range(59)]
     rounds = compare(60, chain)
     assert rounds <= 12, rounds
+
+
+def test_star_components_compose_with_embedding_pairs(spark):
+    """Cross-family composition: the connected-components operator runs
+    unchanged over the EMBEDDING near-dup pair graph (sim_cosine_pairs),
+    not just the text-shingle graph — labels must match a driver-side
+    union-find over the identical pair list."""
+    from pyspark.sql import functions as F
+
+    from roar_spark.operators.dedup import star_components
+    from roar_spark.operators.similarity import sim_cosine_pairs
+
+    sf = "/root/testdata/sf0.001"
+    pairs = sim_cosine_pairs(spark, sf).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    nodes = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    labels, rounds = star_components(nodes, pairs)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+
+    # driver-side union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs.collect():
+        a, b = find(p.doc_id_a), find(p.doc_id_b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    n_vecs = nodes.count()
+    assert len(got) == n_vecs
+    for doc, lbl in got.items():
+        assert lbl == find(doc)  # find() self-roots unseen (singleton) docs
