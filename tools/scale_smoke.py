@@ -54,6 +54,7 @@ LINEAR_OPS = [
     "embedding_knn_classify",
     "sample_topk_per_stratum",
     "corpus_mix_report",
+    "multimodal_features",
 ]
 QUADRATIC_OPS = ["sim_cosine_pairs"]
 QUADRATIC_CAP = 20_000
