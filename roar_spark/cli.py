@@ -150,6 +150,17 @@ def cmd_client(args: argparse.Namespace) -> int:
     return 0
 
 
+def _register_store_views(spark, store_dir: str) -> None:
+    """Expose every served topic's retained parquet batches under
+    ``store_dir`` as ``<topic>`` temp views (shared by sql/materialize)."""
+    import os
+
+    for topic in sorted(os.listdir(store_dir)):
+        path = os.path.join(store_dir, topic)
+        if os.path.isdir(path):
+            spark.read.parquet(f"{path}/*").createOrReplaceTempView(topic)
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     """In-engine SQL over the corpus tables (and, with --store-dir, over
     served streams): the query surface a reference deployment delegates
@@ -164,13 +175,7 @@ def cmd_sql(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="roar_spark_sql")
     register_views(spark, args.dir or None)
     if args.store_dir:
-        # expose every served topic's retained batches as <topic> views
-        import os
-
-        for topic in sorted(os.listdir(args.store_dir)):
-            path = os.path.join(args.store_dir, topic)
-            if os.path.isdir(path):
-                spark.read.parquet(f"{path}/*").createOrReplaceTempView(topic)
+        _register_store_views(spark, args.store_dir)
     df = spark.sql(args.query)
     rows = df.limit(args.limit).collect() if args.limit else df.collect()
     # dict-of-columns keeps headers and column order even for 0 rows
@@ -203,13 +208,7 @@ def cmd_materialize(args: argparse.Namespace) -> int:
     else:
         register_views(spark, sf_dir)
         if args.store_dir:
-            # expose served topics' retained batches as views (same as 'sql')
-            import os
-
-            for topic in sorted(os.listdir(args.store_dir)):
-                p = os.path.join(args.store_dir, topic)
-                if os.path.isdir(p):
-                    spark.read.parquet(f"{p}/*").createOrReplaceTempView(topic)
+            _register_store_views(spark, args.store_dir)
         df = spark.sql(args.query)
     manifest = write_sharded_dataset(
         df, args.out, key_col=args.key, n_shards=args.shards

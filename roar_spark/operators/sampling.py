@@ -176,13 +176,13 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir, spread=True)
     from pyspark.sql import Window as W
 
+    from roar_spark.functions.text_fns import tokens
+
     agg = (
         docs.select(
             "source",
             "lang",
-            F.size(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).cast("long").alias("n_toks"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
             F.col("n_chars"),
         )
         .groupBy("source", "lang")

@@ -786,6 +786,12 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
     )
+    return _pick_knn_vote(votes).orderBy("query_id")
+
+
+def _pick_knn_vote(votes: DataFrame) -> DataFrame:
+    """Deterministic winner per query from a (query_id, true_label, label,
+    n_votes, best_cos) vote table — shared by brute and bulk classify."""
     wv = W.partitionBy("query_id").orderBy(
         F.desc("n_votes"), F.desc("best_cos"), F.asc("label")
     )
@@ -799,7 +805,6 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
             "best_cos",
         )
-        .orderBy("query_id")
     )
 
 
@@ -835,8 +840,13 @@ def embedding_knn_classify_bulk(
     n_planes = n_planes_for(n)
 
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
-    corpus_keys = _bucket_entries(emb, n_planes, dim, probe=False)
-    probe_keys = _bucket_entries(emb, n_planes, dim, probe=probe).select(
+    # hash the corpus ONCE: corpus entries and probe entries are both
+    # explosions of the same per-table bucket ids — without the persist the
+    # self-join executes the Arrow-batched hashing matmul twice (the
+    # dedup_embedding_lsh pattern, similarity.py _lsh_screened_pairs)
+    wb = _bucket_ids(emb, n_planes, dim).persist()
+    corpus_keys = _entries_from_buckets(wb, n_planes, probe=False)
+    probe_keys = _entries_from_buckets(wb, n_planes, probe=probe).select(
         F.col("vec_id").alias("query_id"), "tbl", "bkt"
     )
     cand = (
@@ -865,17 +875,22 @@ def embedding_knn_classify_bulk(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
     )
-    wv = W.partitionBy("query_id").orderBy(
-        F.desc("n_votes"), F.desc("best_cos"), F.asc("label")
+    picked = _pick_knn_vote(votes)
+    # "EVERY vector is classified" literally: a vector sharing no bucket
+    # with anyone in ANY table has an empty candidate set and would
+    # silently vanish from the inner pipeline above — left-join back from
+    # the corpus and emit an explicit ABSTAIN row (null prediction,
+    # n_votes 0) instead of dropping it.
+    all_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
     return (
-        votes.withColumn("vrk", F.row_number().over(wv))
-        .filter(F.col("vrk") == 1)
+        all_q.join(picked.drop("true_label"), "query_id", "left")
         .select(
             "query_id",
             "true_label",
-            F.col("label").alias("predicted_label"),
-            "n_votes",
+            "predicted_label",
+            F.coalesce(F.col("n_votes"), F.lit(0)).alias("n_votes"),
             "best_cos",
         )
         .orderBy("query_id")

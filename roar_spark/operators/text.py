@@ -149,6 +149,9 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hashed_tf(spark, sf_dir).orderBy("doc_id", "bucket")
 
 
+_TF_CACHE: list[DataFrame] = []
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weighting over the hashed feature space — the classic
     retrieval/quality-featurization step, vocabulary-free so it runs at
@@ -166,7 +169,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     product tf × idf multiplies identical doubles in both engines and the
     final round(…, 6) matches exactly; ln of a ratio of small exact
     integers agrees to well under 1e-6 between libm implementations."""
+    # release the previous invocation's cache first: the returned plan is
+    # lazy, so this function cannot unpersist its own tf before the caller
+    # consumes it — bounding the leak to ONE cached TF table per session
+    # is the practical contract (sweeps call this dozens of times)
+    while _TF_CACHE:
+        _TF_CACHE.pop().unpersist()
     tf = _hashed_tf(spark, sf_dir).persist()
+    _TF_CACHE.append(tf)
     # Materialize before the plan branches (the dedup-family lesson):
     # tf feeds BOTH the broadcast df side and the probe side, and Spark
     # plans the tokenize+explode+agg subtree once PER BRANCH (no static

@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 N_DEFAULT_SHARDS = 16
 
 
+def spark_read_back(df: DataFrame, out_dir: str) -> DataFrame:
+    """Read the just-written dataset with the session that wrote it."""
+    return df.sparkSession.read.parquet(out_dir)
+
+
 def write_sharded_dataset(
     df: DataFrame,
     out_dir: str,
@@ -49,7 +54,10 @@ def write_sharded_dataset(
             f"shard key column {key_col!r} not in result columns {df.columns}; "
             "pass key_col= (CLI: --key) naming one of them"
         )
-    key_md5 = F.md5(F.col(key_col).cast("string"))
+    # NULL keys hash as the empty string → one deterministic shard (never a
+    # NULL shard value, which would land rows in __HIVE_DEFAULT_PARTITION__
+    # outside the manifest)
+    key_md5 = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
     shard = (F.conv(F.substring(key_md5, 1, 4), 16, 10).cast("long") % n_shards).cast(
         "int"
     )
@@ -63,9 +71,19 @@ def write_sharded_dataset(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    # Count what was WRITTEN, not a re-execution of the input plan: a
+    # non-deterministic source query would make a recomputed manifest
+    # disagree with the files on disk (and even deterministic plans would
+    # pay a second full execution). Reading the fresh parquet back is one
+    # cheap footer-driven count per shard.
     counts = {
         int(r.shard): int(r.n)
-        for r in sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in (
+            spark_read_back(df, out_dir)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
     }
     manifest = {
         "n_shards": n_shards,

@@ -711,19 +711,26 @@ PIPELINE_ORACLES["text_tfidf"] = f"""
 # --- multimodal feature extraction (Arrow-batched byte histogram) ---------
 
 PIPELINE_QUERIES["multimodal_features"] = M.multimodal_features
+# BYTE-based like the Spark kernel (np.frombuffer over the utf-8 payload):
+# bytes are extracted portably via hex(encode(text)) two-hex-char slices, so
+# non-ASCII text agrees between engines (encode → utf-8 bytes in both);
+# anchored on documents with LEFT joins + COALESCE so an empty payload
+# yields the same all-zero feature row the kernel emits.
 PIPELINE_ORACLES["multimodal_features"] = """
-    WITH b AS (
+    WITH src AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    b AS (
       SELECT doc_id,
-             unicode(substr(text, CAST(i AS INT), 1)) AS v
-      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
-    bins AS (
-      SELECT doc_id, v % 16 AS bin FROM b),
+             CAST(('0x' || substr(h, CAST(2 * i - 1 AS INT), 2)) AS INT) AS v
+      FROM src, unnest(range(1, n_bytes + 1)) AS t(i)),
     counts AS (
-      SELECT d.doc_id, g.bin, COUNT(bins.bin) AS cnt
-      FROM (SELECT DISTINCT doc_id FROM documents) d
+      SELECT src.doc_id, g.bin, COUNT(b.v) AS cnt
+      FROM src
       CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g
-      LEFT JOIN bins ON bins.doc_id = d.doc_id AND bins.bin = g.bin
-      GROUP BY d.doc_id, g.bin),
+      LEFT JOIN b ON b.doc_id = src.doc_id AND b.v % 16 = g.bin
+      GROUP BY src.doc_id, g.bin),
     hist AS (
       SELECT doc_id,
              string_agg(cnt, ',' ORDER BY bin) AS hist_csv
@@ -732,16 +739,16 @@ PIPELINE_ORACLES["multimodal_features"] = """
       SELECT doc_id, bin AS top_bin,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY cnt DESC, bin ASC) AS rk
-      FROM counts),
-    agg AS (
-      SELECT doc_id, COUNT(*) AS n_bytes, SUM(v) AS sum_bytes FROM b GROUP BY doc_id)
-    SELECT agg.doc_id,
-           CAST(agg.n_bytes AS BIGINT) AS n_bytes,
-           CAST(agg.sum_bytes AS BIGINT) AS sum_bytes,
-           CAST(top.top_bin AS INT) AS top_bin,
-           hist.hist_csv
-    FROM agg
-    JOIN hist ON hist.doc_id = agg.doc_id
-    JOIN top ON top.doc_id = agg.doc_id AND top.rk = 1
-    ORDER BY agg.doc_id
+      FROM counts)
+    SELECT src.doc_id,
+           CAST(src.n_bytes AS BIGINT) AS n_bytes,
+           CAST(COALESCE(SUM(b2.v), 0) AS BIGINT) AS sum_bytes,
+           CAST(MIN(top.top_bin) AS INT) AS top_bin,
+           MIN(hist.hist_csv) AS hist_csv
+    FROM src
+    LEFT JOIN b b2 ON b2.doc_id = src.doc_id
+    JOIN hist ON hist.doc_id = src.doc_id
+    JOIN top ON top.doc_id = src.doc_id AND top.rk = 1
+    GROUP BY src.doc_id, src.n_bytes
+    ORDER BY src.doc_id
 """
