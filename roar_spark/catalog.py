@@ -116,6 +116,13 @@ def load_table(
     # a driver-built session isn't guaranteed UTC, and under any other zone
     # the cast would shift the instant, diverging unix_micros/epoch
     # arithmetic from the DuckDB oracle's naive timestamps (ADVICE r2).
+    # KNOWN TRADEOFF: this mutates GLOBAL session state — a host embedding
+    # this catalog in a deliberately non-UTC session sees its own
+    # timestamp→string rendering switch to UTC after the first NTZ load.
+    # The engine's contract (oracle parity on epoch arithmetic) needs the
+    # session pinned; hosts that must keep a display zone should set
+    # spark.sql.session.timeZone back after loading, or render with
+    # date_format(..., tz) explicitly.
     if any(dtype == "timestamp_ntz" for _, dtype in df.dtypes):
         try:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -167,7 +174,10 @@ def enable_bucketed_catalog(
         key = _BUCKET_KEYS[name]
         tag = hashlib.md5(f"{directory}:{n_buckets}".encode()).hexdigest()[:8]
         tbl = f"roar_bucketed_{name}_{tag}"
-        if (directory, name) not in _bucketed_tables:
+        # idempotency is per REQUESTED table (the tag bakes n_buckets in):
+        # a changed bucket count re-materializes and re-routes rather than
+        # silently keeping the old copy
+        if _bucketed_tables.get((directory, name)) != tbl:
             if not spark.catalog.tableExists(tbl):
                 # the warehouse location can outlive the (in-memory) catalog
                 # entry across sessions; a stale location makes the CREATE

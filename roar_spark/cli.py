@@ -156,6 +156,10 @@ def _register_store_views(spark, store_dir: str) -> None:
     import os
 
     for topic in sorted(os.listdir(store_dir)):
+        # skip engine-internal dirs (streaming checkpoints live under
+        # _checkpoints/<topic> in the same store base — not topic data)
+        if topic.startswith("_"):
+            continue
         path = os.path.join(store_dir, topic)
         if os.path.isdir(path):
             spark.read.parquet(f"{path}/*").createOrReplaceTempView(topic)

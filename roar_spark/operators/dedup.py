@@ -157,6 +157,9 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     ).select("shingle", F.struct("doc_id", "rk", "n").alias("e"))
     min_frac = threshold / (1.0 + threshold)
     entries = F.sort_array(F.collect_list("e"))
+    # KEEP IN SYNC with _bucket_pairs: same collect-sort-explode i<j pair
+    # expansion, specialized here with struct entries + the positional
+    # filter predicate (hot-bucket behavior must not drift between them).
     return (
         prefix.groupBy("shingle")
         .agg(entries.alias("es"))
@@ -599,9 +602,11 @@ def star_components(docs: DataFrame, pairs: DataFrame, max_iters: int = 30):
     order-independent (count, xor-of-hashes) edge-set fingerprint: one
     tiny aggregate per round instead of a two-sided anti-join. (A 64-bit
     fingerprint collision would need 2^64-scale coincidence; the result
-    itself stays exact — a false "converged" is made impossible by
-    comparing AFTER the round's edges are already the new state, so the
-    final state is always a fixpoint of small∘large within max_iters.)"""
+    itself stays exact — comparing AFTER the round's edges are already the
+    new state means a declared convergence IS a fixpoint of small∘large.
+    If max_iters rounds pass without reaching one, the function raises
+    rather than returning the silently-split labels a non-fixpoint edge
+    set would produce.)"""
     edges = (
         pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -623,13 +628,21 @@ def star_components(docs: DataFrame, pairs: DataFrame, max_iters: int = 30):
 
     fp = fingerprint(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         rounds += 1
         nfp = fingerprint(edges)
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        raise RuntimeError(
+            f"star_components: no fixpoint within {max_iters} rounds — "
+            "labels from a non-fixpoint edge set can split components; "
+            "raise max_iters (expected rounds ~ O(log n), worst cases higher)"
+        )
     # at the fixpoint every edge points (member -> component root); a
     # member with several root edges keeps the min (defensive: the true
     # fixpoint already has exactly one)

@@ -29,6 +29,21 @@ from roar_spark.functions.vector import cosine, norm
 N_QUERIES = 10
 TOP_K = 5
 
+# Bounded cache for the persisted bucket-id tables: the returned plans are
+# lazy, so an operator cannot unpersist its own cache before the caller
+# consumes it — releasing the PREVIOUS invocation's cache on entry bounds
+# the leak to one table per call site across sweep-length sessions (same
+# contract as text.py's _TF_CACHE).
+_WB_CACHE: list = []
+
+
+def _persist_bounded(df: "DataFrame") -> "DataFrame":
+    while _WB_CACHE:
+        _WB_CACHE.pop().unpersist()
+    out = df.persist()
+    _WB_CACHE.append(out)
+    return out
+
 
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("nrm", norm(F.col("embedding")))
@@ -118,6 +133,9 @@ def _block_screen_pairs(
     )
     screen_min = threshold - 1e-6
 
+    # KEEP IN SYNC with _lsh_screened_pairs.screen: same normalize+matmul+
+    # threshold+orient kernel, differing only in group key and side naming
+    # (margin handling, zero-norm behavior and dtype must not drift).
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
@@ -568,7 +586,7 @@ def _lsh_candidate_pairs(
     pin, SCALE.md table). The production dedup path enumerates the same
     pair space inside bucket groups with a matmul screen instead
     (_lsh_screened_pairs) so per-pair cost is BLAS, not a fold."""
-    wb = _bucket_ids(emb, n_planes, dim, n_tables).persist()
+    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
     left = _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
         F.col("vec_id").alias("id_l"), "tbl", "bkt"
     )
@@ -613,7 +631,7 @@ def _lsh_screened_pairs(
     import numpy as np
     import pandas as pd
 
-    wb = _bucket_ids(emb, n_planes, dim, n_tables).persist()
+    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
     plain = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
         "vec_id", "tbl", "bkt", F.lit(0).alias("side")
     )
@@ -625,6 +643,7 @@ def _lsh_screened_pairs(
     )
     screen_min = threshold - 1e-6
 
+    # KEEP IN SYNC with _block_screen_pairs.screen (see note there).
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
         p = pdf[pdf["side"] == 0]
         q = pdf[pdf["side"] == 1]
@@ -844,7 +863,7 @@ def embedding_knn_classify_bulk(
     # explosions of the same per-table bucket ids — without the persist the
     # self-join executes the Arrow-batched hashing matmul twice (the
     # dedup_embedding_lsh pattern, similarity.py _lsh_screened_pairs)
-    wb = _bucket_ids(emb, n_planes, dim).persist()
+    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim))
     corpus_keys = _entries_from_buckets(wb, n_planes, probe=False)
     probe_keys = _entries_from_buckets(wb, n_planes, probe=probe).select(
         F.col("vec_id").alias("query_id"), "tbl", "bkt"

@@ -117,3 +117,26 @@ def test_cli_sql_over_corpus_and_store(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert out.strip().splitlines()[1] == "2"
+
+
+def test_store_views_skip_engine_internal_dirs(spark, tmp_path, capsys):
+    """A store produced by `serve` contains _checkpoints/<topic> streaming
+    state next to the topic dirs — view registration must skip underscore
+    dirs instead of dying on non-parquet checkpoint files."""
+    store = tmp_path / "store"
+    (store / "_checkpoints" / "t1").mkdir(parents=True)
+    (store / "_checkpoints" / "t1" / "offsets").write_text("v1\n{}")
+    topic = store / "t1" / "batch0"
+    topic.parent.mkdir(parents=True)
+    spark.createDataFrame([(1,)], "id long").write.parquet(str(topic))
+    rc = main(
+        [
+            "sql",
+            "SELECT COUNT(*) AS n FROM t1",
+            "--dir", "/root/testdata/sf0.001",
+            "--store-dir", str(store),
+            "--format", "csv",
+        ]
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
