@@ -106,10 +106,19 @@ def coerce_expr(col: Column, target: T.DataType) -> Column:
         # RFC3339 string → timestamp; bare number → epoch NANOSECONDS
         # (appendTimestamp kafka/consumer.go:816-821). µs truncation is the
         # documented ns→µs divergence.
+        # ANSI-safe (Spark 4 default): a regex-passing-but-invalid value
+        # ('2024-13-01…', lowercase 'z' which the Go-parity regex accepts
+        # but Spark's parser rejects) must coerce to NULL like the
+        # reference's failed parse — try_to_timestamp, not to_timestamp,
+        # or one bad message kills the streaming query. Same for the epoch
+        # arm: 1e300/1000 overflows the long cast → try_cast nulls it.
         as_num = col.try_cast(T.DoubleType())
         return (
-            F.when(col.rlike(RFC3339_SQL_RE), F.to_timestamp(col))
-            .when(as_num.isNotNull(), F.timestamp_micros((as_num / 1000.0).cast(T.LongType())))
+            F.when(col.rlike(RFC3339_SQL_RE), F.try_to_timestamp(col))
+            .when(
+                as_num.isNotNull(),
+                F.timestamp_micros((as_num / 1000.0).try_cast(T.LongType())),
+            )
             .otherwise(F.lit(None).cast(T.TimestampType()))
         )
     if isinstance(target, T.BinaryType):

@@ -129,12 +129,21 @@ def is_rfc3339(value: str) -> bool:
 
 def _is_integral_number(v: float) -> bool:
     """Go: ``v == float64(int64(v))`` (kafka/consumer.go:921). Out-of-int64-
-    range floats are not integral (Go's conversion would be undefined)."""
-    return (
-        float(v) == float(v).__floor__()
-        and -(2.0**63) <= float(v) < 2.0**63
-        and float(v) == float(int(v))
-    )
+    range floats are not integral (Go's conversion would be undefined).
+
+    Python's json.loads is laxer than Go's encoding/json: it admits
+    Infinity/NaN literals and arbitrary-precision ints (a 400-digit int
+    overflows float()). Guard both so a hostile sample types as float/
+    string instead of crashing schema inference mid-stream."""
+    import math
+
+    try:
+        f = float(v)
+    except (OverflowError, ValueError):
+        return False
+    if not math.isfinite(f):
+        return False
+    return f == f.__floor__() and -(2.0**63) <= f < 2.0**63 and f == float(int(f))
 
 
 def infer_json_field_type(value: object, infer_nested: bool = False) -> tuple[T.DataType, bool]:
@@ -150,7 +159,9 @@ def infer_json_field_type(value: object, infer_nested: bool = False) -> tuple[T.
         return T.BooleanType(), False
     if isinstance(value, (int, float)):
         # Go decodes every JSON number as float64 first; mirror that.
-        if _is_integral_number(float(value)):
+        # (value passes through unconverted: float() of a 400-digit int
+        # raises OverflowError — _is_integral_number guards internally)
+        if _is_integral_number(value):
             return T.LongType(), False
         return T.DoubleType(), False
     if isinstance(value, str):

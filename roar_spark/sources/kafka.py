@@ -39,10 +39,17 @@ def kafka_reader_options(
     Kept as a pure function of the config so the mapping against the
     reference's reader settings (kafka/consumer.go:224-261) is pinned by an
     offline test even though this environment has no broker or connector
-    jar: one shared group id (consumer.go:226), latest starting offsets
-    (StartOffset: LastOffset, consumer.go:231), 1 KB / 10 MB fetch window
-    (consumer.go:229-230), and the count trigger as maxOffsetsPerTrigger
-    (consumer.go:385-387)."""
+    jar: latest starting offsets (StartOffset: LastOffset, consumer.go:231),
+    1 KB / 10 MB fetch window (consumer.go:229-230), and the count trigger
+    as maxOffsetsPerTrigger (consumer.go:385-387).
+
+    GROUP-ID DIVERGENCE (documented): the reference runs every topic's
+    reader under ONE group id (consumer.go:226) — fine for kafka-go's
+    group protocol. Spark requires kafka.group.id to be UNIQUE PER QUERY
+    (multiple queries in one group fight over offset commits and trigger
+    rebalance storms), and serve starts one query per topic — so the
+    config's group id becomes a PREFIX, suffixed with the query's topic
+    set."""
     topics = topics or config.topics
     if not topics:
         raise ValueError("no topics configured")
@@ -50,7 +57,7 @@ def kafka_reader_options(
         "kafka.bootstrap.servers": config.brokers,
         "subscribe": ",".join(topics),
         "startingOffsets": config.starting_offsets,
-        "kafka.group.id": config.group_id,
+        "kafka.group.id": f"{config.group_id}-{'-'.join(topics)}",
         "kafka.fetch.min.bytes": str(config.fetch_min_bytes),
         "kafka.fetch.max.bytes": str(config.fetch_max_bytes),
         "maxOffsetsPerTrigger": str(config.batch_size),

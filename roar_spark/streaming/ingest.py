@@ -47,11 +47,21 @@ def bootstrap_schema(
 
 
 def is_json_schema(schema: T.StructType) -> bool:
-    """True if the stream was classified JSON at bootstrap (payload fields
-    beyond the 4 metadata columns + optional binary ``value``)."""
-    names = [f.name for f in schema.fields]
-    payload = [n for n in names if n not in {n2 for n2, _, _ in KAFKA_METADATA_FIELDS}]
-    return payload != ["value"]
+    """True if the stream was classified JSON at bootstrap. The binary
+    bootstrap is the ONLY producer of a lone BinaryType ``value`` payload
+    column (inference.py binary branch) — a JSON stream whose single
+    payload field happens to be NAMED 'value' (e.g. '{"value": 123}')
+    types it bigint/double/… and must still parse as JSON, so the check
+    is name AND dtype, not name alone."""
+    payload = [
+        f for f in schema.fields
+        if f.name not in {n2 for n2, _, _ in KAFKA_METADATA_FIELDS}
+    ]
+    return not (
+        len(payload) == 1
+        and payload[0].name == "value"
+        and isinstance(payload[0].dataType, T.BinaryType)
+    )
 
 
 def _metadata_cols() -> list[Column]:

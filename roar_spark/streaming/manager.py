@@ -14,7 +14,13 @@ Semantics matched (SURVEY.md §1.4, §2 A15-A28):
   LastUpdated, stream/manager.go:376-386 — §2.3.4, replicated on purpose:
   the retention clock is last *activity*)
 - snapshot reads: fetch() serves a copy of the batch list as of call time
-  (stream/manager.go:383-385) — a long client read never blocks appends
+  (stream/manager.go:383-385) — a long client read never blocks appends.
+  MemoryStore snapshots are true copies (Arrow tables). ParquetStore
+  snapshots are lazy scans over the listed paths, so eviction DEFERS
+  physical deletion by one append generation — a scan racing one eviction
+  keeps its files; a snapshot held across MULTIPLE appends under byte-cap
+  pressure can still lose evicted dirs (consume promptly, or raise
+  buffer_max_bytes for long-held readers)
 - serving facade = the Flight surface re-expressed:
   list_streams (A22/A27), describe/get_schema (A23/A24), fetch+limit
   (A25/A28 — limit is the reference client's only row operator), health +
@@ -126,6 +132,11 @@ class ParquetStore:
         self._next_id = 0
         self.records_dropped = 0
         self._lock = threading.Lock()
+        # dirs evicted from the batch list but not yet deleted: physical
+        # deletion is DEFERRED one append generation so an in-flight
+        # snapshot scan (lazy — file listing resolves at action time)
+        # doesn't lose files under itself mid-read
+        self._doomed: list[str] = []
         os.makedirs(base, exist_ok=True)
 
     @staticmethod
@@ -148,14 +159,20 @@ class ParquetStore:
             shutil.rmtree(path, ignore_errors=True)
             return 0
         with self._lock:
+            # delete LAST generation's evictions now — anything snapshotted
+            # since then no longer references them (snapshot lists paths
+            # under this lock, and these dirs left the list one append ago)
+            doomed_now, self._doomed = self._doomed, []
             while self._batches and self._bytes + size > self._max_bytes:
                 old_path, old_size, old_rows = self._batches.popleft()
                 self._bytes -= old_size
                 self.records_dropped += old_rows
-                shutil.rmtree(old_path, ignore_errors=True)
+                self._doomed.append(old_path)
             # always append the new batch (reference parity — see MemoryStore)
             self._batches.append((path, size, rows))
             self._bytes += size
+        for old_path in doomed_now:
+            shutil.rmtree(old_path, ignore_errors=True)
         return rows
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
@@ -302,9 +319,16 @@ class StreamEngine:
             self.register_stream(topic, sample_payloads)
 
         def _append(batch_df: DataFrame, _batch_id: int) -> None:
+            # single locked lookup: a separate known-check + bare
+            # self._streams[topic] raced the TTL janitor (expiry between
+            # the two raised KeyError inside foreachBatch and killed the
+            # query). A missing handle — never bootstrapped OR just
+            # expired — takes the same re-bootstrap path, which is the
+            # reference's create-on-next-message behavior
+            # (stream/manager.go GetStream after cleanupExpiredStreams).
             with self._lock:
-                known = topic in self._streams
-            if not known:
+                handle = self._streams.get(topic)
+            if handle is None:
                 sample = [
                     r.value
                     for r in batch_df.select("value")
@@ -314,8 +338,7 @@ class StreamEngine:
                 ]
                 if not sample:
                     return  # nothing arrived yet; bootstrap stays pending
-                self.register_stream(topic, sample)
-            handle = self._streams[topic]
+                handle = self.register_stream(topic, sample)
             # ONE action on batch_df past bootstrap: the store computes the
             # row count from its own materialization (a separate count()
             # would re-scan the micro-batch source and double every source
@@ -329,12 +352,16 @@ class StreamEngine:
             .queryName(f"roar-{topic}")
             .start()
         )
+        # attach under the SAME lock register_stream pops pending queries
+        # with: done unlocked, the first micro-batch could register the
+        # handle between our get() and the _pending_queries write, leaving
+        # the query orphaned (never attached, unstoppable by the janitor)
         with self._lock:
             handle = self._streams.get(topic)
-        if handle is not None:
-            handle.query = query
-        else:
-            self._pending_queries[topic] = query
+            if handle is not None:
+                handle.query = query
+            else:
+                self._pending_queries[topic] = query
         self._ensure_janitor()
         return handle
 
@@ -367,7 +394,15 @@ class StreamEngine:
 
     def cleanup_expired(self) -> list[str]:
         """Delete streams idle longer than ttl (stream/manager.go:150-184).
-        Exposed for deterministic tests."""
+        Exposed for deterministic tests.
+
+        The INGESTION QUERY survives expiry: the reference's janitor only
+        deletes the buffered stream — its Kafka consumer keeps running and
+        GetStream re-creates the stream on the next message. Stopping the
+        query here would permanently kill ingestion for a topic after one
+        idle TTL. The query is parked back in _pending_queries so the
+        re-bootstrap in _append re-attaches it (and engine.stop() still
+        owns it)."""
         now = self._time()
         expired: list[StreamHandle] = []
         with self._lock:
@@ -375,13 +410,10 @@ class StreamEngine:
                 if now - handle.last_updated > self.config.ttl_seconds:
                     expired.append(handle)
                     del self._streams[topic]
+                    if handle.query is not None:
+                        self._pending_queries[topic] = handle.query
         for handle in expired:  # release resources outside the lock
             REGISTRY.inc("roar_expired_streams_total", topic=handle.topic)
-            if handle.query is not None:
-                try:
-                    handle.query.stop()
-                except Exception:  # noqa: BLE001
-                    pass
             handle.store.close()
         return [h.topic for h in expired]
 

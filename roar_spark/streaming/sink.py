@@ -70,8 +70,20 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
     path = os.path.join(base_path, topic)
 
     def _persist(batch_df: DataFrame, _batch_id: int) -> None:
-        n = batch_df.count()
+        # ONE action per micro-batch: a separate count() would re-scan the
+        # micro-batch source and double every source metric (the
+        # ParquetStore.append rule) — count the WRITTEN rows from footers
+        import pyarrow.parquet as pq
+
+        before = {
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        } if os.path.isdir(path) else set()
         batch_df.write.mode("append").parquet(path)
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and f not in before
+        )
         from roar_spark.metrics import REGISTRY
 
         REGISTRY.inc("roar_duckdb_insert_rows_total", n, topic=topic)

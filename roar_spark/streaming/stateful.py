@@ -25,6 +25,7 @@ from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 __all__ = [
     "windowed_counts",
     "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "session_windows",
     "running_totals",
     "stream_stream_join",
@@ -162,12 +163,16 @@ def merge_evict(
     incoming: list[tuple[int, float]],
     cap: int,
 ) -> tuple[list[tuple[int, float]], int]:
-    """Drop-oldest merge: append the (seq-sorted) incoming batch to the
-    buffer, then evict from the FRONT down to ``cap``. The incoming batch
-    is always appended even when it alone exceeds the cap (reference
-    AddBatch parity, stream/manager.go:286-345 — the newest data is never
-    the casualty; the cap is enforced by evicting oldest-first)."""
-    merged = existing + sorted(incoming)  # existing is already seq-ordered
+    """Drop-oldest merge IN SEQ ORDER: the union of buffer and incoming is
+    sorted by seq, then evicted from the front (lowest seq) down to
+    ``cap``. Sorting the MERGED list — not just the incoming batch —
+    matters because seqs routinely arrive out of order across batches
+    (the default seq is kafka_offset, monotonic only per partition): an
+    append-then-sort-incoming form would evict by ARRIVAL position and
+    report newest_seq < oldest_seq. Reference AddBatch parity
+    (stream/manager.go:286-345) is kept where it counts: the cap never
+    rejects an incoming batch — enforcement is eviction-from-the-front."""
+    merged = sorted(existing + incoming)
     dropped = max(0, len(merged) - cap)
     return merged[dropped:], dropped
 
@@ -198,7 +203,7 @@ def recent_buffer(
             incoming.extend(
                 zip(pdf["seq"].astype("int64").tolist(), pdf["value"].astype("float64").tolist())
             )
-        merged = existing + sorted(incoming)  # == merge_evict, inlined
+        merged = sorted(existing + incoming)  # == merge_evict, inlined
         dropped = max(0, len(merged) - cap)
         kept = merged[dropped:]
         state.update(([int(s) for s, _ in kept], [float(v) for _, v in kept]))
@@ -274,7 +279,7 @@ def recent_buffer_tws(
                         pdf["value"].astype("float64").tolist(),
                     )
                 )
-            merged = existing + sorted(incoming)  # == merge_evict, inlined
+            merged = sorted(existing + incoming)  # == merge_evict, inlined
             dropped = max(0, len(merged) - cap)
             kept = merged[dropped:]
             self._buf.put(kept)

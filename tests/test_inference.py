@@ -316,3 +316,26 @@ def test_nested_schema_end_to_end():
         "b": T.StringType(),
     }
     assert nested["tags"].dataType == T.ArrayType(T.StringType(), False)
+
+
+def test_inference_survives_nonfinite_and_huge_numbers():
+    """Python's json.loads admits Infinity/NaN literals and arbitrary-
+    precision ints (Go's encoding/json does not) — a hostile sample must
+    type, not crash schema inference mid-stream."""
+    from roar_spark.inference import infer_json_field_type, stringify_json_value
+
+    import pyspark.sql.types as T
+
+    assert infer_json_field_type(float("inf")) == (T.DoubleType(), False)
+    assert infer_json_field_type(float("nan")) == (T.DoubleType(), False)
+    assert infer_json_field_type(10**400) == (T.DoubleType(), False)
+    assert stringify_json_value(float("inf")) == "inf"
+
+
+def test_infer_schema_with_nonfinite_sample():
+    import json
+
+    from roar_spark.inference import infer_schema
+
+    schema = infer_schema([json.dumps({"a": 1}).replace('1', 'Infinity')])
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["a"] == "double"

@@ -3,7 +3,9 @@
 No broker or spark-sql-kafka jar exists in this environment, so the
 consumer configuration is verified as data: the option map must carry
 exactly the reference reader's settings (kafka/consumer.go:224-261) —
-shared group id, latest starting offsets, 1 KB / 10 MB fetch window — and
+per-query group id (reference prefix + topic suffix — Spark requires
+uniqueness per query), latest starting offsets, 1 KB / 10 MB fetch
+window — and
 the count trigger from the engine config. This moves A1 from "documented"
 to "pinned-by-test": a cluster run only adds the connector jar, not new
 code paths.
@@ -25,8 +27,10 @@ def test_option_map_matches_reference_reader_config():
         "subscribe": "orders,clicks",
         # StartOffset: kafka.LastOffset (kafka/consumer.go:231)
         "startingOffsets": "latest",
-        # GroupID: "roar-consumer" (kafka/consumer.go:226)
-        "kafka.group.id": "roar-consumer",
+        # GroupID prefix: "roar-consumer" (kafka/consumer.go:226) +
+        # per-query topic suffix — Spark needs a UNIQUE group id per
+        # query, and serve runs one query per topic (documented divergence)
+        "kafka.group.id": "roar-consumer-orders-clicks",
         # MinBytes 1e3 / MaxBytes 10e6 (kafka/consumer.go:229-230)
         "kafka.fetch.min.bytes": "1000",
         "kafka.fetch.max.bytes": "10000000",

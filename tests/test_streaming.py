@@ -430,3 +430,70 @@ def test_duckdb_sink_end_to_end(spark, tmp_path):
     assert insert_batch_exactly_once(con, "t2", "t2", 7, replay) == 0
     assert con.execute('SELECT COUNT(*) FROM "t2"').fetchone()[0] == 1
     con.close()
+
+
+def test_coercion_ansi_safe_on_bad_timestamps(spark):
+    """Under Spark 4's default ANSI mode a regex-passing-but-invalid
+    timestamp ('2024-13-01…', lowercase 'z') or an overflowing epoch
+    number must coerce to NULL (reference nulls failed parses), not throw
+    and kill the micro-batch."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from roar_spark.coerce import coerce_expr
+
+    df = spark.createDataFrame(
+        [("2024-13-01T00:00:00Z",), ("2024-01-01T00:00:00z",), ("1e300",),
+         ("2024-01-01T00:00:00Z",)],
+        "v string",
+    )
+    out = df.select(coerce_expr(F.col("v"), T.TimestampType()).alias("ts")).collect()
+    assert out[0].ts is None  # invalid month
+    assert out[2].ts is None  # epoch overflow
+    assert out[3].ts is not None  # valid RFC3339 still parses
+
+
+def test_json_stream_with_value_field_parses_as_json(spark):
+    """A JSON stream whose single payload field is NAMED 'value' must not
+    be misclassified as a binary stream (the binary bootstrap is the only
+    producer of a BinaryType 'value' column)."""
+    import json as _json
+
+    from roar_spark.inference import infer_schema
+    from roar_spark.streaming.ingest import is_json_schema
+
+    schema = infer_schema([_json.dumps({"value": 123})])
+    assert is_json_schema(schema)
+    binary_schema = infer_schema(["\x00\x01notjson"])
+    assert not is_json_schema(binary_schema)
+
+
+def test_ttl_expiry_parks_query_for_recreation(spark):
+    """Expiry must not kill ingestion: the query is parked and re-attached
+    when the topic re-bootstraps on its next message (reference: janitor
+    deletes the STREAM, the consumer keeps running — stream/manager.go)."""
+    import json as _json
+
+    from roar_spark.config import EngineConfig
+    from roar_spark.streaming.manager import StreamEngine
+
+    clock = [0.0]
+    engine = StreamEngine(spark, EngineConfig(ttl_seconds=10), time_fn=lambda: clock[0])
+    sample = [_json.dumps({"a": 1})]
+    h = engine.register_stream("t", sample)
+
+    class _FakeQuery:
+        stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    q = _FakeQuery()
+    h.query = q
+    clock[0] = 11.0
+    assert engine.cleanup_expired() == ["t"]
+    assert engine.list_streams() == []
+    assert not q.stopped  # ingestion survives expiry
+    # next message re-creates the stream and re-attaches the SAME query
+    h2 = engine.register_stream("t", sample)
+    assert h2.query is q

@@ -454,3 +454,14 @@ def test_curate_stream_end_to_end(spark, tmp_path):
     assert by_id[1].digest == hashlib.md5(good.encode()).hexdigest()
     for r in rows:
         assert r.split in ("train", "val", "test")
+
+
+def test_merge_evict_sorts_across_batches():
+    """Out-of-order seqs ACROSS batches (kafka_offset is monotonic only
+    per partition): eviction must drop the lowest SEQ, not the earliest
+    arrival, and oldest/newest labels must be true seq bounds."""
+    from roar_spark.streaming.stateful import merge_evict
+
+    kept, dropped = merge_evict([(10, 1.0), (11, 2.0)], [(5, 0.5)], cap=2)
+    assert [s for s, _ in kept] == [10, 11]  # seq 5 IS the oldest → evicted
+    assert dropped == 1
