@@ -71,7 +71,9 @@ class MetricsRegistry:
             return self._counters.get(key, 0.0)
 
     def exposition(self) -> str:
-        """Prometheus text format (what /metrics serves)."""
+        """Prometheus text format (what /metrics serves). Label values are
+        escaped per the exposition spec (backslash, quote, newline) — one
+        bad topic name must not invalidate the whole scrape."""
         lines = []
         with self._lock:
             series = [("counter", k, v) for k, v in sorted(self._counters.items())]
@@ -82,10 +84,25 @@ class MetricsRegistry:
                 lines.append(f"# TYPE {name} {kind}")
                 seen_types.add(name)
             label_str = (
-                "{" + ",".join(f'{k}="{v}"' for k, v in labels) + "}" if labels else ""
+                "{" + ",".join(f'{k}="{_esc(v)}"' for k, v in labels) + "}"
+                if labels
+                else ""
             )
             lines.append(f"{name}{label_str} {value}")
         return "\n".join(lines) + "\n"
+
+    def remove(self, name: str, **labels) -> None:
+        """Drop one series (both kinds) — for per-topic gauges whose topic
+        no longer exists; without this, expired streams report phantom
+        buffer bytes forever."""
+        key = self._key(name, labels)
+        with self._lock:
+            self._gauges.pop(key, None)
+            self._counters.pop(key, None)
+
+
+def _esc(v: object) -> str:
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
 REGISTRY = MetricsRegistry()
@@ -128,15 +145,35 @@ def attach(spark, registry: MetricsRegistry | None = None) -> EngineMetricsListe
 
 def update_engine_gauges(engine, registry: MetricsRegistry | None = None) -> None:
     """Push store-level gauges (buffer bytes/utilization, drop counters,
-    active streams) — called by the engine facade on serving operations."""
+    active streams) — called by the engine facade on serving operations.
+
+    Race-tolerant against the TTL janitor: a topic listed one instant can
+    be expired the next — it is skipped (and its stale gauges dropped)
+    rather than failing the unrelated serving call that triggered the
+    refresh."""
     reg = registry or REGISTRY
     topics = engine.list_streams()
-    reg.set("roar_active_streams", len(topics))
+    live: set[str] = set()
     for topic in topics:
-        desc = engine.describe_stream(topic)
+        try:
+            desc = engine.describe_stream(topic)
+        except KeyError:
+            continue  # expired between the listing and the lookup
+        live.add(topic)
         reg.set("roar_stream_memory_bytes", desc["bytes"], topic=topic)
         reg.set(
             "roar_stream_buffer_utilization_percent",
             100.0 * desc["bytes"] / max(engine.config.buffer_limit_bytes, 1),
             topic=topic,
         )
+    reg.set("roar_active_streams", len(live))
+    # drop gauge series for topics that no longer exist
+    with reg._lock:
+        stale = [
+            (name, labels)
+            for (name, labels) in list(reg._gauges)
+            if name in ("roar_stream_memory_bytes", "roar_stream_buffer_utilization_percent")
+            and dict(labels).get("topic") not in live
+        ]
+    for name, labels in stale:
+        reg.remove(name, **dict(labels))

@@ -9,8 +9,12 @@ Implementation is the union + running-last composition, NOT a range join:
 1. tag and union both inputs on (key, time)
 2. one window per key ordered by (time, tag, right tiebreak) — right rows
    sort before left rows at equal timestamps so ``<=`` matches inclusively
-3. ``last(right_col, ignorenulls=True)`` over the running frame carries the
-   latest right values forward
+3. ``last(right_row_struct, ignorenulls=True)`` over the running frame
+   carries the latest right ROW forward — one struct, null only on
+   left-tagged rows, so a right row with null value columns is carried AS
+   THAT ROW (per-column lasts would stitch values from different right
+   rows whenever a newer row holds a null, synthesizing a row that never
+   existed and diverging from the oracle's whole-row LATERAL … LIMIT 1)
 4. keep only left-tagged rows
 
 Scale: exactly ONE hash shuffle on the key (the window partition), state
@@ -57,14 +61,14 @@ def asof_join(
         .orderBy(F.asc("_t"), F.asc("_is_left"), F.asc_nulls_first(tiebreak))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = u
-    for c in value_cols:
-        carried = carried.withColumn(f"_asof_{c}", F.last(c, ignorenulls=True).over(w))
-    return (
-        carried.filter(F.col("_is_left") == 1)
-        .drop("_t", "_is_left", *value_cols)
-        .withColumnsRenamed({f"_asof_{c}": c for c in value_cols})
+    right_row = F.when(
+        F.col("_is_left") == 0, F.struct(*[F.col(c) for c in value_cols])
     )
+    carried = u.withColumn("_asof_row", F.last(right_row, ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_left") == 1).drop("_t", "_is_left", *value_cols)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_asof_row.{c}"))
+    return out.drop("_asof_row")
 
 
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:

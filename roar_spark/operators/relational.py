@@ -320,12 +320,20 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((status), (priority)) via SQL (the DataFrame
-    API has no direct grouping-sets builder; SQL is the declared form)."""
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_gs_orders")
+    API has no direct grouping-sets builder; SQL is the declared form).
+
+    The view name is keyed to sf_dir: a shared '_gs_orders' name would let
+    a later invocation with a DIFFERENT corpus silently redirect an
+    earlier, not-yet-executed lazy plan (temp views resolve at action
+    time, not at creation)."""
+    import hashlib
+
+    view = f"_gs_orders_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM _gs_orders
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roar_spark.catalog import load_table
-from roar_spark.operators.relational import _scaled
+from roar_spark.operators.relational import _scaled, dsum
 
 Q18_MIN_QTY = 200.0
 
@@ -103,7 +103,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     big = (
         li.groupBy("l_orderkey")
-        .agg((F.sum(_scaled(F.col("l_quantity"))) / F.lit(100.0)).alias("total_qty"))
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > Q18_MIN_QTY)
     )
     orders = load_table(spark, "orders", sf_dir)
@@ -135,7 +135,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            (F.sum(_scaled(F.col("c_acctbal"))) / F.lit(100.0)).alias("totacctbal"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )

@@ -66,7 +66,13 @@ class RoarFlightServer(flight.FlightServerBase):
 
     def list_flights(self, context, criteria):  # A22
         for topic in self._engine.list_streams():
-            yield self._info(topic)
+            try:
+                yield self._info(topic)
+            except KeyError:
+                # expired between the listing and the schema lookup (TTL
+                # janitor runs concurrently) — list the survivors instead
+                # of failing the whole RPC
+                continue
 
     # Unknown topics: the engine's KeyError propagates UNCAUGHT — pyarrow
     # maps a Python KeyError raised in a server handler to gRPC NOT_FOUND
@@ -75,11 +81,19 @@ class RoarFlightServer(flight.FlightServerBase):
     # FlightError subclass would DOWNGRADE parity: pyarrow exposes no
     # NOT_FOUND FlightError class, only UNAVAILABLE et al.
 
+    @staticmethod
+    def _path_topic(descriptor) -> str:
+        # CMD descriptors carry path=None — surface the same NOT_FOUND a
+        # wrong path gets, not a TypeError-turned-internal-error
+        if not descriptor.path:
+            raise KeyError("descriptor has no path (command descriptors unsupported)")
+        return descriptor.path[0].decode()
+
     def get_flight_info(self, context, descriptor):  # A23
-        return self._info(descriptor.path[0].decode())
+        return self._info(self._path_topic(descriptor))
 
     def get_schema(self, context, descriptor):  # A24
-        return flight.SchemaResult(self._arrow_schema(descriptor.path[0].decode()))
+        return flight.SchemaResult(self._arrow_schema(self._path_topic(descriptor)))
 
     def do_get(self, context, ticket):  # A25
         table = self._engine.fetch(ticket.ticket.decode(), limit=-1).toArrow()

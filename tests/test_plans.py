@@ -377,3 +377,12 @@ def test_centroids_aggregate_partially_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
     assert "hashpartitioning(label" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dau_wau_has_no_nested_loop(spark):
+    # rolling-distinct via sequence+explode fan-out: the equivalent
+    # date-range join is a BroadcastNestedLoopJoin evaluating
+    # |days| x |day,user| predicates — must never come back
+    plan = plan_of(spark, "events_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
