@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from roar_spark.catalog import load_table
 from roar_spark.functions.text_fns import tokens
 from roar_spark.operators.sampling import _TRAIN_END, _VAL_END, _hash16
-from roar_spark.operators.text import EN_STOP
+from roar_spark.operators.text import EN_STOP, PUNCT_CLASS, _count_in
 
 MIN_TOKENS = 5
 MAX_TOKENS = 1_000
@@ -42,10 +42,10 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(F.col("text")).cast("long")
     punct_ratio = (
-        n_chars - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
+        n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
     ).cast("double") / n_chars.cast("double")
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOP))).cast("long")
+    n_stop = _count_in(toks, EN_STOP)
     return docs.select(
         "doc_id", F.md5(F.col("text")).alias("digest"), n_tok.alias("n_tokens")
     ).filter(

@@ -35,7 +35,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, window_id): documents overlapping the window and the
     tokens they contribute (== PACK_WINDOW for all but each shard's tail
     window). See module docstring for semantics and scale shape."""
-    docs = load_table(spark, "documents", sf_dir)
+    # explicit precondition, mirrored in the oracle: a NULL text would
+    # otherwise vanish SILENTLY (size(NULL)→NULL → the explode emits no
+    # rows) while still being skipped by the running offsets — making the
+    # drop deliberate and visible beats an accounting hole at corpus scale
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     n_tok = F.size(tokens(F.col("text"))).cast("long")
     win = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     laid = docs.select("source", "doc_id", n_tok.alias("n_tok")).select(

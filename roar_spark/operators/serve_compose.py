@@ -23,7 +23,6 @@ the documented 100 TB retention design (manager.py ParquetStore).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +34,28 @@ from roar_spark.streaming.manager import StreamEngine
 
 _TOPIC = "orders_feed"
 
+# One live serving tempdir per operator (the _TF_CACHE pattern): the
+# snapshot returned to the caller lazily scans the store, so the CURRENT
+# invocation's dir must outlive the call — but the PREVIOUS one can go.
+# Without this, sweep-length sessions accumulate a corpus-sized tempdir
+# per invocation. Also the place the buffer cap is set: the serve-compose
+# contract is "the store loses/alters NOTHING", so the default 100 MiB
+# eviction cap must not silently drop the first batch at larger corpora.
+_SERVE_DIRS: dict[str, str] = {}
+_NO_EVICT_BYTES = 1 << 50
+
+
+def _fresh_store_base(tag: str) -> str:
+    import shutil
+    import tempfile
+
+    old = _SERVE_DIRS.pop(tag, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"roar_serve_{tag}_")
+    _SERVE_DIRS[tag] = d
+    return d
+
 
 def served_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (status, priority) over orders SERVED through the
@@ -45,7 +66,9 @@ def served_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
     engine = StreamEngine(
-        spark, EngineConfig(), store_base=tempfile.mkdtemp(prefix="roar_serve_")
+        spark,
+        EngineConfig(buffer_limit_bytes=_NO_EVICT_BYTES),
+        store_base=_fresh_store_base("rollup"),
     )
     # identity converter: the envelope is already the typed projection
     engine.register_converter(_TOPIC, lambda env, _schema: env, src.schema)
@@ -54,7 +77,8 @@ def served_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.append_batch(_TOPIC, src.filter(F.col("o_orderkey") % 2 == 1))
     served = engine.fetch(_TOPIC, limit=-1)
     # engine intentionally NOT stopped: the snapshot lazily scans the store
-    # directories; the tempdir is reclaimed by the OS tmp cleaner
+    # directories; the dir is reclaimed on the NEXT invocation
+    # (_fresh_store_base) rather than leaking one per call
     return (
         served.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -108,8 +132,8 @@ def served_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic = "events_nested_feed"
     engine = StreamEngine(
         spark,
-        EngineConfig(infer_nested=True),
-        store_base=tempfile.mkdtemp(prefix="roar_serve_nested_"),
+        EngineConfig(infer_nested=True, buffer_limit_bytes=_NO_EVICT_BYTES),
+        store_base=_fresh_store_base("nested"),
     )
     # deterministic bootstrap sample: the 10 lowest-offset payloads
     sample = [

@@ -34,15 +34,19 @@ TOP_K = 5
 # consumes it — releasing the PREVIOUS invocation's cache on entry bounds
 # the leak to one table per call site across sweep-length sessions (same
 # contract as text.py's _TF_CACHE).
+import threading
+
 _WB_CACHE: list = []
+_WB_CACHE_LOCK = threading.Lock()
 
 
 def _persist_bounded(df: "DataFrame") -> "DataFrame":
-    while _WB_CACHE:
-        _WB_CACHE.pop().unpersist()
-    out = df.persist()
-    _WB_CACHE.append(out)
-    return out
+    with _WB_CACHE_LOCK:  # concurrent sweeps: drain+append must be atomic
+        while _WB_CACHE:
+            _WB_CACHE.pop().unpersist()
+        out = df.persist()
+        _WB_CACHE.append(out)
+        return out
 
 
 def _with_norm(df: DataFrame) -> DataFrame:

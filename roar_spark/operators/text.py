@@ -47,7 +47,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"), 6).alias(
             "type_token_ratio"
         ),
-        F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+        # nullif guard: an empty document (n_chars=0) yields a NULL ratio —
+        # under Spark 4's ANSI default a bare /0 THROWS and kills the job
+        # (oracle mirrors with NULLIF; token denominators are safe: split
+        # of '' gives [''], size >= 1)
+        F.round(n_punct.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double"), 6).alias(
+            "punct_ratio"
+        ),
         F.round(n_stop.cast("double") / n_tok.cast("double"), 6).alias("stopword_ratio"),
         F.round(n_nonspace.cast("double") / n_tok.cast("double"), 6).alias("mean_token_len"),
     ).orderBy("doc_id")
@@ -109,7 +115,10 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         n_ws.alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws.cast("double"), 6).alias("bpe_per_word"),
-        F.element_at(bpe, 1).alias("first_bpe_token"),
+        # try_element_at: zero pretokenizer matches (empty/whitespace doc)
+        # must yield NULL (DuckDB's bpe[1] does) — plain element_at THROWS
+        # under the Spark 4 ANSI default
+        F.try_element_at(bpe, F.lit(1)).alias("first_bpe_token"),
     ).orderBy("doc_id")
 
 
@@ -149,7 +158,10 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hashed_tf(spark, sf_dir).orderBy("doc_id", "bucket")
 
 
+import threading
+
 _TF_CACHE: list[DataFrame] = []
+_TF_CACHE_LOCK = threading.Lock()
 
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,10 +185,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy, so this function cannot unpersist its own tf before the caller
     # consumes it — bounding the leak to ONE cached TF table per session
     # is the practical contract (sweeps call this dozens of times)
-    while _TF_CACHE:
-        _TF_CACHE.pop().unpersist()
-    tf = _hashed_tf(spark, sf_dir).persist()
-    _TF_CACHE.append(tf)
+    with _TF_CACHE_LOCK:  # concurrent sweeps: drain+append must be atomic
+        while _TF_CACHE:
+            _TF_CACHE.pop().unpersist()
+        tf = _hashed_tf(spark, sf_dir).persist()
+        _TF_CACHE.append(tf)
     # Materialize before the plan branches (the dedup-family lesson):
     # tf feeds BOTH the broadcast df side and the probe side, and Spark
     # plans the tokenize+explode+agg subtree once PER BRANCH (no static
@@ -352,7 +365,12 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token count, fraction of token-bigram occurrences taken by the
     single most frequent bigram, fraction of trigram occurrences whose
     trigram repeats within the doc, alphabetic-token ratio, and the
-    resulting keep/drop flag.
+    resulting keep/drop flag. ``gopher_pass`` enforces the token-count and
+    repetition bounds; ``alpha_ratio`` is emitted as an INFORMATIONAL
+    signal (the full Rae-et-al. rule set also thresholds it — consumers
+    wanting that gate filter on the column; it is not folded into the
+    flag here so the flag's semantics stay exactly the repetition rules
+    the constants name).
 
     Shape: one token explode feeds two n-gram aggregations (each keyed by
     (doc_id, gram) then re-aggregated by doc_id — partial aggregation

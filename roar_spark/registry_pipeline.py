@@ -396,7 +396,7 @@ PIPELINE_ORACLES["text_stats"] = f"""
            round(CAST(len(list_distinct(toks)) AS DOUBLE)
                  / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
            round(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-                 / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+                 / CAST(NULLIF(LENGTH(text), 0) AS DOUBLE), 6) AS punct_ratio,
            round(CAST(len(list_filter(toks, x -> list_contains({_EN}, x))) AS DOUBLE)
                  / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
            round(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
@@ -564,7 +564,8 @@ PIPELINE_ORACLES["text_dup_ngrams"] = f"""
 
 PIPELINE_QUERIES["pack_sequences"] = P.pack_sequences
 PIPELINE_ORACLES["pack_sequences"] = f"""
-    WITH d AS (SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents),
+    WITH d AS (SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents
+               WHERE text IS NOT NULL),
     laid AS (
       SELECT source, doc_id, n_tok,
              COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

@@ -19,6 +19,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_memory() -> str:
+    """~60% of physical RAM, capped at 48g and floored at 2g — a fixed
+    48g -Xmx on a small host invites an OS OOM-kill (uncatchable) instead
+    of a Java OOM; SPARK_DRIVER_MEMORY overrides."""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(next(l for l in fh if l.startswith("MemTotal")).split()[1])
+        gb = max(2, min(48, int(kb / 1024 / 1024 * 0.6)))
+    except Exception:  # noqa: BLE001 — no /proc (mac): keep a modest default
+        gb = 8
+    return f"{gb}g"
+
 DEFAULT_APP_NAME = "roar_spark"
 
 
@@ -39,7 +52,8 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 
-    builder = (
+    builder = (  # NOTE: every conf here is a no-op if getOrCreate reuses a
+        # live session — embedding hosts own their session's settings
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -51,7 +65,7 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         # Streaming: bounded state cleanup + deterministic micro-batching.
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
         # The test corpus writes events.ts as parquet TIMESTAMP(NANOS); Spark

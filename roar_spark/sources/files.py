@@ -84,14 +84,21 @@ def write_envelope_file(
     file_name: str = "part-0.json",
 ) -> str:
     """Test/demo helper: write messages in the wire format. ``value`` may
-    be str (JSON or not) or bytes (base64-encoded on the wire)."""
+    be str (JSON or not) or bytes (base64-encoded on the wire). ``key``
+    likewise accepts bytes — encoded base64 into the string key field,
+    since the served ``kafka_key`` column is utf8 by the reference's
+    metadata schema (kafka/consumer.go:834-839) and raw bytes would make
+    the record non-JSON-serializable."""
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, file_name)
     with open(out, "w", encoding="utf-8") as fh:
         for m in messages:
             value = m.get("value")
+            key = m.get("key")
+            if isinstance(key, bytes):
+                key = base64.b64encode(key).decode("ascii")
             rec = {
-                "key": m.get("key"),
+                "key": key,
                 "timestamp": m["timestamp"],
                 "offset": m["offset"],
                 "partition": m.get("partition", 0),

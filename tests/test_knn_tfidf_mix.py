@@ -267,3 +267,35 @@ def test_bulk_knn_classifies_planted_clusters(spark, tmp_path_factory):
         assert bulk[q].predicted_label == b.predicted_label
     acc = sum(1 for r in bulk.values() if r.predicted_label == r.true_label) / len(bulk)
     assert acc >= 0.95
+
+
+def test_text_ops_survive_empty_documents(spark, tmp_path):
+    """Empty/whitespace docs crash a Spark-4 ANSI session without the
+    nullif/try_element_at guards (DIVIDE_BY_ZERO, INVALID_ARRAY_INDEX);
+    the fixtures never contain them, so pin the behavior on a constructed
+    corpus: ratio NULL for zero-char docs, NULL first token, no throw."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.text import text_bpe_tokens, text_stats
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["", "   ", "the quick fox."], pa.string()),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([0, 3, 14], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    stats = {r.doc_id: r for r in text_stats(spark, str(d)).collect()}
+    assert stats[1].punct_ratio is None  # 0 chars → null, not a crash
+    assert stats[3].punct_ratio is not None
+    bpe = {r.doc_id: r for r in text_bpe_tokens(spark, str(d)).collect()}
+    assert bpe[1].first_bpe_token is None
+    assert bpe[3].first_bpe_token is not None
