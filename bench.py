@@ -91,28 +91,10 @@ def find_regressions(times: dict[str, float], budgets: dict[str, float]) -> list
         > max(REGRESSION_FACTOR * budgets[name], budgets[name] + REGRESSION_SLACK_SEC)
     ]
 
-HEADLINE = [
-    # relational core
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "window_running",
-    "agg_distinct",
-    "events_hourly",
-    "events_sessionize",
-    "asof_latest_order",
-    "scalar_json_extract",
-    # LLM-pipeline
-    "dedup_exact",
-    "dedup_dataset",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_brute_topk",
-    "sim_cosine_pairs",
-    "text_stats",
-    "text_fingerprint",
-]
+# The headline set IS the budget dict's key order (10 relational core +
+# 8 LLM-pipeline) — deriving it removes the drift mode where a new
+# headline query forgets its budget and runs ungated.
+HEADLINE = list(BUDGETS_SF01)
 
 
 def main() -> None:
@@ -125,12 +107,12 @@ def main() -> None:
     spark = get_spark(app_name="roar_spark_bench")
     # warm up the JVM/codegen path so query 1 doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    # warm the Python-worker pool + Arrow serialization path: the first
-    # applyInPandas in a session spawns 32 workers each importing
-    # pandas/numpy (~15 s wall on this box) — session bring-up, not query
-    # cost, so pay it here exactly once
-    warm = spark.range(64).selectExpr("id", "id % 8 as g")
-    warm.groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").collect()
+    # warm the Python-worker pool + Arrow serialization path (~15 s once
+    # per session — session bring-up, not query cost); shared helper with
+    # tools/scale_smoke.py
+    from roar_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
     # first parquet read initializes the Hadoop filesystem layer
     spark.read.parquet(f"{sf_dir}/region.parquet").collect()
 

@@ -943,17 +943,18 @@ _register(
 
 # --- deterministic sampling / splitting -----------------------------------
 from roar_spark.operators import sampling as SM  # noqa: E402
+from roar_spark.operators.sampling import _TRAIN_END, _VAL_END  # noqa: E402
 
 _register(
     "dataset_split",
     SM.dataset_split,
-    """
+    f"""
     WITH h AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS hv
       FROM documents)
-    SELECT CASE WHEN hv < 52428 THEN 'train'
-                WHEN hv < 58982 THEN 'val'
+    SELECT CASE WHEN hv < {_TRAIN_END} THEN 'train'
+                WHEN hv < {_VAL_END} THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS first_doc
@@ -1207,7 +1208,7 @@ from roar_spark.operators.curate import pipeline_curate  # noqa: E402
 _register(
     "pipeline_curate",
     pipeline_curate,
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, md5(text) AS digest,
              len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
@@ -1227,8 +1228,8 @@ _register(
              JOIN keep k ON g.digest = k.digest AND g.doc_id = k.doc_id),
     assigned AS (
       SELECT doc_id, n_tokens,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52428 THEN 'train'
-                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < {_TRAIN_END} THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < {_VAL_END} THEN 'val'
                   ELSE 'test' END AS split
       FROM kept)
     SELECT split, COUNT(*) AS n_docs,

@@ -20,6 +20,15 @@ from roar_spark.operators.dedup import N_BANDS, N_MINHASH, SIMHASH_BITS, SIMHASH
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# hashed-feature bucket of one token t — md5 last two hex digits mod 64;
+# shared by the text_hashing_features and text_tfidf oracles so the
+# feature space cannot drift between them (mirror: operators/text.py
+# _hashed_tf)
+_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(t), 31, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1) % 64"
+)
+
 _SHINGLE_CTES = f"""
     tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (
@@ -354,8 +363,7 @@ PIPELINE_ORACLES["text_hashing_features"] = f"""
       SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
     h AS (
       SELECT doc_id,
-             ((strpos('0123456789abcdef', substr(md5(t), 31, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1) % 64 AS bucket
+             {_BUCKET} AS bucket
       FROM tok)
     SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_tokens
     FROM h GROUP BY 1, 2 ORDER BY 1, 2
@@ -692,8 +700,7 @@ PIPELINE_ORACLES["text_tfidf"] = f"""
       SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
     h AS (
       SELECT doc_id,
-             ((strpos('0123456789abcdef', substr(md5(t), 31, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substr(md5(t), 32, 1)) - 1) % 64 AS bucket
+             {_BUCKET} AS bucket
       FROM tok),
     tf AS (
       SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS tf

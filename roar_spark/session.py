@@ -20,6 +20,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def warm_python_workers(spark: SparkSession) -> None:
+    """Pre-spawn the Python worker pool with a trivial applyInPandas: the
+    first pandas-importing worker spawn costs ~15 s and would otherwise
+    land on whichever measured query happens to run first (shared by
+    bench.py and tools/scale_smoke.py)."""
+    spark.range(64).selectExpr("id", "id % 8 as g").groupBy("g").applyInPandas(
+        lambda p: p, "id long, g long"
+    ).collect()
+
+
 def _default_driver_memory() -> str:
     """~60% of physical RAM, capped at 48g and floored at 2g — a fixed
     48g -Xmx on a small host invites an OS OOM-kill (uncatchable) instead

@@ -22,6 +22,10 @@ sys.path.insert(0, "/root/repo")
 
 from roar_spark.catalog import TABLES  # noqa: E402
 from roar_spark.registry import ORACLES, QUERIES  # noqa: E402
+
+# The ONLY queries allowed to run without an oracle (approximate/stub by
+# design — COVERAGE.md totals). Any other oracle-less query is a bug.
+ROWS_ONLY_BY_DESIGN = frozenset({"agg_stats_sketches", "multimodal_decode_stub"})
 from roar_spark.session import get_spark  # noqa: E402
 
 
@@ -96,6 +100,12 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    if only:
+        unknown = [q for q in only if q not in QUERIES]
+        if unknown:
+            print(f"FAIL unknown query name(s): {unknown} — check spelling")
+            sys.exit(2)
+
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -110,8 +120,15 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in ORACLES:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows, no oracle)")
-            n_pass += 1
+            if name in ROWS_ONLY_BY_DESIGN:
+                print(f"ok   {name}: rows-only ({len(s_rows)} rows, no oracle)")
+                n_pass += 1
+            else:
+                # a query that SHOULD carry an oracle but doesn't (key typo
+                # at registration, dropped entry) must FAIL, not silently
+                # degrade to the weaker rows-only check
+                print(f"FAIL {name}: oracle missing and not in ROWS_ONLY_BY_DESIGN")
+                n_fail += 1
             continue
         try:
             rel = con.sql(ORACLES[name])

@@ -92,8 +92,25 @@ def gen_corpus(n: int) -> str:
     import pyarrow.parquet as pq
 
     out = f"{BASE}/n{n}"
-    if os.path.exists(f"{out}/embeddings.parquet"):
-        return out
+    # cache validity = a meta stamp written AFTER a complete generation
+    # with the current knobs; a bare exists-check on one file reused
+    # interrupted/truncated writes and corpora built with older constants
+    meta = {
+        "n": n, "vocab": len(VOCAB), "doc_tokens": DOC_TOKENS,
+        "near_dup_frac": NEAR_DUP_FRAC, "dim": EMB_DIM,
+    }
+    meta_path = f"{out}/_meta.json"
+    import json as _json
+
+    if os.path.exists(meta_path):
+        try:
+            if _json.load(open(meta_path)) == meta:
+                return out
+        except Exception:  # noqa: BLE001 — corrupt stamp → regenerate
+            pass
+    import shutil as _shutil
+
+    _shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     rng = random.Random(42)
     weights = [1.0 / (i + 10) for i in range(len(VOCAB))]
@@ -120,7 +137,8 @@ def gen_corpus(n: int) -> str:
     )
     nprng = np.random.default_rng(42)
     emb = nprng.standard_normal((n, EMB_DIM)).astype("float32")
-    for i in range(0, min(n, 200), 20):  # planted near neighbors
+    for i in range(0, min(n - 1, 200), 20):  # planted near neighbors
+        # n-1 bound: i+1 must exist (n=21 etc. crashed with IndexError)
         emb[i + 1] = emb[i] + 0.05 * nprng.standard_normal(EMB_DIM).astype("float32")
     pq.write_table(
         pa.table(
@@ -132,6 +150,8 @@ def gen_corpus(n: int) -> str:
         ),
         f"{out}/embeddings.parquet",
     )
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
     return out
 
 
@@ -144,12 +164,10 @@ def main() -> None:
     ops = args.ops.split(",") if args.ops else LINEAR_OPS + QUADRATIC_OPS
 
     from roar_spark.registry import QUERIES
-    from roar_spark.session import get_spark
+    from roar_spark.session import get_spark, warm_python_workers
 
     spark = get_spark(app_name="roar_scale_smoke")
-    spark.range(64).selectExpr("id", "id % 8 as g").groupBy("g").applyInPandas(
-        lambda p: p, "id long, g long"
-    ).collect()
+    warm_python_workers(spark)
 
     dirs = {n: gen_corpus(n) for n in sizes}
     print(f"{'op':28s}" + "".join(f"{f'n={n}':>14s}" for n in sizes))
