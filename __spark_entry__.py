@@ -27,12 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return events_hourly(spark, "/root/testdata/sf0.001")
 
 
-# Queries with a cumulative GREEN driver row (CORRECTNESS_r01 ∪ r02).
+# Queries with a cumulative GREEN driver row (CORRECTNESS_r01 ∪ r02 ∪ r03).
 # The driver samples ~50 queries per round, apparently in dict order, so
 # anything NOT in this set is rotated to the front of queries() — never-
 # sampled queries and new additions accumulate driver evidence first
 # instead of re-spending samples on already-green rows (VERDICT r2 item 2).
-_DRIVER_GREEN_R1R2 = frozenset({
+_DRIVER_GREEN = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q12_shipmode_priority",
     "q14_promo_share", "join_inner", "join_left_outer", "join_full_outer",
@@ -42,21 +42,34 @@ _DRIVER_GREEN_R1R2 = frozenset({
     "window_topk_per_group", "topk_global", "sort_offset_fetch",
     "setop_union_distinct", "setop_intersect", "setop_except",
     "scalar_string_date", "scalar_json_extract", "scalar_conditional",
-    # subquery_scalar dropped from this set in r3: its rounding semantics
-    # changed (exact integer cent-rounding) and it should earn a fresh row
     "scalar_array_ops", "scalar_date_arith", "events_hourly",
     "events_sessionize", "dedup_exact", "dedup_dataset",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    # ann_lsh_topk / ann_ivf_topk deliberately NOT listed although their r2
-    # rows were green: r2 checked them rows-only, and round 3 gave both
-    # exact deterministic oracles — they need fresh rows to upgrade to
-    # hash-matched.
     "dedup_clusters", "dedup_decontaminate", "dedup_embedding",
     "sim_brute_topk", "sim_cosine_pairs",
     "text_stats", "text_hashing_features", "text_top_tokens", "text_langid",
     "text_fingerprint", "text_bpe_tokens", "text_gopher_quality",
     "text_pii_scrub", "text_dup_ngrams", "multimodal_meta",
     "multimodal_decode_stub", "multimodal_frame_sample", "pack_sequences",
+    # round-3 green rows (CORRECTNESS_r03.json — 50/50, incl. the
+    # hash-upgraded ann_lsh_topk / ann_ivf_topk and re-earned
+    # subquery_scalar):
+    "agg_array_collect", "agg_median_manual", "agg_salted_twophase",
+    "agg_stats_exact", "ann_ivf_topk", "ann_lsh_topk", "dataset_shuffle",
+    "dataset_split", "dedup_embedding_lsh", "embedding_knn_classify",
+    "embedding_label_centroids", "embedding_quantize", "events_anomaly",
+    "events_cohort_retention", "events_dau_wau", "events_funnel",
+    "events_path_transitions", "events_range_join", "events_sliding",
+    "lateral_explode", "multimodal_features", "multimodal_resize_pool",
+    "pipeline_curate", "q11_important_parts", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
+    "q18_large_orders", "q19_disjunctive_predicates", "q20_excess_suppliers",
+    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
+    "q4_late_orders", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "sample_stratified", "sample_temperature",
+    "scalar_string_extra", "served_nested", "served_rollup",
+    "setop_except_all", "setop_union_by_name", "subquery_scalar",
+    "text_chunk", "text_tfidf", "window_ntile", "window_range_frame",
 })
 
 
@@ -64,14 +77,14 @@ def _rotated() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
     from roar_spark.registry import QUERIES
 
     items = list(QUERIES.items())
-    front = [(k, v) for k, v in items if k not in _DRIVER_GREEN_R1R2]
-    back = [(k, v) for k, v in items if k in _DRIVER_GREEN_R1R2]
+    front = [(k, v) for k, v in items if k not in _DRIVER_GREEN]
+    back = [(k, v) for k, v in items if k in _DRIVER_GREEN]
     return dict(front + back)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, driver-
-    untested queries first (see _DRIVER_GREEN_R1R2)."""
+    untested queries first (see _DRIVER_GREEN)."""
     return _rotated()
 
 

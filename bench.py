@@ -28,8 +28,8 @@ so two samples cannot distinguish "the plan regressed" from "the host
 stalled twice". A genuine plan regression is slow on every rep and still
 reports slow; a noise hit is vindicated by one clean rep.
 
-Regression gate: per-query budgets are the round-2 driver numbers
-(BENCH_r02.json, sf0.1, best-of-2 basis — re-based each round so the gate
+Regression gate: per-query budgets are the round-3 driver numbers
+(BENCH_r03.json, sf0.1, best-of-2 basis — re-based each round so the gate
 tracks the best achieved state, not a stale bar). After printing the
 JSON line, any query slower
 than max(1.5× budget, budget + 3 s) fails the run with exit code 1 — a
@@ -51,27 +51,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# round-2 driver-recorded seconds per headline query (sf0.1, local[32],
-# best-of-2 — BENCH_r02.json)
+# round-3 driver-recorded seconds per headline query (sf0.1, local[32],
+# best-of-2 — BENCH_r03.json)
 BUDGETS_SF01 = {
-    "q1_pricing_summary": 1.627,
-    "q3_shipping_priority": 1.026,
-    "q5_local_supplier_volume": 1.299,
-    "q10_returned_items": 1.032,
-    "window_running": 1.881,
-    "agg_distinct": 1.431,
-    "events_hourly": 0.456,
-    "events_sessionize": 1.405,
-    "asof_latest_order": 1.385,
-    "scalar_json_extract": 0.553,
-    "dedup_exact": 0.398,
-    "dedup_dataset": 0.453,
-    "dedup_minhash_lsh": 3.796,
-    "dedup_simhash": 2.469,
-    "sim_brute_topk": 0.715,
-    "sim_cosine_pairs": 1.644,
-    "text_stats": 0.592,
-    "text_fingerprint": 0.513,
+    "q1_pricing_summary": 0.920,
+    "q3_shipping_priority": 0.885,
+    "q5_local_supplier_volume": 1.182,
+    "q10_returned_items": 0.916,
+    "window_running": 1.605,
+    "agg_distinct": 1.422,
+    "events_hourly": 0.444,
+    "events_sessionize": 1.349,
+    "asof_latest_order": 1.301,
+    "scalar_json_extract": 0.560,
+    "dedup_exact": 0.367,
+    "dedup_dataset": 0.334,
+    "dedup_minhash_lsh": 2.302,
+    "dedup_simhash": 2.089,
+    "sim_brute_topk": 0.645,
+    "sim_cosine_pairs": 1.471,
+    "text_stats": 0.701,
+    "text_fingerprint": 0.597,
 }
 
 REGRESSION_FACTOR = 1.5

@@ -18,7 +18,7 @@ def test_every_oracle_has_a_query_and_orders_match():
 
 def test_rotation_puts_unverified_queries_first():
     q = list(entry_mod.queries())
-    green = entry_mod._DRIVER_GREEN_R1R2
+    green = entry_mod._DRIVER_GREEN
     n_front = sum(1 for k in q if k not in green)
     assert q[:n_front] == [k for k in q if k not in green]
     # the green set never names queries that left the registry
