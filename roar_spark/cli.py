@@ -150,6 +150,14 @@ def cmd_client(args: argparse.Namespace) -> int:
     return 0
 
 
+def _corpus_dir(args: argparse.Namespace) -> str:
+    """One place for the corpus-dir default: --dir flag, else
+    $SPARK_GRAFT_SF_DIR, else the sf0.1 testdata."""
+    import os
+
+    return args.dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
 def _register_store_views(spark, store_dir: str) -> None:
     """Expose every served topic's retained parquet batches under
     ``store_dir`` as ``<topic>`` temp views (shared by sql/materialize)."""
@@ -199,18 +207,32 @@ def cmd_materialize(args: argparse.Namespace) -> int:
     from roar_spark.operators.writer import write_sharded_dataset
     from roar_spark.session import get_spark
 
-    spark = get_spark(app_name="roar_spark_materialize")
-    sf_dir = args.dir or None
     if args.query_name:
         from roar_spark.registry import QUERIES
 
-        import os
-
-        df = QUERIES[args.query_name](
-            spark, sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        )
+        if args.query_name not in QUERIES:
+            close = ", ".join(sorted(q for q in QUERIES if args.query_name in q)[:5])
+            hint = f" (did you mean: {close}?)" if close else ""
+            print(
+                f"materialize: unknown query name {args.query_name!r}{hint}; "
+                "see roar_spark.registry.QUERIES",
+                file=sys.stderr,
+            )
+            return 2
+        if args.store_dir:
+            # registry queries read the corpus dir directly — a store-dir
+            # would be silently ignored; reject instead
+            print(
+                "materialize: --store-dir only applies with --query "
+                "(registry queries read the corpus dir)",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark(app_name="roar_spark_materialize")
+        df = QUERIES[args.query_name](spark, _corpus_dir(args))
     else:
-        register_views(spark, sf_dir)
+        spark = get_spark(app_name="roar_spark_materialize")
+        register_views(spark, args.dir or None)
         if args.store_dir:
             _register_store_views(spark, args.store_dir)
         df = spark.sql(args.query)

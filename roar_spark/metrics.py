@@ -100,6 +100,17 @@ class MetricsRegistry:
             self._gauges.pop(key, None)
             self._counters.pop(key, None)
 
+    def gauge_label_values(self, names: tuple[str, ...], label: str) -> set[str]:
+        """Snapshot the distinct values of one label across the named gauge
+        families — the public form of the stale-series sweep's read so
+        callers never touch _lock/_gauges directly."""
+        with self._lock:
+            return {
+                dict(labels)[label]
+                for (name, labels) in self._gauges
+                if name in names and label in dict(labels)
+            }
+
 
 def _esc(v: object) -> str:
     return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
@@ -152,6 +163,12 @@ def update_engine_gauges(engine, registry: MetricsRegistry | None = None) -> Non
     rather than failing the unrelated serving call that triggered the
     refresh."""
     reg = registry or REGISTRY
+    families = ("roar_stream_memory_bytes", "roar_stream_buffer_utilization_percent")
+    # Snapshot the candidate stale set BEFORE this refresh writes anything:
+    # a topic registered concurrently (its gauges set by another thread
+    # after this snapshot) is in neither `pre` nor `live`, so the sweep
+    # below can never drop a freshly set series.
+    pre = reg.gauge_label_values(families, "topic")
     topics = engine.list_streams()
     live: set[str] = set()
     for topic in topics:
@@ -167,13 +184,8 @@ def update_engine_gauges(engine, registry: MetricsRegistry | None = None) -> Non
             topic=topic,
         )
     reg.set("roar_active_streams", len(live))
-    # drop gauge series for topics that no longer exist
-    with reg._lock:
-        stale = [
-            (name, labels)
-            for (name, labels) in list(reg._gauges)
-            if name in ("roar_stream_memory_bytes", "roar_stream_buffer_utilization_percent")
-            and dict(labels).get("topic") not in live
-        ]
-    for name, labels in stale:
-        reg.remove(name, **dict(labels))
+    # drop gauge series for topics that existed before this refresh but no
+    # longer do
+    for topic in pre - live:
+        for name in families:
+            reg.remove(name, topic=topic)

@@ -205,7 +205,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)
+                # NULL payloads are coalesced to b"" upstream; keep the
+                # guard so a direct caller can't crash the whole job on
+                # one null row (np.frombuffer(None) raises TypeError).
+                b = np.frombuffer(payload or b"", dtype=np.uint8)
                 hist = np.bincount(b % N_FEATURE_BINS, minlength=N_FEATURE_BINS)
                 out.append(
                     (
@@ -220,5 +223,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "n_bytes", "sum_bytes", "top_bin", "hist_csv"]
             )
 
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    # NULL text → empty payload (all-zero feature row), mirrored in the
+    # DuckDB oracle via encode(coalesce(text, '')).
+    src = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("payload")
+    )
     return src.mapInPandas(_extract, FEATURES_SCHEMA).orderBy("doc_id")

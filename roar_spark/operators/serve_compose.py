@@ -23,6 +23,7 @@ the documented 100 TB retention design (manager.py ParquetStore).
 
 from __future__ import annotations
 
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +43,7 @@ _TOPIC = "orders_feed"
 # contract is "the store loses/alters NOTHING", so the default 100 MiB
 # eviction cap must not silently drop the first batch at larger corpora.
 _SERVE_DIRS: dict[str, str] = {}
+_SERVE_DIRS_LOCK = threading.Lock()
 _NO_EVICT_BYTES = 1 << 50
 
 
@@ -49,11 +51,15 @@ def _fresh_store_base(tag: str) -> str:
     import shutil
     import tempfile
 
-    old = _SERVE_DIRS.pop(tag, None)
-    if old:
-        shutil.rmtree(old, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix=f"roar_serve_{tag}_")
-    _SERVE_DIRS[tag] = d
+    # Locked like the sibling _TF_CACHE/_WB_CACHE caches: a concurrent
+    # pop+rmtree must not delete a live store dir mid-read or leak the
+    # tempdir created between the pop and the store.
+    with _SERVE_DIRS_LOCK:
+        old = _SERVE_DIRS.pop(tag, None)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+        d = tempfile.mkdtemp(prefix=f"roar_serve_{tag}_")
+        _SERVE_DIRS[tag] = d
     return d
 
 

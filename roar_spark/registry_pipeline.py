@@ -726,8 +726,8 @@ PIPELINE_QUERIES["multimodal_features"] = M.multimodal_features
 # yields the same all-zero feature row the kernel emits.
 PIPELINE_ORACLES["multimodal_features"] = """
     WITH src AS (
-      SELECT doc_id, hex(encode(text)) AS h,
-             octet_length(encode(text)) AS n_bytes
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes
       FROM documents),
     b AS (
       SELECT doc_id,

@@ -64,26 +64,47 @@ def create_table_ddl(table: str, schema: T.StructType) -> str:
 
 def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint_base: str):
     """Exactly-once-per-micro-batch append to a per-topic parquet table.
-    On a cluster this is the same code against object storage (or Delta for
-    ACID + compaction); the checkpoint guarantees no re-insertion across
-    restarts — the fix for §2.3.1."""
+    The checkpoint skips committed batches across restarts, and the
+    batch-id-prefixed file commit below makes a replayed uncommitted batch
+    idempotent — the fix for §2.3.1. The rename-based commit assumes a
+    posix path; on object storage use Delta/Iceberg (atomic append +
+    compaction) with the same foreachBatch body."""
     path = os.path.join(base_path, topic)
 
-    def _persist(batch_df: DataFrame, _batch_id: int) -> None:
+    def _persist(batch_df: DataFrame, batch_id: int) -> None:
         # ONE action per micro-batch: a separate count() would re-scan the
         # micro-batch source and double every source metric (the
-        # ParquetStore.append rule) — count the WRITTEN rows from footers
+        # ParquetStore.append rule). Each batch lands in its own staging
+        # dir first (leading "_" → invisible to parquet readers, like
+        # _SUCCESS), so the row count comes from THIS batch's footers only —
+        # a concurrent writer to the same topic path can no longer have its
+        # files attributed to this batch. Committed files carry a
+        # deterministic b{batch_id}- prefix, and a foreachBatch replay
+        # removes the previous attempt's files before re-committing, so the
+        # sink is idempotent per batch id (not merely at-least-once).
+        import glob
+        import shutil
+
         import pyarrow.parquet as pq
 
-        before = {
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        } if os.path.isdir(path) else set()
-        batch_df.write.mode("append").parquet(path)
-        n = sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and f not in before
+        os.makedirs(path, exist_ok=True)
+        staging = os.path.join(path, f"_staging-{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)  # leftover failed attempt
+        batch_df.write.mode("overwrite").parquet(staging)
+        staged = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
         )
+        n = sum(
+            pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+            for f in staged
+        )
+        for stale in glob.glob(os.path.join(path, f"b{batch_id}-*.parquet")):
+            os.remove(stale)  # replayed batch: drop the prior attempt's rows
+        for f in staged:
+            os.replace(
+                os.path.join(staging, f), os.path.join(path, f"b{batch_id}-{f}")
+            )
+        shutil.rmtree(staging, ignore_errors=True)
         from roar_spark.metrics import REGISTRY
 
         REGISTRY.inc("roar_duckdb_insert_rows_total", n, topic=topic)

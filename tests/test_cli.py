@@ -75,6 +75,28 @@ def test_cli_requires_topic_or_list(capsys):
     assert main(["client", "--addr", "localhost:1"]) == 2
 
 
+def test_cli_materialize_validates_query_name(capsys, tmp_path):
+    """Unknown --query-name fails with a friendly message (not a raw
+    KeyError), and --store-dir with --query-name is rejected instead of
+    silently ignored."""
+    rc = main(
+        ["materialize", "--query-name", "no_such_query", "--out", str(tmp_path / "o")]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "unknown query name 'no_such_query'" in err
+    rc = main(
+        [
+            "materialize", "--query-name", "dedup_exact",
+            "--store-dir", str(tmp_path),
+            "--out", str(tmp_path / "o"),
+        ]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "--store-dir only applies with --query" in err
+
+
 def test_cli_sql_over_corpus_and_store(spark, tmp_path, capsys):
     """`roar_spark sql` runs in-engine SQL over the corpus views AND over a
     parquet retention store directory (the served-stream surface) — the

@@ -196,6 +196,24 @@ def test_multimodal_features_kernel_is_arrow_batched_and_exact(spark):
         assert r.top_bin == int(hist.argmax())
 
 
+def test_multimodal_features_null_text_yields_zero_row(spark, tmp_path):
+    """A NULL text payload must not kill the job (np.frombuffer(None)
+    raised before the coalesce guard); the REAL operator on a corpus with a
+    NULL text emits the same all-zero feature row the DuckDB oracle does
+    for encode(coalesce(text, ''))."""
+    import pandas as pd
+
+    from roar_spark.operators.multimodal import multimodal_features
+
+    pd.DataFrame({"doc_id": [1, 2], "text": ["ab", None]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = {r.doc_id: r for r in multimodal_features(spark, str(tmp_path)).collect()}
+    assert out[2].n_bytes == 0 and out[2].sum_bytes == 0 and out[2].top_bin == 0
+    assert out[2].hist_csv == ",".join(["0"] * 16)
+    assert out[1].n_bytes == 2 and out[1].sum_bytes == ord("a") + ord("b")
+
+
 def test_bulk_knn_classify_covers_corpus_and_votes_consistently(spark):
     """The bulk (LSH-candidate) classifier: every vector gets exactly one
     prediction; for the brute operator's query subset, the vote stage

@@ -34,6 +34,40 @@ def test_exposition_format():
     assert 'roar_stream_memory_bytes{topic="t1"} 1234.0' in text
 
 
+def test_gauge_sweep_spares_concurrently_registered_topics():
+    """update_engine_gauges drops series only for topics that existed
+    BEFORE the refresh and are gone now — a gauge set concurrently for a
+    topic the engine listing missed must survive the sweep."""
+    from roar_spark.metrics import update_engine_gauges
+
+    reg = MetricsRegistry()
+    reg.set("roar_stream_memory_bytes", 10.0, topic="dead")
+    reg.set("roar_stream_buffer_utilization_percent", 1.0, topic="dead")
+
+    class FakeEngine:
+        class config:
+            buffer_limit_bytes = 100
+
+        def list_streams(self):
+            return ["live"]
+
+        def describe_stream(self, topic):
+            # simulate another thread registering + gauging a topic between
+            # this engine's listing and the sweep
+            reg.set("roar_stream_memory_bytes", 7.0, topic="fresh")
+            return {"bytes": 50}
+
+    update_engine_gauges(FakeEngine(), reg)
+    assert reg.get("roar_stream_memory_bytes", topic="live") == 50.0
+    # stale series from before the refresh: swept
+    assert ("roar_stream_memory_bytes", (("topic", "dead"),)) not in reg._gauges
+    # concurrently registered topic: NOT swept (was in neither pre nor live)
+    assert reg.get("roar_stream_memory_bytes", topic="fresh") == 7.0
+    assert reg.gauge_label_values(("roar_stream_memory_bytes",), "topic") == {
+        "live", "fresh"
+    }
+
+
 def test_streaming_metrics_flow(spark, tmp_path):
     """Counters populate from a real micro-batch run: listener feeds the
     ingest families, fetch feeds the serving family and gauges."""

@@ -432,6 +432,54 @@ def test_duckdb_sink_end_to_end(spark, tmp_path):
     con.close()
 
 
+def test_parquet_sink_counts_own_batch_and_is_replay_idempotent(spark, tmp_path):
+    """The parquet sink stages each micro-batch in its own dir and commits
+    with batch-id-prefixed file names: the row-count metric reflects ONLY
+    this batch (a foreign concurrent file in the topic dir is not
+    attributed), and a replayed batch id replaces its prior files instead
+    of duplicating rows."""
+    import json as _json
+    import os
+
+    from roar_spark.metrics import MetricsRegistry, REGISTRY
+    from roar_spark.sources.files import file_envelope_stream, write_envelope_file
+    from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
+    from roar_spark.streaming.sink import start_parquet_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    topic_dir = os.path.join(out, "t1")
+    payload = {"event_id": 1, "name": "a"}
+    write_envelope_file(
+        src,
+        [{"key": "k0", "value": _json.dumps(payload),
+          "timestamp": "2026-08-13T09:00:00Z", "offset": 0, "partition": 0}],
+        file_name="a.json",
+    )
+    # a concurrent writer's file, present before the sink's first batch:
+    # must not be counted or disturbed
+    os.makedirs(topic_dir, exist_ok=True)
+    foreign = os.path.join(topic_dir, "foreign.parquet")
+    spark.createDataFrame([(99,)], "event_id long").coalesce(1).toPandas().to_parquet(foreign)
+
+    before = REGISTRY.get("roar_duckdb_insert_rows_total", topic="t1")
+    schema = bootstrap_schema([_json.dumps(payload)])
+    parsed = parse_envelope(file_envelope_stream(spark, src), schema)
+    q = start_parquet_sink(parsed, "t1", out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert REGISTRY.get("roar_duckdb_insert_rows_total", topic="t1") - before == 1
+    assert os.path.exists(foreign)
+    committed = [f for f in os.listdir(topic_dir) if f.startswith("b0-")]
+    assert committed, "batch files must carry the b<batch_id>- prefix"
+    # no staging residue, and the table reads back clean
+    assert not [f for f in os.listdir(topic_dir) if f.startswith("_staging")]
+    ids = {r.event_id for r in spark.read.parquet(topic_dir).select("event_id").collect()}
+    assert ids == {1, 99}
+
+
 def test_coercion_ansi_safe_on_bad_timestamps(spark):
     """Under Spark 4's default ANSI mode a regex-passing-but-invalid
     timestamp ('2024-13-01…', lowercase 'z') or an overflowing epoch
