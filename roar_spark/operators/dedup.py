@@ -658,6 +658,19 @@ def star_components(docs: DataFrame, pairs: DataFrame, max_iters: int = 30):
     )
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via alternating large-/small-star — the same
+    (doc_id, cluster_id) contract (and DuckDB oracle) as dedup_clusters,
+    computed by the O(log n)-round algorithm instead of diameter-round
+    min-label propagation. Registry-visible so the adversarial-topology
+    path earns its own driver row; the min-label equivalence on random
+    graphs and 60-chains is pinned by tests/test_dedup_paths.py."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    labels, _rounds = star_components(docs, pairs)
+    return labels.orderBy("doc_id")
+
+
 EVAL_MOD = 100  # doc_id % 100 == 0 stands in for the benchmark/eval set
 
 

@@ -72,6 +72,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": D.dedup_minhash_lsh,
     "dedup_simhash": D.dedup_simhash,
     "dedup_clusters": D.dedup_clusters,
+    "dedup_clusters_star": D.dedup_clusters_star,
     "dedup_decontaminate": D.dedup_decontaminate,
     "sim_brute_topk": S.sim_brute_topk,
     "sim_cosine_pairs": S.sim_cosine_pairs,
@@ -151,6 +152,11 @@ PIPELINE_ORACLES["dedup_clusters"] = f"""
     SELECT doc_id, MIN(root) AS cluster_id
     FROM reach GROUP BY doc_id ORDER BY doc_id
 """
+
+# same contract, same oracle: connected components over the verified
+# jaccard pair graph, labeled by component-min doc_id (the algorithm —
+# star rounds vs min-label BSP — is invisible to the result)
+PIPELINE_ORACLES["dedup_clusters_star"] = PIPELINE_ORACLES["dedup_clusters"]
 
 PIPELINE_ORACLES["dedup_simhash"] = f"""
     WITH tok AS (
