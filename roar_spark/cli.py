@@ -170,7 +170,17 @@ def _register_store_views(spark, store_dir: str) -> None:
             continue
         path = os.path.join(store_dir, topic)
         if os.path.isdir(path):
-            spark.read.parquet(f"{path}/*").createOrReplaceTempView(topic)
+            # recursive lookup, NOT the "{path}/*" glob: the glob promoted
+            # a live sink's transient _staging-* dir to a root input path,
+            # bypassing Spark's underscore/dot hidden-file filtering and
+            # transiently exposing uncommitted rows. recursiveFileLookup
+            # keeps the hidden-file filter, reads both store layouts
+            # (ParquetStore batch_id=N/ subdirs and the sink's flat files),
+            # and disables partition inference so batch_id= dir names do
+            # not leak in as a column.
+            spark.read.option("recursiveFileLookup", "true").parquet(
+                path
+            ).createOrReplaceTempView(topic)
 
 
 def cmd_sql(args: argparse.Namespace) -> int:
@@ -211,7 +221,13 @@ def cmd_materialize(args: argparse.Namespace) -> int:
         from roar_spark.registry import QUERIES
 
         if args.query_name not in QUERIES:
-            close = ", ".join(sorted(q for q in QUERIES if args.query_name in q)[:5])
+            import difflib
+
+            # fuzzy, not substring: 'dedup_exct' should still suggest
+            # 'dedup_exact'
+            close = ", ".join(
+                difflib.get_close_matches(args.query_name, QUERIES, n=5, cutoff=0.6)
+            )
             hint = f" (did you mean: {close}?)" if close else ""
             print(
                 f"materialize: unknown query name {args.query_name!r}{hint}; "

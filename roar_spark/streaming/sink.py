@@ -62,14 +62,38 @@ def create_table_ddl(table: str, schema: T.StructType) -> str:
     return f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})'
 
 
+def _sink_run_id(checkpoint_dir: str) -> str:
+    """A run id that is stable across restarts of the SAME checkpoint but
+    distinct for every fresh checkpoint. Stored as a marker file inside
+    the checkpoint dir, so it shares the checkpoint's lifetime: wiping the
+    checkpoint (batch ids restart at 0) also rotates the run id, and two
+    sink queries with different checkpoints never share one. This scopes
+    replay cleanup to this query's own prior attempt — a replayed batch id
+    from a different run/query can no longer delete committed data."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_roar_run_id")
+    try:
+        with open(marker, "x", encoding="ascii") as fh:
+            run_id = uuid.uuid4().hex[:8]
+            fh.write(run_id)
+            return run_id
+    except FileExistsError:
+        with open(marker, encoding="ascii") as fh:
+            return fh.read().strip()
+
+
 def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint_base: str):
     """Exactly-once-per-micro-batch append to a per-topic parquet table.
     The checkpoint skips committed batches across restarts, and the
-    batch-id-prefixed file commit below makes a replayed uncommitted batch
-    idempotent — the fix for §2.3.1. The rename-based commit assumes a
-    posix path; on object storage use Delta/Iceberg (atomic append +
+    run+batch-id-prefixed file commit below makes a replayed uncommitted
+    batch idempotent — the fix for §2.3.1. The rename-based commit assumes
+    a posix path; on object storage use Delta/Iceberg (atomic append +
     compaction) with the same foreachBatch body."""
     path = os.path.join(base_path, topic)
+    checkpoint_dir = os.path.join(checkpoint_base, f"sink-{topic}")
+    run_id = _sink_run_id(checkpoint_dir)
 
     def _persist(batch_df: DataFrame, batch_id: int) -> None:
         # ONE action per micro-batch: a separate count() would re-scan the
@@ -79,16 +103,17 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
         # _SUCCESS), so the row count comes from THIS batch's footers only —
         # a concurrent writer to the same topic path can no longer have its
         # files attributed to this batch. Committed files carry a
-        # deterministic b{batch_id}- prefix, and a foreachBatch replay
-        # removes the previous attempt's files before re-committing, so the
-        # sink is idempotent per batch id (not merely at-least-once).
-        import glob
+        # deterministic b{run_id}-{batch_id}- prefix, and a foreachBatch
+        # replay removes only THIS run's previous attempt before
+        # re-committing, so the sink is idempotent per (run, batch id) —
+        # a fresh checkpoint (ids restart at 0) or a second query sharing
+        # the topic dir cannot delete earlier committed rows.
         import shutil
 
         import pyarrow.parquet as pq
 
         os.makedirs(path, exist_ok=True)
-        staging = os.path.join(path, f"_staging-{batch_id}")
+        staging = os.path.join(path, f"_staging-{run_id}-{batch_id}")
         shutil.rmtree(staging, ignore_errors=True)  # leftover failed attempt
         batch_df.write.mode("overwrite").parquet(staging)
         staged = sorted(
@@ -98,20 +123,28 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
             pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
             for f in staged
         )
-        for stale in glob.glob(os.path.join(path, f"b{batch_id}-*.parquet")):
-            os.remove(stale)  # replayed batch: drop the prior attempt's rows
+        # listdir + startswith, not glob: a topic/base path containing
+        # glob metacharacters ([, *, ?) must not silently skip cleanup
+        prefix = f"b{run_id}-{batch_id}-"
+        replayed = False
+        for stale in os.listdir(path):
+            if stale.startswith(prefix) and stale.endswith(".parquet"):
+                os.remove(os.path.join(path, stale))  # prior attempt's rows
+                replayed = True
         for f in staged:
-            os.replace(
-                os.path.join(staging, f), os.path.join(path, f"b{batch_id}-{f}")
-            )
+            os.replace(os.path.join(staging, f), os.path.join(path, prefix + f))
         shutil.rmtree(staging, ignore_errors=True)
-        from roar_spark.metrics import REGISTRY
+        if not replayed:
+            # a replay REPLACES the prior attempt's rows — incrementing
+            # again would drift the counter above actual table rows
+            # (mirrors insert_batch_exactly_once returning 0 on replay)
+            from roar_spark.metrics import REGISTRY
 
-        REGISTRY.inc("roar_duckdb_insert_rows_total", n, topic=topic)
+            REGISTRY.inc("roar_duckdb_insert_rows_total", n, topic=topic)
 
     return (
         parsed.writeStream.foreachBatch(_persist)
-        .option("checkpointLocation", os.path.join(checkpoint_base, f"sink-{topic}"))
+        .option("checkpointLocation", checkpoint_dir)
         .queryName(f"roar-sink-{topic}")
         .start()
     )

@@ -85,6 +85,14 @@ def test_cli_materialize_validates_query_name(capsys, tmp_path):
     err = capsys.readouterr().err
     assert rc == 2
     assert "unknown query name 'no_such_query'" in err
+    # fuzzy suggestion: a typo that is NOT a substring of any name still
+    # gets a did-you-mean hint
+    rc = main(
+        ["materialize", "--query-name", "dedup_exct", "--out", str(tmp_path / "o")]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "did you mean" in err and "dedup_exact" in err
     rc = main(
         [
             "materialize", "--query-name", "dedup_exact",
@@ -151,6 +159,11 @@ def test_store_views_skip_engine_internal_dirs(spark, tmp_path, capsys):
     topic = store / "t1" / "batch0"
     topic.parent.mkdir(parents=True)
     spark.createDataFrame([(1,)], "id long").write.parquet(str(topic))
+    # a live sink's in-flight staging dir INSIDE the topic dir: its
+    # uncommitted rows must not be visible to sql/materialize
+    spark.createDataFrame([(777,)], "id long").write.parquet(
+        str(store / "t1" / "_staging-abc-0")
+    )
     rc = main(
         [
             "sql",

@@ -472,12 +472,33 @@ def test_parquet_sink_counts_own_batch_and_is_replay_idempotent(spark, tmp_path)
         q.stop()
     assert REGISTRY.get("roar_duckdb_insert_rows_total", topic="t1") - before == 1
     assert os.path.exists(foreign)
-    committed = [f for f in os.listdir(topic_dir) if f.startswith("b0-")]
-    assert committed, "batch files must carry the b<batch_id>- prefix"
+    from roar_spark.streaming.sink import _sink_run_id
+
+    run_id = _sink_run_id(str(tmp_path / "ckpt" / "sink-t1"))
+    committed = [
+        f for f in os.listdir(topic_dir) if f.startswith(f"b{run_id}-0-")
+    ]
+    assert committed, "batch files must carry the b<run_id>-<batch_id>- prefix"
     # no staging residue, and the table reads back clean
     assert not [f for f in os.listdir(topic_dir) if f.startswith("_staging")]
     ids = {r.event_id for r in spark.read.parquet(topic_dir).select("event_id").collect()}
     assert ids == {1, 99}
+    # a FRESH checkpoint restarts batch ids at 0 but rotates the run id:
+    # the new query's batch 0 must NOT delete the first run's batch-0 rows
+    before2 = REGISTRY.get("roar_duckdb_insert_rows_total", topic="t1")
+    q2 = start_parquet_sink(parsed, "t1", out, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    run_id2 = _sink_run_id(str(tmp_path / "ckpt2" / "sink-t1"))
+    assert run_id2 != run_id
+    assert [f for f in os.listdir(topic_dir) if f.startswith(f"b{run_id}-0-")], (
+        "fresh-checkpoint replay of batch id 0 deleted the prior run's commit"
+    )
+    assert REGISTRY.get("roar_duckdb_insert_rows_total", topic="t1") - before2 == 1
+    ids2 = [r.event_id for r in spark.read.parquet(topic_dir).select("event_id").collect()]
+    assert sorted(ids2) == [1, 1, 99]
 
 
 def test_coercion_ansi_safe_on_bad_timestamps(spark):
