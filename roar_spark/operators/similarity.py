@@ -831,24 +831,105 @@ def _pick_knn_vote(votes: DataFrame) -> DataFrame:
     )
 
 
+# Screen slack for the bulk-kNN bucket rerank: numpy's blocked matmul and
+# the exact ordered fold disagree only at summation-order level (~1e-12 on
+# unit vectors), and the exact cosine is compared after round(·, 6) — a
+# 1e-4 margin therefore keeps every candidate that could tie or beat the
+# k-th under the exact rounded score, with ~zero extra survivors.
+_KNN_SCREEN_MARGIN = 1e-4
+
+
+def _knn_screened_candidates(
+    emb: DataFrame,
+    n_planes: int,
+    dim: int,
+    k: int,
+    probe: bool,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """(query_id, vec_id) candidate pairs for bulk k-NN: per (tbl, bkt)
+    group, one corpus×query matmul scores every in-bucket pair and only
+    each query's top-k-with-margin survives — the _lsh_screened_pairs
+    kernel specialized to per-query top-k selection.
+
+    Why a per-group top-k is a safe filter for the GLOBAL top-k: if a
+    candidate ranks below k inside its own bucket, the ≥ k candidates
+    above it there are also global candidates for that query, so it can
+    never enter the global top-k. The margin widens the per-group cut so
+    a candidate whose exact rounded cosine ties the k-th can't be lost to
+    float summation-order noise; ties within the margin all survive and
+    the downstream exact rerank orders them deterministically. Versus
+    materializing every bucket collision (the previous shape), the
+    interpreted exact fold now runs only on ≈ k·tables survivors per
+    query instead of every collision (~tables·occupancy), and the
+    distinct shrinks by the same factor — the per-pair cost of the
+    collision space is one BLAS matmul per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
+    corpus = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
+        "vec_id", "tbl", "bkt", F.lit(0).alias("side")
+    )
+    queries = _entries_from_buckets(wb, n_planes, probe=probe, n_tables=n_tables).select(
+        "vec_id", "tbl", "bkt", F.lit(1).alias("side")
+    )
+    tagged = corpus.unionAll(queries).join(emb.select("vec_id", "embedding"), "vec_id")
+
+    # KEEP IN SYNC with _lsh_screened_pairs.screen (normalization + stack).
+    def screen_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["side"] == 0]
+        q = pdf[pdf["side"] == 1]
+        if p.empty or q.empty:
+            return pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
+        mp = np.stack(p["embedding"].to_numpy()).astype("float64")
+        mq = np.stack(q["embedding"].to_numpy()).astype("float64")
+        cos = (mq / np.linalg.norm(mq, axis=1, keepdims=True)) @ (
+            mp / np.linalg.norm(mp, axis=1, keepdims=True)
+        ).T  # queries × corpus
+        ids_p = p["vec_id"].to_numpy()
+        ids_q = q["vec_id"].to_numpy()
+        self_mask = ids_q[:, None] == ids_p[None, :]
+        cos[self_mask] = -2.0  # a vector is never its own neighbor
+        nc = cos.shape[1]
+        kk = min(k, nc)
+        # k-th largest per query row; the masked -2 self entries can only
+        # LOWER the cut (more survivors), never exclude a real candidate
+        kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
+        keep = (cos >= kth[:, None] - _KNN_SCREEN_MARGIN) & ~self_mask
+        iq, ip = np.nonzero(keep)
+        return pd.DataFrame({"query_id": ids_q[iq], "vec_id": ids_p[ip]})
+
+    return (
+        tagged.groupBy("tbl", "bkt")
+        .applyInPandas(screen_topk, "query_id long, vec_id long")
+        .distinct()  # the same survivor surfaces in several tables
+    )
+
+
 def embedding_knn_classify_bulk(
     spark: SparkSession, sf_dir: str, k: int = KNN_K, probe: bool = False
 ) -> DataFrame:
     """Full-corpus k-NN label prediction — the bulk-classification path
     the brute operator's docstring promises: EVERY vector is classified,
     so the query side cannot broadcast; candidates come from the same
-    OR-amplified sign-LSH tables as ann_lsh_topk (one shuffle equi-join
-    on the (tbl, bkt) keys — never all-pairs), exact ordered-fold cosine
-    reranks each vector's candidates to its top-k, and the vote stage is
-    identical to embedding_knn_classify (votes desc, best cosine desc,
-    label asc — deterministic).
+    OR-amplified sign-LSH tables as ann_lsh_topk, but the collision space
+    is screened INSIDE each bucket group by one corpus×query matmul that
+    keeps only each query's top-k-with-margin (_knn_screened_candidates —
+    never all-pairs, never a per-collision fold), the exact ordered-fold
+    cosine reranks just those survivors, and the vote stage is identical
+    to embedding_knn_classify (votes desc, best cosine desc, label asc —
+    deterministic; the margin guarantees the screen never drops a
+    candidate the exact rounded score would rank ≤ k).
 
     Scale shape: corpus hashes once per table (Arrow-batched matmul,
-    _bucket_ids); candidate volume per vector is bounded by bucket
+    _bucket_ids); per-bucket work is one BLAS matmul bounded by bucket
     occupancy (planes are sized for ~32-doc buckets at any n —
-    n_planes_for), so the join output is O(n · tables · 32) ≈ linear in
-    corpus size where brute classification is O(n²). Approximate only in
-    the candidate set; scores and votes above it are exact.
+    n_planes_for), and only ≈ k·tables survivors per vector reach the
+    distinct + interpreted rerank, so total work is O(n · tables · 32)
+    matmul FLOPs + O(n · k · tables) exact folds ≈ linear in corpus size
+    where brute classification is O(n²). Approximate only in the
+    candidate set; scores and votes above it are exact.
 
     ``probe`` (default False): Hamming-1 multi-probe multiplies the
     probe-side fan-out by (1+planes) — the right recall/cost trade for a
@@ -863,21 +944,7 @@ def embedding_knn_classify_bulk(
     n_planes = n_planes_for(n)
 
     emb = _with_norm(load_table(spark, "embeddings", sf_dir))
-    # hash the corpus ONCE: corpus entries and probe entries are both
-    # explosions of the same per-table bucket ids — without the persist the
-    # self-join executes the Arrow-batched hashing matmul twice (the
-    # dedup_embedding_lsh pattern, similarity.py _lsh_screened_pairs)
-    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim))
-    corpus_keys = _entries_from_buckets(wb, n_planes, probe=False)
-    probe_keys = _entries_from_buckets(wb, n_planes, probe=probe).select(
-        F.col("vec_id").alias("query_id"), "tbl", "bkt"
-    )
-    cand = (
-        corpus_keys.join(probe_keys, ["tbl", "bkt"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-    )
+    cand = _knn_screened_candidates(emb, n_planes, dim, k, probe)
     sides_q = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
