@@ -195,16 +195,46 @@ def cmd_sql(args: argparse.Namespace) -> int:
     from roar_spark.session import get_spark
 
     spark = get_spark(app_name="roar_spark_sql")
-    register_views(spark, args.dir or None)
-    if args.store_dir:
-        _register_store_views(spark, args.store_dir)
-    df = spark.sql(args.query)
-    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    with _bucketed_mode(spark, args):
+        register_views(spark, args.dir or None)
+        if args.store_dir:
+            _register_store_views(spark, args.store_dir)
+        df = spark.sql(args.query)
+        rows = df.limit(args.limit).collect() if args.limit else df.collect()
     # dict-of-columns keeps headers and column order even for 0 rows
     table = pa.table({c: [r[c] for r in rows] for c in df.columns})
     render = render_csv if args.format == "csv" else render_table
     print(render(table))
     return 0
+
+
+def _bucketed_mode(spark, args: argparse.Namespace):
+    """Context manager applying --bucketed: materialize (once — idempotent)
+    and route orderkey-joined tables through their bucketed managed copies
+    (catalog.enable_bucketed_catalog), so the orders⋈lineitem / groupBy
+    orderkey shuffle disappears from every query this command runs. The
+    routing is scoped to the command so an in-process caller (tests,
+    notebooks driving main()) doesn't inherit the mode; the managed copies
+    persist in the warehouse for the next --bucketed run to reuse."""
+    import contextlib
+
+    from roar_spark.catalog import (
+        disable_bucketed_catalog,
+        enable_bucketed_catalog,
+    )
+
+    @contextlib.contextmanager
+    def _scope():
+        if getattr(args, "bucketed", False):
+            enable_bucketed_catalog(spark, _corpus_dir(args))
+            try:
+                yield
+            finally:
+                disable_bucketed_catalog()
+        else:
+            yield
+
+    return _scope()
 
 
 def cmd_materialize(args: argparse.Namespace) -> int:
@@ -245,16 +275,21 @@ def cmd_materialize(args: argparse.Namespace) -> int:
             )
             return 2
         spark = get_spark(app_name="roar_spark_materialize")
-        df = QUERIES[args.query_name](spark, _corpus_dir(args))
+        with _bucketed_mode(spark, args):
+            df = QUERIES[args.query_name](spark, _corpus_dir(args))
+            manifest = write_sharded_dataset(
+                df, args.out, key_col=args.key, n_shards=args.shards
+            )
     else:
         spark = get_spark(app_name="roar_spark_materialize")
-        register_views(spark, args.dir or None)
-        if args.store_dir:
-            _register_store_views(spark, args.store_dir)
-        df = spark.sql(args.query)
-    manifest = write_sharded_dataset(
-        df, args.out, key_col=args.key, n_shards=args.shards
-    )
+        with _bucketed_mode(spark, args):
+            register_views(spark, args.dir or None)
+            if args.store_dir:
+                _register_store_views(spark, args.store_dir)
+            df = spark.sql(args.query)
+            manifest = write_sharded_dataset(
+                df, args.out, key_col=args.key, n_shards=args.shards
+            )
     import json
 
     print(json.dumps(manifest, sort_keys=True))
@@ -291,6 +326,12 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--store-dir", default="", help="parquet retention store to expose as views")
     sql.add_argument("--limit", type=int, default=0, help="truncate output rows (0 = all)")
     sql.add_argument("--format", choices=["table", "csv"], default="table")
+    sql.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="serve orders/lineitem from orderkey-bucketed managed copies "
+        "(materialized on first use) — removes the orderkey shuffle",
+    )
     sql.set_defaults(fn=cmd_sql)
 
     mat = sub.add_parser(
@@ -305,6 +346,12 @@ def main(argv: list[str] | None = None) -> int:
     mat.add_argument("--dir", default="", help="corpus dir (default $SPARK_GRAFT_SF_DIR)")
     mat.add_argument(
         "--store-dir", default="", help="parquet retention store to expose as views"
+    )
+    mat.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="serve orders/lineitem from orderkey-bucketed managed copies "
+        "(materialized on first use) — removes the orderkey shuffle",
     )
     mat.set_defaults(fn=cmd_materialize)
 

@@ -88,3 +88,56 @@ def test_bucketed_catalog_mode_end_to_end(spark):
         assert plain == bucketed
     finally:
         disable_bucketed_catalog()
+
+
+def test_cli_bucketed_materialize_end_to_end(spark, tmp_path):
+    """The opt-in mode through its user surface: `materialize --bucketed`
+    builds (once) and queries orderkey-bucketed managed copies from the
+    CLI, results are identical to plain mode, and the bucketed q18 plan
+    carries NO shuffle exchange at all — the groupBy(l_orderkey) /
+    orders⋈lineitem shuffle the mode exists to remove — while the plain
+    plan has one."""
+    from roar_spark.catalog import (
+        disable_bucketed_catalog,
+        enable_bucketed_catalog,
+    )
+    from roar_spark.cli import main
+    from roar_spark.operators.tpch_ext import q18_large_orders
+
+    def shuffle_exchanges(df) -> list[str]:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return [
+            line
+            for line in buf.getvalue().splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line
+        ]
+
+    assert shuffle_exchanges(
+        q18_large_orders(spark, SF)
+    ), "plain q18 should shuffle on orderkey — contrast baseline"
+    enable_bucketed_catalog(spark, SF)
+    try:
+        assert not shuffle_exchanges(q18_large_orders(spark, SF))
+    finally:
+        disable_bucketed_catalog()
+
+    out_b, out_p = tmp_path / "bucketed", tmp_path / "plain"
+    for out, extra in ((out_b, ["--bucketed"]), (out_p, [])):
+        rc = main(
+            [
+                "materialize", "--query-name", "q18_large_orders",
+                "--dir", SF, "--key", "o_orderkey", "--out", str(out),
+            ]
+            + extra
+        )
+        assert rc == 0
+    read = lambda p: sorted(  # noqa: E731
+        map(str, spark.read.parquet(str(p)).drop("shard").collect())
+    )
+    assert read(out_b) == read(out_p)
+    # the command-scoped mode must not leak into the in-process session
+    from roar_spark.catalog import _bucketed_tables
+
+    assert not _bucketed_tables
