@@ -461,19 +461,39 @@ def _sort_offset_fetch(spark, sf_dir):
 
 def _agg_stats_sketches(spark, sf_dir):
     """Approximate/statistical aggregates (HLL distinct, approx median,
-    stddev, corr). Approx + float-order-dependent → rows-only check."""
+    stddev, corr). Rows-only at the driver BY CEILING, but SELF-BOUNDING:
+    sketch register layouts are engine-internal (Spark HLL++ vs DuckDB's
+    HLL cannot agree bit-for-bit) and stddev/corr at full double precision
+    are accumulation-order-dependent — so instead of an external oracle,
+    each estimate travels WITH its exact counterpart (computed in the same
+    scan) and a within-tolerance flag the engine evaluates itself:
+    |approx − exact| ≤ 5% of exact. tests/test_determinism.py pins the
+    flags all-true, and the exact-integer twin ``agg_stats_exact`` carries
+    the value-hash oracle for the statistical half. HLL's standard error
+    at the default relativeSD is ~2.3%, percentile_approx's rank error is
+    ≤ 1/accuracy — 5% is a loose engine-independent envelope, not a tuned
+    constant."""
     from pyspark.sql import functions as F
 
     from roar_spark.catalog import load_table
 
     li = load_table(spark, "lineitem", sf_dir)
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= F.lit(0.05) * F.abs(F.col(exact))
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.expr("median(l_extendedprice)").alias("exact_median_price"),
             F.stddev_samp("l_quantity").alias("stddev_qty"),
             F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        )
+        .withColumn("hll_within_5pct", within("approx_parts", "exact_parts"))
+        .withColumn(
+            "median_within_5pct", within("approx_median_price", "exact_median_price")
         )
         .orderBy("l_returnflag")
     )

@@ -56,3 +56,22 @@ def test_result_is_partitioning_independent(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert narrow == base
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_agg_stats_sketches_self_bounds_hold(spark, sf):
+    """agg_stats_sketches is rows-only at the driver (sketch registers are
+    engine-internal — see tools/check.py's allowlist entry), so the error
+    bound is enforced HERE instead: every group's HLL distinct estimate and
+    approx median must sit within the query's own 5% in-row envelope of the
+    exact values it computes alongside them."""
+    rows = QUERIES["agg_stats_sketches"](spark, sf).collect()
+    assert rows, "sketch query returned no groups"
+    for r in rows:
+        assert r.hll_within_5pct, (
+            f"{sf} {r.l_returnflag}: HLL {r.approx_parts} vs exact {r.exact_parts}"
+        )
+        assert r.median_within_5pct, (
+            f"{sf} {r.l_returnflag}: approx median {r.approx_median_price} "
+            f"vs exact {r.exact_median_price}"
+        )
