@@ -42,6 +42,38 @@ def _default_driver_memory() -> str:
         gb = 8
     return f"{gb}g"
 
+def _ensure_protobuf_shim() -> None:
+    """Make `google.protobuf` importable when no real protobuf exists, via
+    the vendored pure-Python runtime shim (roar_spark/vendor/README.md).
+
+    Spark 4's transformWithStateInPandas Python worker speaks the TWS
+    state-server protocol through the generated StateMessage_pb2 module,
+    whose only runtime dependency is this API. Prepending (a) sys.path for
+    this process and (b) $PYTHONPATH for the JVM's Python workers (the JVM
+    inherits our env; PythonWorkerFactory merges env PYTHONPATH into the
+    worker's path) activates the shim everywhere the protocol runs. A real
+    protobuf install always wins — we only add the path when the import
+    fails."""
+    import importlib.util
+    import sys
+
+    try:
+        # raises ModuleNotFoundError when the parent `google` namespace
+        # itself is absent (find_spec imports the parent first)
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return
+    except ModuleNotFoundError:
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{vendor}{os.pathsep}{existing}" if existing else vendor
+        )
+
+
 DEFAULT_APP_NAME = "roar_spark"
 
 
@@ -56,6 +88,7 @@ def get_spark(
     Local testing runs ``local[N]``; the same configuration is valid on a
     cluster (master comes from the environment / spark-submit there).
     """
+    _ensure_protobuf_shim()  # before the JVM spawns: workers inherit env
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")

@@ -247,11 +247,14 @@ def recent_buffer_tws(
     ``spark.sql.streaming.stateStore.providerClass``); timeMode is
     ``none`` so drivers' processAllAvailable settles (no pending timers).
 
-    EXECUTION-GATED in this container: the TWS state-server protocol
-    imports google.protobuf, which is not installed (and installs are
-    forbidden) — plan construction and semantics are tested
-    (tests/test_streaming_native.py pins plan schema + merge_evict), the
-    e2e run is skipped unless protobuf is importable.
+    The TWS state-server protocol imports google.protobuf; this container
+    has no protobuf install (and installs are forbidden), so
+    roar_spark.session activates the vendored pure-Python runtime shim
+    (roar_spark/vendor/README.md) when the real package is absent — the
+    e2e test (tests/test_streaming_native.py) runs the full protocol
+    against the JVM's real protobuf parser, which conformance-checks the
+    shim byte-for-byte. RocksDB state store provider required (column
+    families); rocksdbjni ships in Spark's jars.
 
     The processor class is defined locally so cloudpickle ships it BY
     VALUE: the TWS driver worker is a fresh Python process that cannot
