@@ -14,6 +14,7 @@ CSV cells containing commas/quotes/newlines are quoted with doubled quotes.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import sys
 import threading
@@ -195,7 +196,7 @@ def cmd_sql(args: argparse.Namespace) -> int:
     from roar_spark.session import get_spark
 
     spark = get_spark(app_name="roar_spark_sql")
-    with _bucketed_mode(spark, args):
+    with _bucketed_mode(spark, args, args.dir or None):
         register_views(spark, args.dir or None)
         if args.store_dir:
             _register_store_views(spark, args.store_dir)
@@ -208,33 +209,31 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
-def _bucketed_mode(spark, args: argparse.Namespace):
+@contextlib.contextmanager
+def _bucketed_mode(spark, args: argparse.Namespace, directory: str | None):
     """Context manager applying --bucketed: materialize (once — idempotent)
     and route orderkey-joined tables through their bucketed managed copies
     (catalog.enable_bucketed_catalog), so the orders⋈lineitem / groupBy
-    orderkey shuffle disappears from every query this command runs. The
+    orderkey shuffle disappears from every query this command runs.
+    ``directory`` MUST be the same corpus dir the wrapped block reads
+    (None = catalog default): routing is keyed on (directory, table), so a
+    mismatch would materialize one corpus and silently query another. The
     routing is scoped to the command so an in-process caller (tests,
     notebooks driving main()) doesn't inherit the mode; the managed copies
     persist in the warehouse for the next --bucketed run to reuse."""
-    import contextlib
-
     from roar_spark.catalog import (
         disable_bucketed_catalog,
         enable_bucketed_catalog,
     )
 
-    @contextlib.contextmanager
-    def _scope():
-        if getattr(args, "bucketed", False):
-            enable_bucketed_catalog(spark, _corpus_dir(args))
-            try:
-                yield
-            finally:
-                disable_bucketed_catalog()
-        else:
+    if getattr(args, "bucketed", False):
+        enable_bucketed_catalog(spark, directory)
+        try:
             yield
-
-    return _scope()
+        finally:
+            disable_bucketed_catalog()
+    else:
+        yield
 
 
 def cmd_materialize(args: argparse.Namespace) -> int:
@@ -275,14 +274,14 @@ def cmd_materialize(args: argparse.Namespace) -> int:
             )
             return 2
         spark = get_spark(app_name="roar_spark_materialize")
-        with _bucketed_mode(spark, args):
+        with _bucketed_mode(spark, args, _corpus_dir(args)):
             df = QUERIES[args.query_name](spark, _corpus_dir(args))
             manifest = write_sharded_dataset(
                 df, args.out, key_col=args.key, n_shards=args.shards
             )
     else:
         spark = get_spark(app_name="roar_spark_materialize")
-        with _bucketed_mode(spark, args):
+        with _bucketed_mode(spark, args, args.dir or None):
             register_views(spark, args.dir or None)
             if args.store_dir:
                 _register_store_views(spark, args.store_dir)

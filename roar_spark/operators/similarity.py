@@ -838,6 +838,12 @@ def _pick_knn_vote(votes: DataFrame) -> DataFrame:
 # k-th under the exact rounded score, with ~zero extra survivors.
 _KNN_SCREEN_MARGIN = 1e-4
 
+# Max float64 cells per cosine block in the bulk-kNN screen (~32 MB): caps
+# executor memory under hash skew, where one bucket can hold far more than
+# the ~32-doc design occupancy. Module-level so tests can shrink it to
+# force multi-block execution on small corpora.
+_SCREEN_BLOCK_FLOATS = 4_000_000
+
 
 def _knn_screened_candidates(
     emb: DataFrame,
@@ -868,37 +874,59 @@ def _knn_screened_candidates(
     import pandas as pd
 
     wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
-    corpus = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
-        "vec_id", "tbl", "bkt", F.lit(0).alias("side")
-    )
-    queries = _entries_from_buckets(wb, n_planes, probe=probe, n_tables=n_tables).select(
-        "vec_id", "tbl", "bkt", F.lit(1).alias("side")
-    )
-    tagged = corpus.unionAll(queries).join(emb.select("vec_id", "embedding"), "vec_id")
+    base = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables)
+    if probe:
+        tagged = base.select("vec_id", "tbl", "bkt", F.lit(0).alias("side")).unionAll(
+            _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
+                "vec_id", "tbl", "bkt", F.lit(1).alias("side")
+            )
+        )
+    else:
+        # probe off (the default): corpus and query entry sets are byte-
+        # identical, so ONE explosion tagged "both" (side=2) halves the
+        # volume of the dim-wide embedding column through the (tbl, bkt)
+        # shuffle vs. unioning two copies
+        tagged = base.select("vec_id", "tbl", "bkt", F.lit(2).alias("side"))
+    tagged = tagged.join(emb.select("vec_id", "embedding"), "vec_id")
 
     # KEEP IN SYNC with _lsh_screened_pairs.screen (normalization + stack).
     def screen_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        p = pdf[pdf["side"] == 0]
-        q = pdf[pdf["side"] == 1]
+        p = pdf[pdf["side"] != 1]  # corpus rows (side 0 or 2)
+        q = pdf[pdf["side"] != 0]  # query rows (side 1 or 2)
         if p.empty or q.empty:
             return pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
         mp = np.stack(p["embedding"].to_numpy()).astype("float64")
+        mp /= np.linalg.norm(mp, axis=1, keepdims=True)
         mq = np.stack(q["embedding"].to_numpy()).astype("float64")
-        cos = (mq / np.linalg.norm(mq, axis=1, keepdims=True)) @ (
-            mp / np.linalg.norm(mp, axis=1, keepdims=True)
-        ).T  # queries × corpus
+        mq /= np.linalg.norm(mq, axis=1, keepdims=True)
         ids_p = p["vec_id"].to_numpy()
         ids_q = q["vec_id"].to_numpy()
-        self_mask = ids_q[:, None] == ids_p[None, :]
-        cos[self_mask] = -2.0  # a vector is never its own neighbor
-        nc = cos.shape[1]
+        nc = len(ids_p)
         kk = min(k, nc)
-        # k-th largest per query row; the masked -2 self entries can only
-        # LOWER the cut (more survivors), never exclude a real candidate
-        kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
-        keep = (cos >= kth[:, None] - _KNN_SCREEN_MARGIN) & ~self_mask
-        iq, ip = np.nonzero(keep)
-        return pd.DataFrame({"query_id": ids_q[iq], "vec_id": ids_p[ip]})
+        # Block over query rows so peak memory is O(block × corpus), not
+        # O(queries × corpus): bucket occupancy is ~32 by construction,
+        # but hash skew (a duplicate-heavy corpus puts every copy of a
+        # vector in ONE bucket in EVERY table) is unbounded, and a dense
+        # d×d float64 cosine matrix at d=100k would be ~80 GB. Each query
+        # row's top-k depends only on its own row of the matrix, so
+        # blocking changes nothing semantically.
+        block = max(1, _SCREEN_BLOCK_FLOATS // max(1, nc))
+        out_q: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for s in range(0, len(ids_q), block):
+            cos = mq[s : s + block] @ mp.T  # block × corpus
+            self_mask = ids_q[s : s + block, None] == ids_p[None, :]
+            cos[self_mask] = -2.0  # a vector is never its own neighbor
+            # k-th largest per query row; the masked -2 self entries can
+            # only LOWER the cut (more survivors), never exclude a real one
+            kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
+            keep = (cos >= kth[:, None] - _KNN_SCREEN_MARGIN) & ~self_mask
+            iq, ip = np.nonzero(keep)
+            out_q.append(ids_q[s + iq])
+            out_p.append(ids_p[ip])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_p)}
+        )
 
     return (
         tagged.groupBy("tbl", "bkt")

@@ -469,10 +469,11 @@ def _agg_stats_sketches(spark, sf_dir):
     scan) and a within-tolerance flag the engine evaluates itself:
     |approx − exact| ≤ 5% of exact. tests/test_determinism.py pins the
     flags all-true, and the exact-integer twin ``agg_stats_exact`` carries
-    the value-hash oracle for the statistical half. HLL's standard error
-    at the default relativeSD is ~2.3%, percentile_approx's rank error is
-    ≤ 1/accuracy — 5% is a loose engine-independent envelope, not a tuned
-    constant."""
+    the value-hash oracle for the statistical half. The HLL sketch runs at
+    rsd=0.01 (1% standard error) so the 5% envelope is a genuine ~5σ bound
+    (Spark's DEFAULT rsd is 0.05 — the envelope would be a coin-flip 1σ);
+    percentile_approx's rank error at the default accuracy is ≤ 1e-4 of
+    the rank range, far inside 5% on this distribution."""
     from pyspark.sql import functions as F
 
     from roar_spark.catalog import load_table
@@ -484,7 +485,7 @@ def _agg_stats_sketches(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
             F.expr("median(l_extendedprice)").alias("exact_median_price"),

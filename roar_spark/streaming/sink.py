@@ -75,13 +75,36 @@ def _sink_run_id(checkpoint_dir: str) -> str:
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "_roar_run_id")
     try:
-        with open(marker, "x", encoding="ascii") as fh:
-            run_id = uuid.uuid4().hex[:8]
-            fh.write(run_id)
-            return run_id
+        with open(marker, encoding="ascii") as fh:
+            existing = fh.read().strip()
+        if existing:
+            return existing
+        # empty marker = a crash between create and write (pre-atomic
+        # layout); fall through and replace it
+    except FileNotFoundError:
+        pass
+    # publish atomically: the id is fully durable in a temp file BEFORE the
+    # marker name exists, so no crash or concurrent reader can ever observe
+    # a partial/empty id (which would silently become run_id "" for the
+    # checkpoint's whole lifetime and re-enable cross-run b{id}- collisions)
+    run_id = uuid.uuid4().hex[:8]
+    tmp = os.path.join(checkpoint_dir, f"_roar_run_id.tmp.{run_id}")
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(run_id)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, marker)  # atomic first-writer-wins claim
     except FileExistsError:
         with open(marker, encoding="ascii") as fh:
-            return fh.read().strip()
+            claimed = fh.read().strip()
+        if claimed:  # lost the race to a writer whose link carried its id
+            os.remove(tmp)
+            return claimed
+        os.replace(tmp, marker)  # empty legacy marker: take it over
+        return run_id
+    os.remove(tmp)
+    return run_id
 
 
 def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint_base: str):

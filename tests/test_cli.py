@@ -175,3 +175,50 @@ def test_store_views_skip_engine_internal_dirs(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+
+
+def test_cli_bucketed_routes_same_dir_as_views(monkeypatch, capsys):
+    """r5 review: `sql --bucketed` with no --dir/env used to bucket the
+    materialize default (sf0.1) while the views read the catalog default
+    (sf0.001) — the routing key never matched and the flag silently did
+    nothing. Pin: the directory handed to enable_bucketed_catalog resolves
+    to the SAME corpus the views are registered from."""
+    import roar_spark.catalog as catalog
+    import roar_spark.session as session
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    seen = {}
+    monkeypatch.setattr(
+        catalog,
+        "enable_bucketed_catalog",
+        lambda spark, directory=None, **kw: seen.__setitem__(
+            "bucketed", directory or catalog.sf_dir()
+        ),
+    )
+    monkeypatch.setattr(catalog, "disable_bucketed_catalog", lambda: None)
+    monkeypatch.setattr(
+        catalog,
+        "register_views",
+        lambda spark, directory=None: seen.__setitem__(
+            "views", directory or catalog.sf_dir()
+        ),
+    )
+
+    class _FakeDF:
+        columns = ["x"]
+
+        def limit(self, n):
+            return self
+
+        def collect(self):
+            return []
+
+    class _FakeSpark:
+        def sql(self, q):
+            return _FakeDF()
+
+    monkeypatch.setattr(session, "get_spark", lambda app_name=None: _FakeSpark())
+    rc = main(["sql", "SELECT 1 AS x", "--bucketed"])
+    assert rc == 0
+    capsys.readouterr()
+    assert seen["bucketed"] == seen["views"]

@@ -317,3 +317,20 @@ def test_text_ops_survive_empty_documents(spark, tmp_path):
     bpe = {r.doc_id: r for r in text_bpe_tokens(spark, str(d)).collect()}
     assert bpe[1].first_bpe_token is None
     assert bpe[3].first_bpe_token is not None
+
+
+def test_bulk_knn_blocked_screen_identical_output(spark, monkeypatch):
+    """r5 review: the in-bucket matmul screen blocks over query rows so a
+    skew bucket can't allocate a dense q×c float64 matrix. Each query row's
+    top-k depends only on its own matrix row, so a tiny block size must
+    yield byte-identical classifications to the one-shot path."""
+    import roar_spark.operators.similarity as sim
+
+    base = sorted(
+        map(tuple, sim.embedding_knn_classify_bulk(spark, SF).collect())
+    )
+    monkeypatch.setattr(sim, "_SCREEN_BLOCK_FLOATS", 7)  # forces many blocks
+    blocked = sorted(
+        map(tuple, sim.embedding_knn_classify_bulk(spark, SF).collect())
+    )
+    assert blocked == base

@@ -121,3 +121,57 @@ def test_repeated_bytes_field():
     p2 = sm.ListStatePut()
     p2.ParseFromString(put.SerializeToString())
     assert list(p2.value) == [b"a", b"bb"] and p2.fetchWithArrow is False
+
+
+def test_repeated_append_on_lazy_child_attaches():
+    # the standard generated-code idiom: append into a repeated field of a
+    # lazily-read nested message — the child must attach to its parent on
+    # the MUTATION (upstream's listener mechanism), so the data reaches the
+    # wire (r5 review: the old shim stored the list on the detached child
+    # and serialized b"" with WhichOneof None)
+    c = sm.ListStateCall()
+    c.stateName = "s"
+    c.listStatePut.value.append(b"x")
+    # f1 "s" → 0a 01 73; listStatePut(f4)={value(f1)=b"x"} → 22 03 0a 01 78
+    assert c.SerializeToString() == bytes.fromhex("0a017322030a0178")
+    assert c.WhichOneof("method") == "listStatePut"
+    # reading a repeated field alone must NOT set presence (proto3)
+    c2 = sm.ListStateCall()
+    c2.stateName = "s"
+    _ = list(c2.listStatePut.value)
+    assert c2.SerializeToString() == bytes.fromhex("0a0173")
+    assert c2.WhichOneof("method") is None
+
+
+def test_repeated_container_stale_after_clear():
+    c = sm.ListStatePut()
+    handle = c.value
+    handle.append(b"a")
+    assert c.SerializeToString() == bytes.fromhex("0a0161")
+    c.Clear()
+    handle.append(b"b")  # released handle: must not re-attach stale data
+    assert c.SerializeToString() == b""
+
+
+def test_repeated_add_idiom():
+    r = sm.StateResponseWithTimer()
+    r.timer.add(timestampMs=5)
+    t = r.timer.add()
+    t.timestampMs = 7
+    assert [x.timestampMs for x in r.timer] == [5, 7]
+    r2 = sm.StateResponseWithTimer()
+    r2.ParseFromString(r.SerializeToString())
+    assert [x.timestampMs for x in r2.timer] == [5, 7]
+
+
+def test_truncated_descriptor_raises():
+    # a short serialized FileDescriptorProto must fail AddSerializedFile
+    # loudly, not build a descriptor with silently-missing fields
+    from google.protobuf import descriptor_pool
+
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as mod
+
+    serialized = mod.DESCRIPTOR.serialized_pb
+    pool = descriptor_pool.DescriptorPool()
+    with pytest.raises(ValueError, match="truncated"):
+        pool.AddSerializedFile(serialized[: len(serialized) // 2])

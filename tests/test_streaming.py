@@ -566,3 +566,28 @@ def test_ttl_expiry_parks_query_for_recreation(spark):
     # next message re-creates the stream and re-attaches the SAME query
     h2 = engine.register_stream("t", sample)
     assert h2.query is q
+
+
+def test_sink_run_id_atomic_marker(tmp_path):
+    """r5 review: the marker write must be atomic — a crash between create
+    and write used to leave an empty marker whose run_id '' lasted the
+    checkpoint's lifetime, re-enabling cross-run b{id}- deletions."""
+    import os
+
+    from roar_spark.streaming.sink import _sink_run_id
+
+    ckpt = str(tmp_path / "ckpt" / "sink-t")
+    rid = _sink_run_id(ckpt)
+    assert rid and _sink_run_id(ckpt) == rid  # stable across restarts
+    # no temp debris left behind
+    assert os.listdir(ckpt) == ["_roar_run_id"]
+
+    # legacy truncated marker (crash between open('x') and write): a fresh
+    # non-empty id is generated, persisted, and stable afterwards
+    ckpt2 = str(tmp_path / "ckpt2" / "sink-t")
+    os.makedirs(ckpt2)
+    open(os.path.join(ckpt2, "_roar_run_id"), "w").close()
+    rid2 = _sink_run_id(ckpt2)
+    assert rid2
+    assert _sink_run_id(ckpt2) == rid2
+    assert open(os.path.join(ckpt2, "_roar_run_id")).read().strip() == rid2
