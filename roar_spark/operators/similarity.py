@@ -56,7 +56,7 @@ def _with_norm(df: DataFrame) -> DataFrame:
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10).
     Query side is broadcast; corpus side never shuffles for the join."""
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -385,7 +385,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_row_count("embeddings", sf_dir)
     n_cent = n_centroids_for(n)
 
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
     hash_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
@@ -477,7 +477,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = embedding_dim(sf_dir)
     n_planes = n_planes_for(n)
 
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
     corpus_keys = _bucket_entries(emb, n_planes, dim, probe=False)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     probe_keys = F.broadcast(
@@ -523,7 +523,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding divergence). Pure per-row projection over built-in array
     expressions: embarrassingly parallel, no shuffle but the final sort,
     no Python."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir, spread=True)
     abs_max = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
@@ -790,7 +790,7 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: client-side similarity scoring delegated by the
     serving gateway (SURVEY.md Part B north-star); no reference-engine
     counterpart file."""
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -971,7 +971,7 @@ def embedding_knn_classify_bulk(
     dim = embedding_dim(sf_dir)
     n_planes = n_planes_for(n)
 
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
     cand = _knn_screened_candidates(emb, n_planes, dim, k, probe)
     sides_q = emb.select(
         F.col("vec_id").alias("query_id"),

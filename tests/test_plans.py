@@ -386,3 +386,17 @@ def test_dau_wau_has_no_nested_loop(spark):
     plan = plan_of(spark, "events_dau_wau")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_gram_aggs_are_partial_agg_shuffles(spark):
+    """Pin gopher's measured-best shape (SCALE.md records the three
+    losing alternatives at 1 M docs): explode → partial-aggregated
+    (doc_id, gram) shuffles, no cartesian/nested-loop join, no Python.
+    The gram aggregations must keep map-side partial aggregation — that
+    collapse is what bounds the shuffle at ~distinct-grams-per-doc."""
+    plan = plan_of(spark, "text_gopher_quality")
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
