@@ -687,7 +687,11 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At extreme eval sizes the same plan degrades gracefully to a shuffle
     hash join on the shingle key (or a bloom-filter pre-pass). Output is
     per-contaminated-doc evidence counts, not just a flag."""
-    sh = _doc_shingles(spark, sf_dir)
+    # spread: the tokenize+shingle build is the heaviest map work here and
+    # both sides derive from it; persist so the eval-broadcast job's pass
+    # over the corpus is reused by the training-side stream instead of
+    # re-tokenizing the full corpus (SCALE.md 1M sweep).
+    sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
     eval_sh = F.broadcast(
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)

@@ -33,7 +33,7 @@ DECODE_SCHEMA = (
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata without decoding: byte length and hex magic
     prefix — all JVM-side (oracle-checkable)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
@@ -103,7 +103,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration_ms = 1000·(1 + n_chars mod 60), frames = min(4, 1 + n_chars
     mod 7), frame k at t = ⌊k·duration/frames⌋ sliced 16 chars from
     offset (37k mod max(n_chars−15, 1))."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = load_table(spark, "documents", sf_dir, spread=True).select("doc_id", "text")
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -149,7 +149,7 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row projection of built-in expressions (substring/ascii), no
     Python, no shuffle before the display sort — embarrassingly parallel
     at any scale."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     padded = F.rpad(F.col("text"), POOL_SRC * POOL_SRC, " ")
 
     def px(r: int, c: int) -> F.Column:
