@@ -227,8 +227,12 @@ def _bucketed_mode(spark, args: argparse.Namespace, directory: str | None):
     )
 
     if getattr(args, "bucketed", False):
-        enable_bucketed_catalog(spark, directory)
+        # enable INSIDE the guarded region: a failure halfway through
+        # materializing the managed copies (disk full on the second
+        # saveAsTable) must not leave _bucketed_tables partially
+        # populated for the rest of the process (r5 review)
         try:
+            enable_bucketed_catalog(spark, directory)
             yield
         finally:
             disable_bucketed_catalog()
@@ -252,11 +256,13 @@ def cmd_materialize(args: argparse.Namespace) -> int:
         if args.query_name not in QUERIES:
             import difflib
 
-            # fuzzy, not substring: 'dedup_exct' should still suggest
-            # 'dedup_exact'
-            close = ", ".join(
-                difflib.get_close_matches(args.query_name, QUERIES, n=5, cutoff=0.6)
-            )
+            # union of substring and fuzzy matches: 'dedup_exct' needs
+            # fuzzy to reach 'dedup_exact', while a short prefix like
+            # 'knn' scores ~0.24 against 'embedding_knn_classify' and
+            # only the substring rule can suggest it (r5 review)
+            sub = [q for q in sorted(QUERIES) if args.query_name in q]
+            fuzzy = difflib.get_close_matches(args.query_name, QUERIES, n=5, cutoff=0.6)
+            close = ", ".join(dict.fromkeys([*sub[:5], *fuzzy]))
             hint = f" (did you mean: {close}?)" if close else ""
             print(
                 f"materialize: unknown query name {args.query_name!r}{hint}; "
@@ -273,22 +279,22 @@ def cmd_materialize(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             return 2
-        spark = get_spark(app_name="roar_spark_materialize")
-        with _bucketed_mode(spark, args, _corpus_dir(args)):
-            df = QUERIES[args.query_name](spark, _corpus_dir(args))
-            manifest = write_sharded_dataset(
-                df, args.out, key_col=args.key, n_shards=args.shards
-            )
-    else:
-        spark = get_spark(app_name="roar_spark_materialize")
-        with _bucketed_mode(spark, args, args.dir or None):
-            register_views(spark, args.dir or None)
+    spark = get_spark(app_name="roar_spark_materialize")
+    # resolve the corpus dir ONCE and hand the same value to the bucketed
+    # routing and the query — two per-branch defaults desynchronizing is
+    # the exact bug test_cli_bucketed_routes_same_dir_as_views pins
+    directory = _corpus_dir(args) if args.query_name else (args.dir or None)
+    with _bucketed_mode(spark, args, directory):
+        if args.query_name:
+            df = QUERIES[args.query_name](spark, directory)
+        else:
+            register_views(spark, directory)
             if args.store_dir:
                 _register_store_views(spark, args.store_dir)
             df = spark.sql(args.query)
-            manifest = write_sharded_dataset(
-                df, args.out, key_col=args.key, n_shards=args.shards
-            )
+        manifest = write_sharded_dataset(
+            df, args.out, key_col=args.key, n_shards=args.shards
+        )
     import json
 
     print(json.dumps(manifest, sort_keys=True))

@@ -30,5 +30,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from a precomputed-norm pair (norms are computed once per
-    vector, not once per pair — O(n) not O(n²) sqrt calls)."""
-    return dot(a, b) / (norm_a * norm_b)
+    vector, not once per pair — O(n) not O(n²) sqrt calls).
+
+    Zero-norm vectors have no direction, so their cosine is NULL
+    (try_divide) rather than a DIVIDE_BY_ZERO crash under Spark 4's ANSI
+    default. NULL flows through every consumer as "non-comparable": a
+    `cos >= t` filter rejects it, and the k-NN rank paths filter NULL
+    before ranking so degenerate vectors never become neighbors and
+    abstain as queries (r5 review + pinning test)."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)

@@ -53,6 +53,23 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("nrm", norm(F.col("embedding")))
 
 
+def _unit_rows(m):
+    """Row-normalize a 2-D float array for the matmul screens. Zero-norm
+    rows divide to NaN (warnings suppressed — degenerate vectors are a
+    handled case, not an error). The exact stages give such vectors a
+    NULL cosine (functions/vector.py), i.e. they are never neighbors; the
+    screens mirror that: in the threshold screens `NaN >= t` is already
+    False (numpy), and the top-k screen maps NaN to -2.0 BEFORE
+    np.partition — NaN sorts as largest there, so >= k NaN entries in a
+    bucket row would otherwise make the k-th statistic NaN, every
+    comparison False, and ALL of the bucket's candidates silently drop
+    (r5 review finding, pinned by the zero-norm test)."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10).
     Query side is broadcast; corpus side never shuffles for the join."""
@@ -73,7 +90,10 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        # NULL cos = zero-norm vector (non-comparable): drop BEFORE
+        # ranking so degenerate vectors never occupy a top-k slot
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")
@@ -147,9 +167,9 @@ def _block_screen_pairs(
             return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype("int64")
         ma = np.stack(a["embedding"].to_numpy()).astype("float64")
         mb = np.stack(b["embedding"].to_numpy()).astype("float64")
-        cos = (ma / np.linalg.norm(ma, axis=1, keepdims=True)) @ (
-            mb / np.linalg.norm(mb, axis=1, keepdims=True)
-        ).T
+        cos = _unit_rows(ma) @ _unit_rows(mb).T
+        # zero-norm rows: NaN >= screen_min is False — dropped, matching
+        # the exact recheck's NULL-cosine rejection
         ia, ib = np.nonzero(cos >= screen_min)
         ids_a = a["vec_id"].to_numpy()[ia]
         ids_b = b["vec_id"].to_numpy()[ib]
@@ -451,7 +471,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        # NULL cos = zero-norm vector (non-comparable): drop BEFORE
+        # ranking so degenerate vectors never occupy a top-k slot
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")
@@ -508,7 +531,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        # NULL cos = zero-norm vector (non-comparable): drop BEFORE
+        # ranking so degenerate vectors never occupy a top-k slot
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
         .orderBy("query_id", "rank")
@@ -655,9 +681,9 @@ def _lsh_screened_pairs(
             return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype("int64")
         mp = np.stack(p["embedding"].to_numpy()).astype("float64")
         mq = np.stack(q["embedding"].to_numpy()).astype("float64")
-        cos = (mp / np.linalg.norm(mp, axis=1, keepdims=True)) @ (
-            mq / np.linalg.norm(mq, axis=1, keepdims=True)
-        ).T
+        cos = _unit_rows(mp) @ _unit_rows(mq).T
+        # zero-norm rows: NaN >= screen_min is False — dropped, matching
+        # the exact recheck's NULL-cosine rejection
         ip, iq = np.nonzero(cos >= screen_min)
         ids_p = p["vec_id"].to_numpy()[ip]
         ids_q = q["vec_id"].to_numpy()[iq]
@@ -804,7 +830,11 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
+    nn = (
+        scored.filter(F.col("cos").isNotNull())  # zero-norm: never a neighbor
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+    )
     votes = nn.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
@@ -895,10 +925,8 @@ def _knn_screened_candidates(
         q = pdf[pdf["side"] != 0]  # query rows (side 1 or 2)
         if p.empty or q.empty:
             return pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
-        mp = np.stack(p["embedding"].to_numpy()).astype("float64")
-        mp /= np.linalg.norm(mp, axis=1, keepdims=True)
-        mq = np.stack(q["embedding"].to_numpy()).astype("float64")
-        mq /= np.linalg.norm(mq, axis=1, keepdims=True)
+        mp = _unit_rows(np.stack(p["embedding"].to_numpy()).astype("float64"))
+        mq = _unit_rows(np.stack(q["embedding"].to_numpy()).astype("float64"))
         ids_p = p["vec_id"].to_numpy()
         ids_q = q["vec_id"].to_numpy()
         nc = len(ids_p)
@@ -915,6 +943,8 @@ def _knn_screened_candidates(
         out_p: list[np.ndarray] = []
         for s in range(0, len(ids_q), block):
             cos = mq[s : s + block] @ mp.T  # block × corpus
+            cos[np.isnan(cos)] = -2.0  # zero-norm rows: never neighbors
+            # (exact stage's NULL cosine) — and keeps the k-th real
             self_mask = ids_q[s : s + block, None] == ids_p[None, :]
             cos[self_mask] = -2.0  # a vector is never its own neighbor
             # k-th largest per query row; the masked -2 self entries can
@@ -988,7 +1018,13 @@ def embedding_knn_classify_bulk(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    nn = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    nn = (
+        # NULL cos = zero-norm vector: dropped here, so a degenerate query
+        # loses every candidate and surfaces as an explicit abstain row
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
     votes = nn.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),

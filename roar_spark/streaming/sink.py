@@ -62,6 +62,22 @@ def create_table_ddl(table: str, schema: T.StructType) -> str:
     return f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})'
 
 
+def _fsync_dir(path: str) -> None:
+    """Durably persist a directory's entries (rename/link visibility after
+    power loss). Best-effort on filesystems/objects stores that reject
+    opening a directory."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _sink_run_id(checkpoint_dir: str) -> str:
     """A run id that is stable across restarts of the SAME checkpoint but
     distinct for every fresh checkpoint. Stored as a marker file inside
@@ -102,8 +118,16 @@ def _sink_run_id(checkpoint_dir: str) -> str:
             os.remove(tmp)
             return claimed
         os.replace(tmp, marker)  # empty legacy marker: take it over
+        _fsync_dir(checkpoint_dir)
         return run_id
     os.remove(tmp)
+    # the marker's DIRECTORY ENTRY must be durable before any data file is
+    # committed under this run id: fsync on the tmp file alone leaves the
+    # link vulnerable to power loss, after which a restart would mint a
+    # fresh run id and the replay cleanup would miss the old prefix —
+    # re-introducing the duplicate-rows replay this id exists to prevent
+    # (r5 review)
+    _fsync_dir(checkpoint_dir)
     return run_id
 
 

@@ -334,3 +334,62 @@ def test_bulk_knn_blocked_screen_identical_output(spark, monkeypatch):
         map(tuple, sim.embedding_knn_classify_bulk(spark, SF).collect())
     )
     assert blocked == base
+
+
+def test_bulk_knn_zero_norm_vectors_do_not_poison_buckets(spark, tmp_path):
+    """r5 review: zero-norm embeddings crashed the exact rerank outright
+    (ANSI DIVIDE_BY_ZERO in functions/vector.py) and, inside the matmul
+    screen, their NaN cosine rows could make np.partition's k-th
+    statistic NaN — every comparison False, ALL of the bucket's
+    candidates silently dropped. Contract after the fix: a zero-norm
+    vector is NON-COMPARABLE — NULL cosine (try_divide), never anyone's
+    neighbor, and an explicit ABSTAIN row as a query; the screen maps its
+    NaN entries to -2.0 so the k-th stays real and other candidates in
+    the shared bucket survive. Plant 2k zero vectors — they share bucket
+    0 of every table, the exact regime of the NaN-k-th bug — and assert
+    no crash, abstain rows for them, and intact cluster accuracy."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.similarity import KNN_K, embedding_knn_classify_bulk
+
+    rng = np.random.default_rng(7)
+    n_labels, per, dim = 5, 40, 16
+    centers = rng.standard_normal((n_labels, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for i in range(per):
+        for lbl in range(n_labels):
+            v = centers[lbl] + 0.1 * rng.standard_normal(dim)
+            vecs.append((v / np.linalg.norm(v)).astype("float32"))
+            labels.append(lbl)
+    n_zero = 2 * KNN_K  # enough that the NaN k-th bug would have fired
+    zero_label = 9
+    for _ in range(n_zero):
+        vecs.append(np.zeros(dim, dtype="float32"))
+        labels.append(zero_label)
+    d = tmp_path / "zeros"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    rows = {r.query_id: r for r in embedding_knn_classify_bulk(spark, str(d)).collect()}
+    assert len(rows) == len(vecs)
+    zero_ids = range(len(vecs) - n_zero, len(vecs))
+    for q in zero_ids:
+        # non-comparable: every candidate's cosine is NULL → abstain row
+        assert rows[q].n_votes == 0
+        assert rows[q].predicted_label is None
+    # real vectors sharing bucket 0 with the zero cohort must NOT lose
+    # their candidates to a NaN k-th statistic: accuracy stays intact
+    real = [rows[q] for q in range(n_labels * per)]
+    acc = sum(1 for r in real if r.predicted_label == r.true_label) / len(real)
+    assert acc >= 0.95

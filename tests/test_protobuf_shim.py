@@ -175,3 +175,45 @@ def test_truncated_descriptor_raises():
     pool = descriptor_pool.DescriptorPool()
     with pytest.raises(ValueError, match="truncated"):
         pool.AddSerializedFile(serialized[: len(serialized) // 2])
+
+
+def test_parse_into_lazy_child_with_repeated_only_payload_attaches():
+    # r5 review (repro'd): CopyFrom/ParseFromString into a lazily-read
+    # child whose payload holds ONLY repeated fields went through
+    # _store_parsed's repeated branch, which never attached the child —
+    # the bytes silently vanished from the parent's wire.
+    c = sm.ListStateCall()
+    c.stateName = "s"
+    c.listStatePut.CopyFrom(sm.ListStatePut(value=[b"x"]))
+    data = c.SerializeToString()
+    r = sm.ListStateCall()
+    r.ParseFromString(data)
+    assert r.WhichOneof("method") == "listStatePut"
+    assert list(r.listStatePut.value) == [b"x"]
+    # and the ParseFromString-into-lazy-child form of the same idiom
+    c2 = sm.ListStateCall()
+    c2.stateName = "s"
+    c2.listStatePut.ParseFromString(sm.ListStatePut(value=[b"y"]).SerializeToString())
+    r2 = sm.ListStateCall()
+    r2.ParseFromString(c2.SerializeToString())
+    assert list(r2.listStatePut.value) == [b"y"]
+
+
+def test_truncated_fixed_width_unknown_field_raises():
+    # unknown fixed64 tag (field 99, wire type 1) followed by only 3 bytes:
+    # must raise, not parse "successfully" with the field missing
+    base = sm.StateResponse(statusCode=3).SerializeToString()
+    bad = base + bytes([0x99, 0x06, 0x01]) + b"\x01\x02\x03"  # tag 99<<3|1
+    r = sm.StateResponse()
+    with pytest.raises(Exception):
+        r.ParseFromString(bad)
+
+
+def test_out_of_range_int_assignment_raises():
+    # int32 field: a 2**40 assignment would encode as a 64-bit varint the
+    # JVM peer silently truncates — real protobuf raises at assignment
+    r = sm.StateResponse()
+    with pytest.raises(ValueError, match="out of range"):
+        r.statusCode = 1 << 40
+    r.statusCode = (1 << 31) - 1  # boundary still fine
+    assert r.statusCode == (1 << 31) - 1
