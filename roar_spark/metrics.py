@@ -154,16 +154,38 @@ def attach(spark, registry: MetricsRegistry | None = None) -> EngineMetricsListe
     return listener
 
 
-def update_engine_gauges(engine, registry: MetricsRegistry | None = None) -> None:
+def update_engine_gauges(
+    engine, registry: MetricsRegistry | None = None, topics: list[str] | None = None
+) -> None:
     """Push store-level gauges (buffer bytes/utilization, drop counters,
     active streams) — called by the engine facade on serving operations.
 
+    ``topics``: restrict the refresh to those topics (the serving path
+    passes the single fetched topic, so per-request work stays O(1)
+    instead of describing EVERY stream under the engine lock on each
+    fetch — r5 review); the stale-series sweep only runs on a full
+    refresh, which the janitor tick performs on its ttl/2 cadence.
+
     Race-tolerant against the TTL janitor: a topic listed one instant can
-    be expired the next — it is skipped (and its stale gauges dropped)
-    rather than failing the unrelated serving call that triggered the
-    refresh."""
+    be expired the next — it is skipped (and, on a full refresh, its
+    stale gauges dropped) rather than failing the unrelated serving call
+    that triggered the refresh."""
     reg = registry or REGISTRY
     families = ("roar_stream_memory_bytes", "roar_stream_buffer_utilization_percent")
+    if topics is not None:
+        for topic in topics:
+            try:
+                desc = engine.describe_stream(topic)
+            except KeyError:
+                continue  # expired under us: the full sweep drops the series
+            reg.set("roar_stream_memory_bytes", desc["bytes"], topic=topic)
+            reg.set(
+                "roar_stream_buffer_utilization_percent",
+                100.0 * desc["bytes"] / max(engine.config.buffer_limit_bytes, 1),
+                topic=topic,
+            )
+        reg.set("roar_active_streams", len(engine.list_streams()))
+        return
     # Snapshot the candidate stale set BEFORE this refresh writes anything:
     # a topic registered concurrently (its gauges set by another thread
     # after this snapshot) is in neither `pre` nor `live`, so the sweep

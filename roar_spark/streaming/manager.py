@@ -62,6 +62,13 @@ from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
 __all__ = ["StreamEngine", "MemoryStore", "ParquetStore", "StreamHandle"]
 
 
+class StoreClosedError(RuntimeError):
+    """Append raced the TTL janitor's close of this store incarnation.
+    Callers re-create the stream and retry — the reference's
+    create-on-next-message behavior — instead of silently committing rows
+    into a discarded buffer (the checkpoint would mark them consumed)."""
+
+
 class MemoryStore:
     """Driver-side Arrow buffer with drop-oldest byte cap (reference
     parity model; single-node by definition, like the reference)."""
@@ -73,6 +80,7 @@ class MemoryStore:
         self._batches: deque = deque()  # (arrow_table, nbytes)
         self._bytes = 0
         self.records_dropped = 0
+        self._closed = False
         self._lock = threading.Lock()
 
     def append(self, batch_df: DataFrame) -> int:
@@ -81,6 +89,8 @@ class MemoryStore:
             return 0
         size = table.nbytes
         with self._lock:
+            if self._closed:
+                raise StoreClosedError("MemoryStore closed (TTL expiry)")
             # eviction loop parity: stream/manager.go:288-310
             while self._batches and self._bytes + size > self._max_bytes:
                 old, old_size = self._batches.popleft()
@@ -111,10 +121,15 @@ class MemoryStore:
     def batch_count(self) -> int:
         return len(self._batches)
 
-    def close(self) -> None:
+    def close(self, deferred: bool = False) -> list[str]:
+        """Release the buffer. Returns directories whose deletion the
+        caller must finish later (always empty here — driver memory frees
+        immediately; the signature matches ParquetStore.close)."""
         with self._lock:
+            self._closed = True
             self._batches.clear()
             self._bytes = 0
+        return []
 
 
 class ParquetStore:
@@ -123,21 +138,32 @@ class ParquetStore:
     only (batch_id, nbytes) metadata."""
 
     def __init__(self, spark: SparkSession, schema: T.StructType, max_bytes: int, base: str) -> None:
+        import uuid
+
         self._spark = spark
         self._schema = schema
         self._max_bytes = max_bytes
         self._base = base
+        # every store INCARNATION owns a unique generation dir under the
+        # topic base: after a TTL expiry, the janitor's pending close of
+        # the old incarnation can then never delete the re-created
+        # stream's files (the re-bootstrap races close() — r5 review), and
+        # batch ids never collide across incarnations. External readers
+        # (cli --store-dir) already use recursiveFileLookup, so the extra
+        # level is invisible to them.
+        self._root = os.path.join(base, f"gen-{uuid.uuid4().hex[:8]}")
         self._batches: deque = deque()  # (path, nbytes, num_rows)
         self._bytes = 0
         self._next_id = 0
         self.records_dropped = 0
+        self._closed = False
         self._lock = threading.Lock()
         # dirs evicted from the batch list but not yet deleted: physical
         # deletion is DEFERRED one append generation so an in-flight
         # snapshot scan (lazy — file listing resolves at action time)
         # doesn't lose files under itself mid-read
         self._doomed: list[str] = []
-        os.makedirs(base, exist_ok=True)
+        os.makedirs(self._root, exist_ok=True)
 
     @staticmethod
     def _dir_size(path: str) -> int:
@@ -146,19 +172,40 @@ class ParquetStore:
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return total
 
+    @staticmethod
+    def _footer_rows(path: str) -> int:
+        """Row count from the written parquet footers — no Spark job (the
+        sink.py pattern; the old spark.read...count() scheduled a full
+        read job per micro-batch on the flush cadence, r5 review) and
+        never a second action on the micro-batch source."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+
     def append(self, batch_df: DataFrame) -> int:
         with self._lock:
-            path = os.path.join(self._base, f"batch_id={self._next_id}")
+            if self._closed:
+                raise StoreClosedError("ParquetStore closed (TTL expiry)")
+            path = os.path.join(self._root, f"batch_id={self._next_id}")
             self._next_id += 1
         batch_df.write.mode("overwrite").parquet(path)
         size = self._dir_size(path)
-        # row count from the WRITTEN parquet footers — never re-reads the
-        # micro-batch source (a second action on batch_df would re-scan it)
-        rows = self._spark.read.parquet(path).count()
+        rows = self._footer_rows(path)
         if rows == 0:
             shutil.rmtree(path, ignore_errors=True)
             return 0
         with self._lock:
+            if self._closed:
+                # closed between the write and the bookkeeping: this
+                # incarnation's root is already graveyard-bound, so the
+                # orphan batch dir goes with it; the caller revives the
+                # stream and re-appends into the new incarnation
+                raise StoreClosedError("ParquetStore closed (TTL expiry)")
             # delete LAST generation's evictions now — anything snapshotted
             # since then no longer references them (snapshot lists paths
             # under this lock, and these dirs left the list one append ago)
@@ -190,10 +237,22 @@ class ParquetStore:
     def batch_count(self) -> int:
         return len(self._batches)
 
-    def close(self) -> None:
-        shutil.rmtree(self._base, ignore_errors=True)
-        self._batches.clear()
-        self._bytes = 0
+    def close(self, deferred: bool = False) -> list[str]:
+        """Release the buffer. ``deferred=True`` (the janitor's mode)
+        hands the incarnation dir back for deletion on the NEXT janitor
+        tick instead of deleting now — a lazy snapshot obtained just
+        before expiry resolves its file listing at action time, and an
+        immediate rmtree under it raised PATH_NOT_FOUND (r5 review; same
+        one-generation grace the byte-cap eviction already had)."""
+        with self._lock:
+            self._closed = True
+            self._batches.clear()
+            self._doomed.clear()
+            self._bytes = 0
+        if deferred:
+            return [self._root]
+        shutil.rmtree(self._root, ignore_errors=True)
+        return []
 
 
 @dataclass
@@ -223,6 +282,9 @@ class StreamEngine:
         self._streams: dict[str, StreamHandle] = {}
         self._pending_queries: dict[str, object] = {}  # deferred-bootstrap topics
         self._converters: dict[str, object] = {}  # topic → converter (A13)
+        # store dirs whose deletion is deferred one janitor tick (close
+        # grace for in-flight lazy snapshots — see ParquetStore.close)
+        self._graveyard: list[str] = []
         self._lock = threading.Lock()
         self._time = time_fn
         self._store_base = store_base
@@ -271,11 +333,25 @@ class StreamEngine:
                 self.config.schema_sample_size,
                 infer_nested=self.config.infer_nested,
             )
+        return self._attach(topic, schema)
+
+    def _attach(self, topic: str, schema: T.StructType) -> StreamHandle:
+        """Create (or return) the live handle for an already-known schema —
+        shared by register_stream and the closed-store revive path (an
+        append that raced the janitor re-creates the stream with the same
+        schema: create-on-next-message parity without re-inference). A
+        registered handle whose store is already closed is REPLACED, never
+        returned — handing it back would make the revive retry loop in
+        the append paths fail forever."""
         with self._lock:
-            if topic in self._streams:
-                return self._streams[topic]
+            existing = self._streams.get(topic)
+            if existing is not None and not getattr(existing.store, "_closed", False):
+                return existing
             handle = StreamHandle(topic, schema, self._make_store(topic, schema), self._time())
-            handle.query = self._pending_queries.pop(topic, None)
+            if existing is not None and existing.query is not None:
+                handle.query = existing.query
+            else:
+                handle.query = self._pending_queries.pop(topic, None)
             self._streams[topic] = handle
             return handle
 
@@ -315,7 +391,11 @@ class StreamEngine:
 
         Returns the StreamHandle, or None in deferred mode until the first
         non-empty batch creates it (look it up via list_streams/fetch)."""
-        if sample_payloads is not None:
+        # falsy (None OR empty) sample → deferred bootstrap: cmd_serve
+        # passes [] when the first source batch has no non-null payloads,
+        # and an eager register would crash in infer_schema instead of
+        # waiting for the first real batch (r5 review)
+        if sample_payloads:
             self.register_stream(topic, sample_payloads)
 
         def _append(batch_df: DataFrame, _batch_id: int) -> None:
@@ -343,7 +423,15 @@ class StreamEngine:
             # row count from its own materialization (a separate count()
             # would re-scan the micro-batch source and double every source
             # metric)
-            self._apply_append(topic, handle, self._parse(topic, batch_df, handle.schema))
+            try:
+                self._apply_append(topic, handle, self._parse(topic, batch_df, handle.schema))
+            except StoreClosedError:
+                # the janitor closed the store between our lookup and the
+                # append: re-create with the same schema and retry — the
+                # rows land in the fresh stream instead of silently dying
+                # in a discarded buffer (the checkpoint commits either way)
+                handle = self._attach(topic, handle.schema)
+                self._apply_append(topic, handle, self._parse(topic, batch_df, handle.schema))
 
         query = (
             envelope.writeStream.foreachBatch(_append)
@@ -369,9 +457,15 @@ class StreamEngine:
         """Batch-mode append (tests / backfill): same parse + retention +
         bookkeeping path as streaming, without a StreamingQuery."""
         handle = self._streams[topic]
-        return self._apply_append(
-            topic, handle, self._parse(topic, envelope_batch, handle.schema)
-        )
+        try:
+            return self._apply_append(
+                topic, handle, self._parse(topic, envelope_batch, handle.schema)
+            )
+        except StoreClosedError:  # raced the janitor: revive and retry
+            handle = self._attach(topic, handle.schema)
+            return self._apply_append(
+                topic, handle, self._parse(topic, envelope_batch, handle.schema)
+            )
 
     def _checkpoint_dir(self, topic: str) -> str:
         base = self.config.checkpoint_path or os.path.join(
@@ -391,6 +485,12 @@ class StreamEngine:
         # tick every ttl/2 (stream/manager.go:118)
         while not self._stop.wait(self.config.ttl_seconds / 2):
             self.cleanup_expired()
+            try:
+                # full gauge refresh + stale-series sweep moved off the
+                # serving path (fetch refreshes only its own topic)
+                update_engine_gauges(self)
+            except Exception:  # noqa: BLE001 — metrics must not kill the janitor
+                pass
 
     def cleanup_expired(self) -> list[str]:
         """Delete streams idle longer than ttl (stream/manager.go:150-184).
@@ -406,15 +506,25 @@ class StreamEngine:
         now = self._time()
         expired: list[StreamHandle] = []
         with self._lock:
+            # previous tick's closed incarnations are now past their grace
+            # period — any snapshot taken before that close has had a full
+            # tick to run its action
+            doomed_now, self._graveyard = self._graveyard, []
             for topic, handle in list(self._streams.items()):
                 if now - handle.last_updated > self.config.ttl_seconds:
                     expired.append(handle)
                     del self._streams[topic]
                     if handle.query is not None:
                         self._pending_queries[topic] = handle.query
+        for path in doomed_now:
+            shutil.rmtree(path, ignore_errors=True)
+        graves: list[str] = []
         for handle in expired:  # release resources outside the lock
             REGISTRY.inc("roar_expired_streams_total", topic=handle.topic)
-            handle.store.close()
+            graves.extend(handle.store.close(deferred=True))
+        if graves:
+            with self._lock:
+                self._graveyard.extend(graves)
         return [h.topic for h in expired]
 
     # --- serving facade (A19, A22-A28) ------------------------------------
@@ -443,7 +553,9 @@ class StreamEngine:
         handle = self._handle(topic)
         handle.last_updated = self._time()
         REGISTRY.inc("roar_flight_stream_requests_total", topic=topic)
-        update_engine_gauges(self)
+        # O(1) per request: only this topic's gauges; the janitor tick
+        # owns the full refresh + stale-series sweep
+        update_engine_gauges(self, topics=[topic])
         df = handle.store.snapshot(self._spark)
         return df.limit(limit) if limit is not None and limit >= 0 else df
 
@@ -477,4 +589,8 @@ class StreamEngine:
                     h.query.stop()
                 except Exception:  # noqa: BLE001
                     pass
-            h.store.close()
+            h.store.close()  # terminal: immediate delete, no grace
+        with self._lock:
+            doomed, self._graveyard = self._graveyard, []
+        for path in doomed:  # drain any close-grace leftovers
+            shutil.rmtree(path, ignore_errors=True)

@@ -52,14 +52,24 @@ def spark_type_to_sql(dtype: T.DataType) -> str:
     return "VARCHAR"  # fallback (duckdb/sink.go:246-248)
 
 
+def _quote_ident(name: str) -> str:
+    """SQL-quote an identifier, escaping embedded double quotes. Column
+    names come from PRODUCER-CONTROLLED JSON keys (schema inference
+    freezes raw keys as field names), so an unescaped quote would break
+    out of the identifier — killing the sink query permanently at best,
+    executing crafted DDL in the warehouse at worst (r5 review)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def create_table_ddl(table: str, schema: T.StructType) -> str:
     """CREATE TABLE IF NOT EXISTS t (col TYPE [NOT NULL], …) —
     schemaToCreateTable parity (duckdb/sink.go:184-209)."""
     cols = ", ".join(
-        f'"{f.name}" {spark_type_to_sql(f.dataType)}' + ("" if f.nullable else " NOT NULL")
+        f"{_quote_ident(f.name)} {spark_type_to_sql(f.dataType)}"
+        + ("" if f.nullable else " NOT NULL")
         for f in schema.fields
     )
-    return f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})'
+    return f"CREATE TABLE IF NOT EXISTS {_quote_ident(table)} ({cols})"
 
 
 def _fsync_dir(path: str) -> None:
@@ -220,7 +230,7 @@ def insert_batch_exactly_once(con, table: str, topic: str, batch_id: int, pdf) -
     con.execute("BEGIN")
     try:
         con.register("_roar_batch", pdf)
-        con.execute(f'INSERT INTO "{table}" SELECT * FROM _roar_batch')
+        con.execute(f"INSERT INTO {_quote_ident(table)} SELECT * FROM _roar_batch")
         con.execute(
             "INSERT INTO _roar_sink_batches VALUES (?, ?)", [topic, batch_id]
         )

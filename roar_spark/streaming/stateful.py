@@ -140,7 +140,13 @@ def running_totals(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return (
-        parsed.select(F.col(key_col).cast("long").alias("user_id"), F.col(value_col).alias("value"))
+        # cast value to double HERE (like recent_buffer): a string-typed
+        # payload column would reach the state fn as object dtype, where
+        # .sum() concatenates and float() raises — killing the query
+        parsed.select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.col(value_col).cast("double").alias("value"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_running_fn(idle_timeout_ms),
@@ -223,6 +229,10 @@ def recent_buffer(
             F.col(seq_col).cast("long").alias("seq"),
             F.col(value_col).cast("double").alias("value"),
         )
+        # a null/uncastable seq cannot be ordered in the buffer and would
+        # crash astype("int64") inside the state fn — drop it loudly in
+        # the plan, not fatally in the worker
+        .filter(F.col("seq").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _fn,
@@ -305,6 +315,7 @@ def recent_buffer_tws(
             F.col(seq_col).cast("long").alias("seq"),
             F.col(value_col).cast("double").alias("value"),
         )
+        .filter(F.col("seq").isNotNull())  # see recent_buffer
         .groupBy("user_id")
         .transformWithStateInPandas(
             RecentBufferProcessor(),

@@ -591,3 +591,143 @@ def test_sink_run_id_atomic_marker(tmp_path):
     assert rid2
     assert _sink_run_id(ckpt2) == rid2
     assert open(os.path.join(ckpt2, "_roar_run_id")).read().strip() == rid2
+
+
+def test_append_racing_ttl_close_revives_stream(spark, tmp_path):
+    """r5 review: the janitor's close() raced an in-flight append — the
+    rows landed in a discarded store (lost forever, offsets committed) and
+    a pending rmtree could delete the re-created stream's files. Contract
+    now: append into a closed store raises internally and the engine
+    revives the stream with the same schema (create-on-next-message
+    parity), so the rows land in the fresh incarnation."""
+    clock = [0.0]
+    engine = StreamEngine(
+        spark,
+        EngineConfig(ttl_seconds=10, buffer_limit_bytes=10_000_000),
+        store_base=str(tmp_path / "store"),
+        time_fn=lambda: clock[0],
+    )
+    engine.register_stream("race1", [json.dumps({"n": 1, "s": "x"})])
+    path = str(tmp_path / "race1_a")
+    write_envelope_file(path, _msgs(10))
+    assert engine.append_batch("race1", read_envelope_batch(spark, path)) == 10
+    # grab the live handle exactly like foreachBatch does, THEN expire
+    handle = engine._handle("race1")
+    clock[0] = 20.0
+    assert engine.cleanup_expired() == ["race1"]
+    # the raced append: the foreachBatch closure already holds the handle,
+    # the store is closed underneath — a direct append must raise (not
+    # silently commit rows into the discarded buffer) …
+    path_b = str(tmp_path / "race1_b")
+    write_envelope_file(path_b, _msgs(7, start_offset=10))
+    from roar_spark.streaming.manager import StoreClosedError
+
+    with pytest.raises(StoreClosedError):
+        handle.store.append(
+            read_envelope_batch(spark, path_b).selectExpr("CAST(value AS STRING) v")
+        )
+    # … and the engine-level batch path takes the revive branch: re-insert
+    # the stale handle exactly as the closure's locked lookup saw it
+    with engine._lock:
+        engine._streams["race1"] = handle
+    assert engine.append_batch("race1", read_envelope_batch(spark, path_b)) == 7
+    assert engine.fetch("race1", limit=-1).count() == 7  # fresh incarnation
+
+
+def test_ttl_close_defers_file_deletion_one_tick(spark, tmp_path):
+    """close(deferred=True): a lazy snapshot taken just before expiry must
+    still resolve its files — deletion happens on the NEXT janitor tick."""
+    clock = [0.0]
+    engine = StreamEngine(
+        spark,
+        EngineConfig(ttl_seconds=10, buffer_limit_bytes=10_000_000),
+        store_base=str(tmp_path / "store"),
+        time_fn=lambda: clock[0],
+    )
+    engine.register_stream("g1", [json.dumps({"n": 1, "s": "x"})])
+    path = str(tmp_path / "g1_data")
+    write_envelope_file(path, _msgs(10))
+    engine.append_batch("g1", read_envelope_batch(spark, path))
+    snap = engine.fetch("g1", limit=-1)  # lazy: files resolve at action time
+    clock[0] = 20.0
+    assert engine.cleanup_expired() == ["g1"]
+    assert snap.count() == 10  # grace tick: files still on disk
+    assert engine.cleanup_expired() == []  # second tick deletes for real
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "store" / "g1" / "gen-*")) == []
+
+
+def test_reincarnated_store_survives_stale_close(spark, tmp_path):
+    """After expiry + re-bootstrap, the OLD incarnation's (deferred)
+    deletion must not touch the NEW incarnation's files — each store
+    generation owns a unique dir."""
+    clock = [0.0]
+    engine = StreamEngine(
+        spark,
+        EngineConfig(ttl_seconds=10, buffer_limit_bytes=10_000_000),
+        store_base=str(tmp_path / "store"),
+        time_fn=lambda: clock[0],
+    )
+    engine.register_stream("z1", [json.dumps({"n": 1, "s": "x"})])
+    p1 = str(tmp_path / "z1_a")
+    write_envelope_file(p1, _msgs(5))
+    engine.append_batch("z1", read_envelope_batch(spark, p1))
+    clock[0] = 20.0
+    engine.cleanup_expired()  # old gen → graveyard
+    engine.register_stream("z1", [json.dumps({"n": 1, "s": "x"})])  # revive
+    p2 = str(tmp_path / "z1_b")
+    write_envelope_file(p2, _msgs(6, start_offset=5))
+    engine.append_batch("z1", read_envelope_batch(spark, p2))
+    engine.cleanup_expired()  # graveyard drained: deletes OLD gen only
+    assert engine.fetch("z1", limit=-1).count() == 6  # new gen intact
+
+
+def test_ingest_with_empty_sample_defers_bootstrap(spark, tmp_path):
+    """cmd_serve passes sample=[] when the first source batch has no
+    payloads; that must defer the bootstrap, not crash in infer_schema."""
+    engine = StreamEngine(spark, EngineConfig(ttl_seconds=300))
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .selectExpr(
+                "CAST(NULL AS BINARY) AS key",
+                "CAST('{\"n\": 1}' AS BINARY) AS value",
+                "'t_empty' AS topic", "0 AS partition",
+                "CAST(value AS LONG) AS offset",
+                "timestamp", "'0' AS timestampType",
+            )
+    )
+    # must not raise despite the empty (falsy) sample list
+    handle = engine.ingest("t_empty", stream, [])
+    assert handle is None or handle.topic == "t_empty"  # deferred mode
+    engine.stop()
+
+
+def test_sink_identifiers_escape_embedded_quotes(tmp_path):
+    """r5 review: column names come from producer-controlled JSON keys; a
+    double quote in a key must stay INSIDE the quoted identifier (DuckDB
+    runs the DDL verbatim) instead of breaking out of it."""
+    import duckdb
+
+    from roar_spark.streaming.sink import create_table_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField('a" INTEGER); DROP TABLE x;--', T.LongType()),
+            T.StructField("ok", T.StringType()),
+        ]
+    )
+    ddl = create_table_ddl('t"opic', schema)
+    con = duckdb.connect(str(tmp_path / "esc.db"))
+    con.execute("CREATE TABLE x (i INTEGER)")
+    con.execute(ddl)  # parses as ONE table with the hostile column name
+    cols = {
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = 't\"opic'"
+        ).fetchall()
+    }
+    assert 'a" INTEGER); DROP TABLE x;--' in cols and "ok" in cols
+    con.execute("SELECT * FROM x")  # the injected DROP never ran
+    con.close()
