@@ -102,6 +102,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle FINE-GRAINED and let AQE coalesce down to
+        # the 64 MB advisory size: with the initial number pinned at the
+        # core count, a 4M-doc shingle shuffle (232M rows) packed >7M rows
+        # per task and spilled — measured 282 s for dedup_minhash_lsh at
+        # 4M vs 99 s with 8x initial partitions (SCALE.md). Small shuffles
+        # coalesce back to a handful of partitions, so sf0.1 bench times
+        # are unchanged. This is the scalable form of "static
+        # shuffle-partition counts are always wrong".
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * shuffle_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
