@@ -388,6 +388,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signatures); below it the chunk join's 3 shuffles + distinct never
 # amortize against a trivial broadcast cross.
 SIMHASH_ALLPAIRS_MAX_DOCS = 2_000
+# above this, the composite chunk-pair keys win: single-chunk candidates
+# grow n²/2¹² while the composite form pays 3× keys for a 2²⁰ bucket
+# space (crossover measured between 1M and 4M docs, SCALE.md)
+SIMHASH_MULTIINDEX_MIN_DOCS = 2_000_000
 
 
 def _simhash_pairs_allpairs(sig: DataFrame) -> DataFrame:
@@ -400,30 +404,54 @@ def _simhash_pairs_allpairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _simhash_pairs_pigeonhole(sig: DataFrame) -> DataFrame:
-    """Sub-quadratic pair stage (the 100 TB path): split each signature
-    into hamming_k+1 = 5 chunks of 12 bits; a pair within hamming ≤ 4 must
-    agree exactly on ≥ 1 chunk, so candidates come from an equi-join on
-    (chunk_id, chunk_value) and all-pairs never materializes.
+def _simhash_pairs_pigeonhole(sig: DataFrame, composite: bool = True) -> DataFrame:
+    """Sub-quadratic pair stage (the 100 TB path), multi-index form:
+    split each signature into hamming_k+2 = 6 chunks of 10 bits and join
+    on PAIRS of chunks — hamming ≤ 4 distributed over 6 chunks leaves
+    ≥ 2 chunks untouched, so every true pair matches exactly on at least
+    one of the C(6,2) = 15 composite (chunk_i, chunk_j) keys (lossless,
+    same pigeonhole argument one level up).
+
+    Why pairs of chunks: the single-chunk form (k+1 chunks, ≥ 1 match)
+    buckets on only chunk_bits of signature — 2^12 values — and the
+    in-bucket candidate volume grows n²/2^bits: at 4 M docs that is
+    ~10 G popcount comparisons (measured 50 s; SCALE.md). Composite keys
+    square the bucket space (2^20) for a 3× key-volume cost — candidate
+    volume drops ~90× and the join is CPU-bound on real work again.
+
+    ``composite=False`` keeps the single-chunk form (k+1 = 5 chunks of 12
+    bits, ≥ 1 exact match): its key volume is 3× smaller, which wins
+    while n²/2¹² candidate popcounts are still cheap — the caller
+    dispatches on corpus size (footer metadata, no job), the same
+    three-tier pattern as the all-pairs cutoff.
 
     The hamming popcount filter is applied INSIDE the join, before the
     dedup ``distinct``: signatures cluster (that is simhash's whole
-    point), so chunk buckets are skewed and the raw candidate space can
-    be 100×+ the surviving pair set — at sf0.1 the filter cuts the
-    distinct's input from ~800 K candidate rows to ~1.5 K survivors.
-    Deduplicating survivors instead of candidates keeps the expensive
-    exchange proportional to OUTPUT, not to bucket skew."""
-    n_chunks = SIMHASH_HAMMING + 1
+    point), so buckets are skewed and the raw candidate space can be
+    100×+ the surviving pair set. Deduplicating survivors instead of
+    candidates keeps the expensive exchange proportional to OUTPUT, not
+    to bucket skew."""
+    n_chunks = SIMHASH_HAMMING + 2 if composite else SIMHASH_HAMMING + 1
     chunk_bits = SIMHASH_BITS // n_chunks
+
+    def chunk(i: int) -> F.Column:
+        return F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+
+    keys = (
+        [(i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)]
+        if composite
+        else [(i, None) for i in range(n_chunks)]
+    )
     chunks = None
-    for c in range(n_chunks):
+    for key_id, (i, j) in enumerate(keys):
+        val = chunk(i) if j is None else chunk(i) * (1 << chunk_bits) + chunk(j)
         part = sig.select(
             "doc_id",
             "simhash",
-            F.lit(c).alias("chunk_id"),
-            F.shiftright(F.col("simhash"), c * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("chunk_val"),
+            F.lit(key_id).alias("chunk_id"),
+            val.alias("chunk_val"),
         )
         chunks = part if chunks is None else chunks.unionAll(part)
     a = chunks.alias("a")
@@ -467,7 +495,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     sig = simhash_signatures(spark, sf_dir)
     if use_pigeonhole:
         sig = sig.persist()
-        pairs = _simhash_pairs_pigeonhole(sig)
+        # third tier: composite (multi-index) keys only where the
+        # single-chunk candidate volume n²/2¹² dominates the 3× key cost —
+        # same-window crossover measured between 1 M (single 4.0 s vs
+        # composite 6.3 s) and 4 M docs (45.5 s vs 19.6 s), SCALE.md
+        pairs = _simhash_pairs_pigeonhole(
+            sig, composite=n_docs > SIMHASH_MULTIINDEX_MIN_DOCS
+        )
     else:
         pairs = _simhash_pairs_allpairs(sig)
     return (

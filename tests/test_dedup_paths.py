@@ -13,6 +13,41 @@ def test_simhash_pair_stages_agree(spark):
     assert len(allpairs) > 0  # the corpus has close pairs at this threshold
 
 
+def test_simhash_composite_chunk_pairs_agree(spark):
+    """The third dispatch tier (multi-index composite chunk-pair keys, the
+    > 2M-doc path) must produce the identical pair set: hamming ≤ k over
+    k+2 chunks leaves ≥ 2 chunks untouched, so the C(6,2) composite keys
+    are a lossless candidate generator (one pigeonhole level up)."""
+    import pyspark.sql.functions as F
+
+    from roar_spark.operators.dedup import (
+        SIMHASH_HAMMING,
+        _simhash_pairs_pigeonhole,
+        simhash_signatures,
+    )
+
+    sig = simhash_signatures(spark, SF).persist()
+
+    def pairs(composite):
+        p = _simhash_pairs_pigeonhole(sig, composite=composite)
+        return sorted(
+            map(
+                tuple,
+                p.withColumn(
+                    "h", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                )
+                .filter(F.col("h") <= SIMHASH_HAMMING)
+                .select("doc_id_a", "doc_id_b")
+                .collect(),
+            )
+        )
+
+    single, composite = pairs(False), pairs(True)
+    sig.unpersist()
+    assert single == composite
+    assert len(single) > 0
+
+
 def test_min_label_propagation_crosses_chains(spark):
     """A path graph 0-1-2-3 plus singleton 9: the min label must flow the
     whole chain length (multiple BSP rounds) — a single-round bug passes
