@@ -224,14 +224,10 @@ def table_row_count(name: str, directory: str | None = None) -> int:
     a full scheduled job per invocation, while footers are O(#files) and
     already cached by the OS. At cluster scale this is the same information
     the engine's scan statistics carry."""
-    import pyarrow.parquet as pq
-
     directory = directory or sf_dir()
-    path = f"{directory}/{name}.parquet"
-    if os.path.isdir(path):
-        # _scan_layout recurses into hive-partition subdirectories
-        return _scan_layout(path)[1]
-    return pq.ParquetFile(path).metadata.num_rows
+    # _scan_layout handles both single files and (hive-partitioned) dirs —
+    # one copy of the footer-walk logic, not three (r5 review)
+    return _scan_layout(f"{directory}/{name}.parquet")[1]
 
 
 def embedding_dim(directory: str | None = None, name: str = "embeddings") -> int:

@@ -24,6 +24,14 @@ two-step keeps Spark's own (different) JSON coercion rules out of the
 semantics. Precision note: like the reference (Go json → float64), integers
 beyond 2^53 lose precision; parity preserved by construction.
 
+Documented divergence (timestamp targets): the carrier for a timestamp
+field is StringType, and ``from_json`` renders the JSON number ``12345``
+and the JSON *string* ``"12345"`` identically — so a numeric-looking
+string in a timestamp field coerces through the epoch arm (the reference
+would RFC3339-parse the string, fail, and null it). The carrier cannot
+distinguish the two tokens after parsing; feeds that mix quoted and bare
+numbers in one timestamp field are outside this layer's parity contract.
+
 Documented divergence (string targets): a JSON *number* coerced into a
 string column renders via Java's ``Double.toString`` / ``Long.toString``
 (integer tokens → "5"; float tokens → "0.0", "1.5", "2.2E-311"), while
@@ -65,8 +73,14 @@ def carrier_type(target: T.DataType) -> T.DataType:
         return T.DoubleType()
     if isinstance(target, (T.StructType, T.ArrayType, T.MapType)):
         # infer_nested extension: nested targets parse directly at their
-        # typed shape — from_json's own nested handling applies (strings in
-        # nested positions stay strings; no RFC3339 promotion inside)
+        # typed shape, so NESTED timestamp fields use from_json's own
+        # parser: RFC3339-style strings parse fine, but a bare NUMBER in a
+        # nested timestamp position is read as epoch-SECONDS (Jackson
+        # semantics), not the top-level contract's epoch-NANOSECONDS.
+        # Documented divergence of the nested extension — mixed
+        # string/number feeds for one nested timestamp field are outside
+        # its contract (r5 review; routing nested fields through the
+        # carrier layer would require recursive per-field re-parsing).
         return target
     if isinstance(target, T.BooleanType):
         return T.BooleanType()
@@ -104,21 +118,32 @@ def coerce_expr(col: Column, target: T.DataType) -> Column:
         return col.try_cast(T.BooleanType())
     if isinstance(target, T.TimestampType):
         # RFC3339 string → timestamp; bare number → epoch NANOSECONDS
-        # (appendTimestamp kafka/consumer.go:816-821). µs truncation is the
-        # documented ns→µs divergence.
+        # (appendTimestamp kafka/consumer.go:816-821). ns→µs truncation is
+        # the documented divergence from the reference's ns timestamps.
         # ANSI-safe (Spark 4 default): a regex-passing-but-invalid value
-        # ('2024-13-01…', lowercase 'z' which the Go-parity regex accepts
-        # but Spark's parser rejects) must coerce to NULL like the
-        # reference's failed parse — try_to_timestamp, not to_timestamp,
-        # or one bad message kills the streaming query. Same for the epoch
-        # arm: 1e300/1000 overflows the long cast → try_cast nulls it.
+        # ('2024-13-01…') must coerce to NULL like the reference's failed
+        # parse — try_to_timestamp, not to_timestamp, or one bad message
+        # kills the streaming query. Same for the epoch arm: 1e300/1000
+        # overflows the long cast → try_cast nulls it.
+        # Lowercase 'z' zone: RFC3339 is case-insensitive there and Go's
+        # parser accepts it (so does inference.is_rfc3339) — Spark's
+        # parser does not, so normalize the suffix before parsing instead
+        # of silently nulling a value the reference parses (r5 review).
         as_num = col.try_cast(T.DoubleType())
+        # floor (not truncate-toward-zero) to match catalog.load_table's
+        # `div 1000` ns normalization and DuckDB's ns→µs cast for
+        # pre-1970 instants: if the truncated quotient overshoots the true
+        # one (negative, non-multiple-of-1000), step down one µs.
+        q = (as_num / F.lit(1000.0)).try_cast(T.LongType())
+        micros = F.when(
+            q.isNotNull() & (q.cast(T.DoubleType()) * 1000.0 > as_num), q - 1
+        ).otherwise(q)
         return (
-            F.when(col.rlike(RFC3339_SQL_RE), F.try_to_timestamp(col))
-            .when(
-                as_num.isNotNull(),
-                F.timestamp_micros((as_num / 1000.0).try_cast(T.LongType())),
+            F.when(
+                col.rlike(RFC3339_SQL_RE),
+                F.try_to_timestamp(F.regexp_replace(col, "z$", "Z")),
             )
+            .when(as_num.isNotNull(), F.timestamp_micros(micros))
             .otherwise(F.lit(None).cast(T.TimestampType()))
         )
     if isinstance(target, T.BinaryType):
@@ -131,7 +156,11 @@ def coerce_to_schema(struct_col: str, target: T.StructType) -> list[Column]:
     columns (the Spark analog of the per-builder appendValue loop,
     kafka/consumer.go:583-648)."""
     return [
-        coerce_expr(F.col(f"{struct_col}.{f.name}"), f.dataType).alias(f.name)
+        # getField, not F.col(f"{struct}.{name}"): a dotted path string
+        # would resolve a legal JSON key like "user.name" as nested struct
+        # navigation and crash analysis; getField takes the name as a
+        # literal (r5 review)
+        coerce_expr(F.col(struct_col).getField(f.name), f.dataType).alias(f.name)
         for f in target.fields
         if f.name not in _METADATA_NAMES
     ]

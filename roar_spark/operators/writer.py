@@ -8,10 +8,16 @@ Design for 100 TB:
   the same shard under reprocessing, incremental append, or a different
   cluster size — the property that makes shard-level dedup/resume
   possible (same rationale as sampling.dataset_split).
-- one repartition() keyed by the shard id is the only shuffle; each
-  output task writes exactly its shard's file(s). Hash uniformity bounds
-  skew; `max_records_per_file` caps file sizes so a hot shard splits
-  into multiple files instead of one giant row group.
+- one repartition() keyed by the shard id is the only shuffle. Spark
+  hashes the shard value into n_shards partitions, so a task usually
+  holds one shard but hash collisions can co-locate two or three (and
+  leave some tasks empty) — partitionBy still splits the FILES exactly
+  per shard; only write parallelism is approximate. Hash uniformity
+  bounds skew; `max_records_per_file` caps file sizes so a hot shard
+  splits into multiple files instead of one giant row group.
+- the manifest write is a driver-side local file (posix path assumption,
+  like the sink's rename commit); on object storage write the returned
+  dict through your store's API (or a Delta/Iceberg table property).
 - intra-shard order is the deterministic shuffle key (dataset_shuffle's
   ordering) applied via sortWithinPartitions — a per-task sort, NO
   global sort/range exchange.
@@ -31,8 +37,19 @@ N_DEFAULT_SHARDS = 16
 
 
 def spark_read_back(df: DataFrame, out_dir: str) -> DataFrame:
-    """Read the just-written dataset with the session that wrote it."""
-    return df.sparkSession.read.parquet(out_dir)
+    """Read the just-written dataset with the session that wrote it.
+
+    The schema is supplied explicitly (input columns + the shard
+    partition column): an EMPTY result writes no parquet files, and a
+    schema-inferring read would then fail with UNABLE_TO_INFER_SCHEMA
+    after the (successful) write instead of returning an all-zero
+    manifest (r5 review)."""
+    from pyspark.sql import types as T
+
+    written = T.StructType(
+        list(df.schema.fields) + [T.StructField("shard", T.IntegerType(), True)]
+    )
+    return df.sparkSession.read.schema(written).parquet(out_dir)
 
 
 def write_sharded_dataset(
@@ -53,6 +70,14 @@ def write_sharded_dataset(
         raise ValueError(
             f"shard key column {key_col!r} not in result columns {df.columns}; "
             "pass key_col= (CLI: --key) naming one of them"
+        )
+    clobbered = {"shard", "_skey"} & set(df.columns)
+    if clobbered:
+        # withColumn would silently REPLACE these with computed values and
+        # the user's data would vanish from the written dataset (r5 review)
+        raise ValueError(
+            f"result columns {sorted(clobbered)} collide with the writer's "
+            "internal shard/_skey columns; rename them before materializing"
         )
     # NULL keys hash as the empty string → one deterministic shard (never a
     # NULL shard value, which would land rows in __HIVE_DEFAULT_PARTITION__

@@ -731,3 +731,51 @@ def test_sink_identifiers_escape_embedded_quotes(tmp_path):
     assert 'a" INTEGER); DROP TABLE x;--' in cols and "ok" in cols
     con.execute("SELECT * FROM x")  # the injected DROP never ran
     con.close()
+
+
+def test_dotted_json_keys_parse_as_literal_names(spark, tmp_path):
+    """r5 review: a legal JSON key containing a dot ("user.name") froze
+    into the schema as a literal field name, but the coercion layer built
+    F.col("_payload.user.name") — resolved as nested navigation →
+    AnalysisException. getField keeps the name literal."""
+    payload = {"user.name": "ada", "n": 7}
+    path = str(tmp_path / "dotted")
+    write_envelope_file(path, _msgs(3, value_fn=lambda i: json.dumps(payload)))
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("dotted", [json.dumps(payload)])
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    rows = out.collect()
+    assert rows[0]["user.name"] == "ada" and rows[0].n == 7
+
+
+def test_lowercase_z_rfc3339_parses_not_nulls(spark, tmp_path):
+    """RFC3339's zone designator is case-insensitive and Go's parser
+    accepts 'z'; inference types such samples TimestampType, so coercion
+    must PARSE them (normalizing the suffix), not silently null a column
+    the reference populates."""
+    val = {"ts": "2026-08-13T10:00:00z", "n": 1}
+    path = str(tmp_path / "lowz")
+    write_envelope_file(path, _msgs(2, value_fn=lambda i: json.dumps(val)))
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("lowz", [json.dumps(val)])
+    by = {f.name: f.dataType for f in handle.schema.fields}
+    assert by["ts"] == T.TimestampType()  # inference accepted 'z'
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    row = out.collect()[0]
+    assert row.ts is not None and row.ts.hour == 10
+
+
+def test_negative_epoch_ns_floors_like_catalog(spark, tmp_path):
+    """ns→µs for pre-1970 instants must FLOOR (catalog's `div 1000` /
+    DuckDB semantics), not truncate toward zero: -1500 ns → -2 µs."""
+    path = str(tmp_path / "negts")
+    write_envelope_file(
+        path, _msgs(1, value_fn=lambda i: json.dumps({"ts": -1500}))
+    )
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream(
+        "negts", [json.dumps({"ts": "2026-08-13T10:00:00Z"})]
+    )
+    out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
+    row = out.collect()[0]
+    assert row.ts.microsecond == 999998  # -2 µs, not -1 (truncation)

@@ -113,3 +113,24 @@ def test_cli_materialize_from_store(spark, tmp_path, capsys):
     manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert manifest["total_rows"] == 3
     assert spark.read.parquet(out).count() == 3
+
+
+def test_empty_result_writes_zero_manifest(spark, tmp_path):
+    """r5 review: an empty result wrote no parquet files and the
+    schema-inferring read-back crashed AFTER the successful write; with
+    the explicit schema the manifest is all zeros instead."""
+    df = spark.createDataFrame([], "doc_id long, v string")
+    out = str(tmp_path / "empty_ds")
+    manifest = write_sharded_dataset(df, out, key_col="doc_id", n_shards=4)
+    assert manifest["total_rows"] == 0
+    assert manifest["rows_per_shard"] == {str(s): 0 for s in range(4)}
+
+
+def test_reserved_column_collision_raises(spark, tmp_path):
+    """Input columns named shard/_skey would be silently replaced by the
+    writer's computed values — refuse instead of losing user data."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        write_sharded_dataset(df, str(tmp_path / "x"), key_col="doc_id")
