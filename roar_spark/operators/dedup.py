@@ -67,6 +67,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, spread: bool = False) -> Dat
     12.5 s for the 4-task shingle build at n=80k vs ~3 s spread). Callers
     that PERSIST the result also inherit the spread partitioning for every
     downstream stage, which is where most of the win lives."""
+    from roar_spark.catalog import table_row_count
+    from roar_spark.session import tune_shuffle_width
+
+    # The (doc_id, shingle) table fans out ~60 rows/doc (word 3-grams of
+    # ~60-token docs); its groupBy shuffles are the heaviest in the dedup
+    # family. Size the shuffle width from footer metadata so a 4M-doc
+    # corpus starts fine-grained (232M rows -> ~240 reduce tasks, no
+    # spill) while sf0.1 keeps the core-count width (see
+    # session.tune_shuffle_width for the measured A/B both ways).
+    tune_shuffle_width(spark, table_row_count("documents", sf_dir) * 64)
     docs = load_table(spark, "documents", sf_dir, spread=spread)
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -485,8 +495,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     the equivalence). Corpus size comes from parquet footer metadata — a
     driver-side read, not a scheduled ``count()`` job."""
     from roar_spark.catalog import table_row_count
+    from roar_spark.session import tune_shuffle_width
 
     n_docs = table_row_count("documents", sf_dir)
+    # Heaviest shuffles here: the token-explode under simhash_signatures
+    # (~60 rows/doc) and the 15-key composite chunk table (15 rows/doc) —
+    # size the width from the larger fan-out (see session.tune_shuffle_width).
+    tune_shuffle_width(spark, n_docs * 64)
     use_pigeonhole = (
         force_pigeonhole
         if force_pigeonhole is not None

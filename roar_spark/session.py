@@ -102,18 +102,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Start every shuffle FINE-GRAINED and let AQE coalesce down to
-        # the 64 MB advisory size: with the initial number pinned at the
-        # core count, a 4M-doc shingle shuffle (232M rows) packed >7M rows
-        # per task and spilled — measured 282 s for dedup_minhash_lsh at
-        # 4M vs 99 s with 8x initial partitions (SCALE.md). Small shuffles
-        # coalesce back to a handful of partitions, so sf0.1 bench times
-        # are unchanged. This is the scalable form of "static
-        # shuffle-partition counts are always wrong".
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * shuffle_partitions),
-        )
+        # NOTE on shuffle width: a blanket 8x initialPartitionNum here
+        # fixed the 4M-doc shingle spill (282 s -> 99 s, SCALE.md) but
+        # regressed the whole sf0.1 bench (dedup_minhash_lsh 1.8 s ->
+        # 3.0 s warm, measured A/B in-round) — AQE coalescing does NOT
+        # refund the map-side cost of writing 8x shuffle buckets, and
+        # persisted intermediates pin the inflated width for every
+        # downstream stage (cached plans keep their partitioning). The
+        # knob is therefore DATA-DRIVEN instead: operators whose heavy
+        # shuffle volume is known from footer metadata call
+        # tune_shuffle_width() below, so small inputs keep the core-count
+        # width and only genuinely large shuffles start fine-grained.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -135,3 +134,39 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# One reduce task comfortably handles ~1M shuffle rows of (doc_id, shingle)-
+# sized records in executor memory; beyond that the sort spills (measured:
+# 232M rows over 32 tasks = 7.25M rows/task spilled and ran 282 s, the same
+# volume over 256 tasks ran 99 s — SCALE.md, 4M-doc dedup_minhash_lsh).
+ROWS_PER_SHUFFLE_TASK = 1_000_000
+
+
+def tune_shuffle_width(spark: SparkSession, expected_rows: int) -> int:
+    """Scale AQE's INITIAL shuffle partition count to the expected row
+    volume of the calling operator's heaviest shuffle.
+
+    Static shuffle-partition counts are always wrong at some scale: the
+    core count spills on 100M+-row shuffles, while a blanket 8x multiplier
+    taxes every small query with 8x shuffle buckets that AQE coalescing
+    does not refund (both measured — see get_spark's conf comment). The
+    scalable form is to derive the width from data volume the way a cost-
+    based planner would: operators that know their shuffle fan-out from
+    parquet footer metadata (a driver-side read, no job) set
+    ``initialPartitionNum = clamp(expected_rows / 1M, base, 64*base)``
+    and let AQE coalesce intermediate stages that turn out smaller.
+
+    Sets session state at plan-BUILD time, which holds through the
+    immediately-following execution (AQE reads the conf per query run).
+    The value is overwritten — not ratcheted — on every call, so a small-
+    corpus query tuned after a 4M-doc one returns to the base width; only
+    un-tuned queries built AFTER a large tuned one in the same session
+    inherit the wide setting (they pay map-side bucket overhead, not
+    correctness). Returns the width it set."""
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = max(base, min(64 * base, -(-expected_rows // ROWS_PER_SHUFFLE_TASK)))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(target)
+    )
+    return target

@@ -400,3 +400,30 @@ def test_gopher_gram_aggs_are_partial_agg_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tune_shuffle_width_clamps_and_overwrites(spark):
+    """tune_shuffle_width derives AQE's initialPartitionNum from expected
+    shuffle rows: never below the session base, never above 64x base, and
+    each call OVERWRITES (no ratchet) so small queries tuned after a huge
+    one return to the base width."""
+    from roar_spark.session import ROWS_PER_SHUFFLE_TASK, tune_shuffle_width
+
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prior = spark.conf.get(key, None)
+    try:
+        # tiny volume -> clamped up to base
+        assert tune_shuffle_width(spark, 1) == base
+        assert int(spark.conf.get(key)) == base
+        # exact multiples -> ceil-divided task count
+        assert tune_shuffle_width(spark, 10 * ROWS_PER_SHUFFLE_TASK) == max(base, 10)
+        # absurd volume -> capped at 64x base
+        assert tune_shuffle_width(spark, 10**15) == 64 * base
+        # overwrite, not ratchet: small follow-up returns to base
+        assert tune_shuffle_width(spark, 1) == base
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
+        else:
+            spark.conf.unset(key)
