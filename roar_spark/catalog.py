@@ -68,7 +68,7 @@ def _scan_layout(path: str) -> tuple[int, int]:
 
 
 def load_table(
-    spark: SparkSession, name: str, directory: str | None = None, spread: bool = False
+    spark: SparkSession, name: str, directory: str | None = None, spread: bool | int = False
 ) -> DataFrame:
     """Read one corpus table. Plain parquet scan → full Catalyst pushdown
     (predicate pushdown, column pruning, partition pruning all apply).
@@ -91,7 +91,16 @@ def load_table(
     with no early shuffle (n-gram repetition scoring) request it. On a
     real corpus (thousands of row groups / files) the row-group condition
     is false and even the opt-in is a no-op — the scan itself provides
-    the parallelism."""
+    the parallelism.
+
+    An INT value is the same opt-in with a per-operator row floor: spread
+    only when the footer shows at least that many rows. Operators whose
+    per-row first-stage work is light (one fold/hash per row, e.g. the
+    embeddings consumers) lose to the exchange at small sizes (measured:
+    sim_brute_topk +0.34 s at the 2 k-row sf0.1 table) but gain hugely
+    once the single-task stage dominates (80.8 s → 5.5 s at 1 M rows);
+    the floor keeps both measurements. ``True`` keeps the 2 000-row
+    default floor for heavy-per-row callers (gopher wins at 5 k rows)."""
     directory = directory or sf_dir()
     bucketed = _bucketed_tables.get((directory, name))
     if bucketed is not None:
@@ -134,7 +143,8 @@ def load_table(
     if spread and name not in BROADCAST_TABLES:
         parallelism = spark.sparkContext.defaultParallelism
         groups, rows = _scan_layout(path)
-        if groups < max(2, parallelism // 2) and rows >= 2000:
+        min_rows = spread if isinstance(spread, int) and not isinstance(spread, bool) else 2000
+        if groups < max(2, parallelism // 2) and rows >= min_rows:
             df = df.repartition(parallelism)
     return df
 

@@ -49,6 +49,17 @@ def _persist_bounded(df: "DataFrame") -> "DataFrame":
         return out
 
 
+# Row floor for the embeddings consumers' spread opt-in (catalog.load_table):
+# their per-row first-stage work is one hash/fold — light enough that the
+# spread exchange LOSES below tens of thousands of rows (measured:
+# sim_brute_topk 0.73 s → 1.06 s at the 2 k-row sf0.1 table) and wins big
+# once the single-task stage dominates (80.8 s → 5.5 s at 1 M rows). 20 k
+# sits above every driver SF and below the smallest size where the
+# single-task cost is visible in SCALE.md's tables (sim_brute_topk 1.8 s
+# at 20 k, 6.5 s at 80 k).
+SPREAD_MIN_EMB_ROWS = 20_000
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("nrm", norm(F.col("embedding")))
 
@@ -73,7 +84,7 @@ def _unit_rows(m):
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10).
     Query side is broadcast; corpus side never shuffles for the join."""
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -405,7 +416,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_row_count("embeddings", sf_dir)
     n_cent = n_centroids_for(n)
 
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     hash_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
@@ -500,7 +511,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = embedding_dim(sf_dir)
     n_planes = n_planes_for(n)
 
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     corpus_keys = _bucket_entries(emb, n_planes, dim, probe=False)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     probe_keys = F.broadcast(
@@ -549,7 +560,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding divergence). Pure per-row projection over built-in array
     expressions: embarrassingly parallel, no shuffle but the final sort,
     no Python."""
-    emb = load_table(spark, "embeddings", sf_dir, spread=True)
+    emb = load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS)
     abs_max = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
@@ -816,7 +827,7 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: client-side similarity scoring delegated by the
     serving gateway (SURVEY.md Part B north-star); no reference-engine
     counterpart file."""
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -1001,7 +1012,7 @@ def embedding_knn_classify_bulk(
     dim = embedding_dim(sf_dir)
     n_planes = n_planes_for(n)
 
-    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=True))
+    emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     cand = _knn_screened_candidates(emb, n_planes, dim, k, probe)
     sides_q = emb.select(
         F.col("vec_id").alias("query_id"),

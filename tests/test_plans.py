@@ -427,3 +427,15 @@ def test_tune_shuffle_width_clamps_and_overwrites(spark):
             spark.conf.set(key, prior)
         else:
             spark.conf.unset(key)
+
+
+def test_spread_row_floor_skips_small_embeddings(spark):
+    """The embeddings consumers pass an int spread floor (20k rows): at
+    driver SFs the table is far smaller, so the plan must contain NO
+    round-robin repartition — the exchange measurably loses there (while
+    a bool spread on the 5k-doc documents table still fires for the
+    heavy-per-row text ops, which measurably win)."""
+    plan = plan_of(spark, "sim_brute_topk")
+    assert "RoundRobinPartitioning" not in plan
+    plan = plan_of(spark, "ann_lsh_topk")
+    assert "RoundRobinPartitioning" not in plan
