@@ -140,7 +140,9 @@ def load_table(
         for col, dtype in df.dtypes:
             if dtype == "timestamp_ntz":
                 df = df.withColumn(col, F.col(col).cast("timestamp"))
-    if spread and name not in BROADCAST_TABLES:
+    # `is not False` not truthiness: spread=0 is a legitimate int floor
+    # ("always spread") and must not silently disable spreading (ADVICE r5)
+    if spread is not False and name not in BROADCAST_TABLES:
         parallelism = spark.sparkContext.defaultParallelism
         groups, rows = _scan_layout(path)
         min_rows = spread if isinstance(spread, int) and not isinstance(spread, bool) else 2000

@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 
 HEX_DIGITS = "0123456789abcdef"
 
+# Explode fan-out estimate for per-token/per-shingle row tables built from
+# this corpus family's documents: ~60-token docs yield ~58 word-3-grams and
+# ~60 tokens per row, rounded up to 64. Shared by every operator that sizes
+# its shuffle width from `n_docs * SHINGLE_FANOUT` (dedup shingle tables,
+# explode-heavy text aggregations) so the estimate and its rationale live
+# in one place (ADVICE r5). The derived width is clamped in
+# session.shuffle_width_for, so moderate over/under-estimates only shift
+# task granularity, never correctness.
+SHINGLE_FANOUT = 64
+
 
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens (DuckDB: string_split_regex)."""

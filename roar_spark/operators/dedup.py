@@ -34,8 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from roar_spark.catalog import load_table
-from roar_spark.functions.text_fns import minhash_str, tokens, word_shingles
+from roar_spark.catalog import load_table, table_row_count
+from roar_spark.functions.text_fns import (
+    SHINGLE_FANOUT,
+    minhash_str,
+    tokens,
+    word_shingles,
+)
+from roar_spark.session import tuned_session
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = N_MINHASH // N_BANDS = 2
@@ -66,17 +72,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, spread: bool = False) -> Dat
     documents file would serialize it through a handful of tasks (measured
     12.5 s for the 4-task shingle build at n=80k vs ~3 s spread). Callers
     that PERSIST the result also inherit the spread partitioning for every
-    downstream stage, which is where most of the win lives."""
-    from roar_spark.catalog import table_row_count
-    from roar_spark.session import tune_shuffle_width
+    downstream stage, which is where most of the win lives.
 
-    # The (doc_id, shingle) table fans out ~60 rows/doc (word 3-grams of
-    # ~60-token docs); its groupBy shuffles are the heaviest in the dedup
-    # family. Size the shuffle width from footer metadata so a 4M-doc
-    # corpus starts fine-grained (232M rows -> ~240 reduce tasks, no
-    # spill) while sf0.1 keeps the core-count width (see
-    # session.tune_shuffle_width for the measured A/B both ways).
-    tune_shuffle_width(spark, table_row_count("documents", sf_dir) * 64)
+    Shuffle-width note: this helper does NOT tune the session (ADVICE r5 —
+    a helper mutating width on behalf of callers with different plans was
+    the leak). Callers whose groupBy/window shuffles carry the full
+    ~SHINGLE_FANOUT-rows/doc table build on
+    ``tuned_session(spark, n_docs * SHINGLE_FANOUT)`` BEFORE calling in,
+    so the width travels with their own plan."""
     docs = load_table(spark, "documents", sf_dir, spread=spread)
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -248,6 +251,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     see _prefix_candidates) and are verified with the candidate-driven
     exact Jaccard; output is provably identical to the full co-shingle
     join the DuckDB oracle computes."""
+    # heaviest shuffles: the freq/size count windows and per-doc shingle-
+    # set collects over the full ~SHINGLE_FANOUT-rows/doc table — width
+    # travels with this plan via the (possibly cloned) session
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     # Materialize the cache BEFORE the plan branches: sh feeds the
     # frequency/size/prefix pipeline AND both verification sides. A lazy
@@ -278,6 +285,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the SAME banding, so output matches exactly even for
     the probabilistic part.
     """
+    # heaviest shuffle: _verify_pairs' per-doc shingle-set collect over
+    # the full ~SHINGLE_FANOUT-rows/doc table (no map-side reduction for
+    # collect_list) — the 4M-doc spill SCALE.md records was exactly this
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     # Materialize the cache before the plan branches (same rationale as
     # dedup_ngram_jaccard): sh feeds the signature aggregation AND both
@@ -494,14 +505,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     SIMHASH_ALLPAIRS_MAX_DOCS (identical results either way — a test pins
     the equivalence). Corpus size comes from parquet footer metadata — a
     driver-side read, not a scheduled ``count()`` job."""
-    from roar_spark.catalog import table_row_count
-    from roar_spark.session import tune_shuffle_width
-
     n_docs = table_row_count("documents", sf_dir)
     # Heaviest shuffles here: the token-explode under simhash_signatures
-    # (~60 rows/doc) and the 15-key composite chunk table (15 rows/doc) —
-    # size the width from the larger fan-out (see session.tune_shuffle_width).
-    tune_shuffle_width(spark, n_docs * 64)
+    # (~SHINGLE_FANOUT rows/doc) and the 15-key composite chunk table
+    # (15 rows/doc) — size the width from the larger fan-out
+    spark = tuned_session(spark, n_docs * SHINGLE_FANOUT)
     use_pigeonhole = (
         force_pigeonhole
         if force_pigeonhole is not None
@@ -546,6 +554,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Dat
     star (Kiveris et al., "Connected Components in MapReduce"), which
     converges in O(log n) rounds on any topology — same per-round shape.
     """
+    # tune HERE so the jaccard call reuses this session (same corpus ->
+    # same width -> tuned_session returns it unchanged) and the pair graph
+    # composes with load_table's docs on ONE session
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return min_label_propagation(docs, pairs, max_iters).orderBy("doc_id")
@@ -714,6 +726,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation. Registry-visible so the adversarial-topology
     path earns its own driver row; the min-label equivalence on random
     graphs and 60-chains is pinned by tests/test_dedup_paths.py."""
+    # single-session composition with the jaccard pair graph (see
+    # dedup_clusters)
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     labels, _rounds = star_components(docs, pairs)
@@ -740,6 +755,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides derive from it; persist so the eval-broadcast job's pass
     # over the corpus is reused by the training-side stream instead of
     # re-tokenizing the full corpus (SCALE.md 1M sweep).
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
     eval_sh = F.broadcast(

@@ -15,8 +15,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from roar_spark.catalog import load_table
-from roar_spark.functions.text_fns import tokens
+from roar_spark.catalog import load_table, table_row_count
+from roar_spark.functions.text_fns import SHINGLE_FANOUT, tokens
+from roar_spark.session import tuned_session
 
 EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "it")
 ES_STOP = ("el", "la", "de", "los", "que", "y", "en", "un")
@@ -154,7 +155,14 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale property IS the trick: no vocabulary is built or broadcast
     (unbounded-vocab corpora can't afford one); the feature dimension
     bounds output regardless of corpus size. See _hashed_tf for the plan
-    shape."""
+    shape.
+
+    The (doc_id, bucket) groupBy shuffles ~1 row per token occurrence's
+    distinct bucket (partial agg collapses only same-doc same-bucket
+    repeats — most tokens land in distinct buckets), so at explode fan-out
+    the shuffle volume tracks n_docs * SHINGLE_FANOUT: width is tuned
+    per-query like the dedup shingle family (ADVICE r5)."""
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     return _hashed_tf(spark, sf_dir).orderBy("doc_id", "bucket")
 
 
@@ -181,6 +189,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     product tf × idf multiplies identical doubles in both engines and the
     final round(…, 6) matches exactly; ln of a ratio of small exact
     integers agrees to well under 1e-6 between libm implementations."""
+    # per-query shuffle width for the (doc_id, bucket) TF shuffle — same
+    # rationale as text_hashing_features; tuned BEFORE any table builds so
+    # every branch (tf, df_tab, n_docs) lives on the one tuned session
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     # release the previous invocation's cache first: the returned plan is
     # lazy, so this function cannot unpersist its own tf before the caller
     # consumes it — bounding the leak to ONE cached TF table per session
@@ -325,6 +337,10 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the salted two-phase df aggregation + broadcast dup-set semi-join
     instead; for real corpora the hot-shingle mass sits far below the
     per-task ceiling."""
+    # the shingle-keyed count window shuffles the FULL fan-out table with
+    # no map-side reduction — the same ~SHINGLE_FANOUT rows/doc volume
+    # whose 4M-doc spill motivated per-query width tuning (ADVICE r5)
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     docs = load_table(spark, "documents", sf_dir, spread=True)
     toks = tokens(F.col("text"))
     from roar_spark.functions.text_fns import word_shingles
@@ -384,6 +400,10 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-scan round-robin repartition — a no-op on multi-row-group data."""
     from roar_spark.functions.text_fns import word_shingles
 
+    # the (doc_id, gram) shuffles carry ~1 row per gram occurrence (in-doc
+    # repeats are rare, so partial agg collapses little) — tune width from
+    # the explode fan-out like the dedup shingle family (ADVICE r5)
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     docs = load_table(spark, "documents", sf_dir, spread=True)
     toks = tokens(F.col("text"))
     base = docs.select(

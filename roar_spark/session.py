@@ -110,8 +110,8 @@ def get_spark(
         # persisted intermediates pin the inflated width for every
         # downstream stage (cached plans keep their partitioning). The
         # knob is therefore DATA-DRIVEN instead: operators whose heavy
-        # shuffle volume is known from footer metadata call
-        # tune_shuffle_width() below, so small inputs keep the core-count
+        # shuffle volume is known from footer metadata build on
+        # tuned_session() below, so small inputs keep the core-count
         # width and only genuinely large shuffles start fine-grained.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -142,31 +142,67 @@ def get_spark(
 # volume over 256 tasks ran 99 s — SCALE.md, 4M-doc dedup_minhash_lsh).
 ROWS_PER_SHUFFLE_TASK = 1_000_000
 
+# Ceiling on how far a tuned width may exceed the base: beyond 64× the
+# per-bucket map-side write cost dominates (and the local harness is
+# memory-bound long before — SCALE.md's 16M-doc clamp probe).
+SHUFFLE_WIDTH_CLAMP = 64
 
-def tune_shuffle_width(spark: SparkSession, expected_rows: int) -> int:
-    """Scale AQE's INITIAL shuffle partition count to the expected row
-    volume of the calling operator's heaviest shuffle.
+_INITIAL_PARTITION_NUM = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+
+def shuffle_width_for(base: int, expected_rows: int) -> int:
+    """AQE initial shuffle width for an operator whose heaviest shuffle
+    carries ``expected_rows`` rows: clamp(rows / 1M, base, 64*base).
 
     Static shuffle-partition counts are always wrong at some scale: the
     core count spills on 100M+-row shuffles, while a blanket 8x multiplier
     taxes every small query with 8x shuffle buckets that AQE coalescing
     does not refund (both measured — see get_spark's conf comment). The
-    scalable form is to derive the width from data volume the way a cost-
-    based planner would: operators that know their shuffle fan-out from
-    parquet footer metadata (a driver-side read, no job) set
-    ``initialPartitionNum = clamp(expected_rows / 1M, base, 64*base)``
-    and let AQE coalesce intermediate stages that turn out smaller.
+    scalable form derives the width from data volume the way a cost-based
+    planner would; AQE coalesces intermediate stages that turn out
+    smaller."""
+    return max(base, min(SHUFFLE_WIDTH_CLAMP * base, -(-expected_rows // ROWS_PER_SHUFFLE_TASK)))
 
-    Sets session state at plan-BUILD time, which holds through the
-    immediately-following execution (AQE reads the conf per query run).
-    The value is overwritten — not ratcheted — on every call, so a small-
-    corpus query tuned after a 4M-doc one returns to the base width; only
-    un-tuned queries built AFTER a large tuned one in the same session
-    inherit the wide setting (they pay map-side bucket overhead, not
-    correctness). Returns the width it set."""
+
+def tuned_session(spark: SparkSession, expected_rows: int) -> SparkSession:
+    """Session to BUILD a heavy-shuffle operator on, with AQE's initial
+    shuffle width derived from the operator's expected shuffle volume
+    (parquet footer metadata — a driver-side read, no job).
+
+    When the derived width is the base (every driver SF), this returns
+    ``spark`` unchanged — zero overhead, identical plans. Only genuinely
+    large inputs get a CLONE (``newSession``: same SparkContext, cached
+    data, and catalog; its own SQLConf) carrying the tuned
+    ``initialPartitionNum``. Because a DataFrame executes under the conf
+    of the session it was built from, the width travels WITH the
+    operator's plan: it applies at the caller's ``collect()`` no matter
+    what is built or run in between, and the caller's session is never
+    mutated — neither leak direction of the r5 session-global tuning
+    exists (small-after-big inheriting a wide conf, or big-build/small-
+    tune/big-execute re-spilling at base width; VERDICT r5 task 2 +
+    ADVICE).
+
+    The clone re-applies the parent's explicitly-set SQL confs (``SET``
+    enumeration — driver-only, no job) so an embedding host's runtime
+    settings (timezone, ANSI toggles) carry over; static/immutable
+    entries are skipped."""
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    target = max(base, min(64 * base, -(-expected_rows // ROWS_PER_SHUFFLE_TASK)))
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(target)
-    )
-    return target
+    target = shuffle_width_for(base, expected_rows)
+    if target <= base:
+        return spark
+    # composition (dedup_clusters -> dedup_ngram_jaccard): a session this
+    # function already tuned to the same width is reused, so one operator
+    # calling another over the same corpus stays on ONE session — its
+    # DataFrames compose without crossing session boundaries
+    # (conf.get validates defaults against the conf spec in Spark 4, so
+    # probe with None rather than a sentinel number)
+    if spark.conf.get(_INITIAL_PARTITION_NUM, None) == str(target):
+        return spark
+    clone = spark.newSession()
+    for row in spark.sql("SET").collect():
+        try:
+            clone.conf.set(row.key, row.value)
+        except Exception:  # noqa: BLE001 — static conf: value already shared
+            pass
+    clone.conf.set(_INITIAL_PARTITION_NUM, str(target))
+    return clone

@@ -20,11 +20,24 @@ def test_gate_trips_on_deliberate_slowdown():
 
 def test_gate_tolerates_session_noise_on_subsecond_queries():
     budgets = dict(bench.BUDGETS_SF01)
-    # +2.5s of host noise on a sub-second query stays inside the +3s arm
+    # residual best-of-N host noise on a sub-second query stays inside
+    # the absolute arm (r6 tightened it 3.0 -> 1.5 s so the 1.5x arm can
+    # actually fire on the 1-2 s queries)
     noisy = dict(budgets)
     fastest = min(budgets, key=budgets.get)
-    noisy[fastest] = budgets[fastest] + 2.5
+    noisy[fastest] = budgets[fastest] + bench.REGRESSION_SLACK_SEC - 0.1
     assert bench.find_regressions(noisy, budgets) == []
+    # and the r6 pre-fix window — the noisiest full run recorded — passes
+    # the tightened gate on every query (spurious-failure calibration)
+    r6_noisy_window = {
+        "q1_pricing_summary": 1.855,
+        "window_running": 1.794,
+        "events_sessionize": 1.607,
+        "dedup_simhash": 2.888,
+        "sim_brute_topk": 1.187,
+        "sim_cosine_pairs": 1.863,
+    }
+    assert bench.find_regressions(r6_noisy_window, budgets) == []
 
 
 def test_budgets_cover_every_headline_query():

@@ -342,7 +342,8 @@ def test_bulk_knn_zero_norm_vectors_do_not_poison_buckets(spark, tmp_path):
     screen, their NaN cosine rows could make np.partition's k-th
     statistic NaN — every comparison False, ALL of the bucket's
     candidates silently dropped. Contract after the fix: a zero-norm
-    vector is NON-COMPARABLE — NULL cosine (try_divide), never anyone's
+    vector is NON-COMPARABLE — NULL cosine (NULL-norm guard in
+    functions/vector.py:norm), never anyone's
     neighbor, and an explicit ABSTAIN row as a query; the screen maps its
     NaN entries to -2.0 so the k-th stays real and other candidates in
     the shared bucket survive. Plant 2k zero vectors — they share bucket
