@@ -74,6 +74,10 @@ _DRIVER_GREEN = frozenset({
     # queries plus the new star-components clustering all earned green):
     "agg_kmv_distinct", "corpus_mix_report", "dq_profile",
     "events_gap_fill", "sample_topk_per_stratum", "dedup_clusters_star",
+    # round-5 green row (CORRECTNESS_r05.json):
+    "embedding_knn_classify_bulk",
+    # NOT listed: served_retention (new in r6 — rotates to the front until
+    # it earns a driver row)
 })
 
 

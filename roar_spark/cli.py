@@ -184,6 +184,42 @@ def _register_store_views(spark, store_dir: str) -> None:
             ).createOrReplaceTempView(topic)
 
 
+def _sql_with_table_hints(spark, query: str, prog: str):
+    """``spark.sql`` with unknown-table errors turned into actionable
+    hints: suggests near view names (union of substring and difflib
+    matches — the same two-rule suggester the query-name path uses, for
+    the same reason: short prefixes score too low for difflib alone)
+    from the views actually registered in this command's session. Returns
+    the DataFrame, or None after printing the hint (caller exits 2).
+    Non-table analysis errors propagate untouched."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.sql(query)
+    except AnalysisException as exc:
+        cond = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        ) or ""
+        if not cond.startswith("TABLE_OR_VIEW_NOT_FOUND"):
+            raise
+        missing = (
+            (exc.getMessageParameters() or {}).get("relationName", "").strip("`")
+        )
+        import difflib
+
+        views = sorted(t.name for t in spark.catalog.listTables())
+        sub = [v for v in views if missing and missing in v]
+        fuzzy = difflib.get_close_matches(missing, views, n=5, cutoff=0.6)
+        close = ", ".join(dict.fromkeys([*sub[:5], *fuzzy]))
+        hint = f" (did you mean: {close}?)" if close else ""
+        print(
+            f"{prog}: unknown table or view {missing!r}{hint}; "
+            f"registered views: {', '.join(views)}",
+            file=sys.stderr,
+        )
+        return None
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     """In-engine SQL over the corpus tables (and, with --store-dir, over
     served streams): the query surface a reference deployment delegates
@@ -200,7 +236,9 @@ def cmd_sql(args: argparse.Namespace) -> int:
         register_views(spark, args.dir or None)
         if args.store_dir:
             _register_store_views(spark, args.store_dir)
-        df = spark.sql(args.query)
+        df = _sql_with_table_hints(spark, args.query, "sql")
+        if df is None:
+            return 2
         rows = df.limit(args.limit).collect() if args.limit else df.collect()
     # dict-of-columns keeps headers and column order even for 0 rows
     table = pa.table({c: [r[c] for r in rows] for c in df.columns})
@@ -291,7 +329,9 @@ def cmd_materialize(args: argparse.Namespace) -> int:
             register_views(spark, directory)
             if args.store_dir:
                 _register_store_views(spark, args.store_dir)
-            df = spark.sql(args.query)
+            df = _sql_with_table_hints(spark, args.query, "materialize")
+            if df is None:
+                return 2
         manifest = write_sharded_dataset(
             df, args.out, key_col=args.key, n_shards=args.shards
         )

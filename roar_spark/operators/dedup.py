@@ -367,8 +367,17 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-bit counts at once. 15 sums + 1 count replace 60 sums; bit b of the
     signature is set iff 2·count_set(b) > n_tokens — identical to the
     sign-of-(±1-sum) definition the DuckDB oracle computes independently.
-    Docs beyond _PACK_SAFE_TOKENS tokens raise (overflow guard)."""
-    docs = load_table(spark, "documents", sf_dir)
+    Docs beyond _PACK_SAFE_TOKENS tokens raise (overflow guard).
+
+    ``spread=True``: the per-token md5 + 15 hex-digit extractions are the
+    heaviest per-row map work in the simhash path, and a few-row-group
+    corpus file (4M rows / 4 row groups in the scale harness) serializes
+    it through a handful of tasks — the fifth instance of the
+    single-row-group-victim class the ≥320k harness keeps finding
+    (measured at 4M: 288-422 s e2e unspread vs ~1/4 of that spread; a
+    same-window sf0.1 A/B shows the exchange is free there). No-op on
+    real multi-file corpora."""
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .withColumn("tok_md5", F.md5(F.col("tok")))
@@ -518,6 +527,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     sig = simhash_signatures(spark, sf_dir)
     if use_pigeonhole:
         sig = sig.persist()
+        # Materialize BEFORE the pair stage references sig through the
+        # 15-key union on BOTH join sides (30 lazy cache references): a
+        # lazy persist lets those branches race and recompute the whole
+        # token-explode signature aggregation several times over — same
+        # race minhash/jaccard pin with sh.count(). Measured at 4M docs:
+        # 288 s e2e unmaterialized vs ~60 s with the cache populated
+        # (r6 scale run); invisible at driver SFs where signatures are
+        # cheap either way.
+        sig.count()
         # third tier: composite (multi-index) keys only where the
         # single-chunk candidate volume n²/2¹² dominates the 3× key cost —
         # same-window crossover measured between 1 M (single 4.0 s vs

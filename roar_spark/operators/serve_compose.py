@@ -164,3 +164,73 @@ def served_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def served_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-cap drop-oldest RETENTION (A16's distributed ParquetStore
+    path, stream/manager.go:288-310 eviction loop) end-to-end under the
+    oracle. The served_rollup/served_nested pair proves the store loses
+    NOTHING below its cap; this proves eviction loses EXACTLY the right
+    thing: four deterministic quarter-batches of orders
+    (o_orderkey % 4 == 0..3, appended in order) flow through a store
+    capped so drop-oldest retention keeps precisely the LAST TWO batches,
+    and the aggregation over the surviving snapshot must hash-match plain
+    SQL over ``o_orderkey % 4 >= 2``.
+
+    Cap derivation: a probe append measures one quarter's real on-disk
+    footprint s (an uncapped store — parquet size is encoding-dependent,
+    so it is measured, never estimated), then the capped store gets
+    2.5 x s. The four quarters' sizes differ only by encoding noise
+    (row counts are within a few % of each other), so the eviction
+    arithmetic  s_2+s_3 <= cap < s_1+s_2+s_3  holds for any per-batch
+    size variation under +-25% — and the margin is CHECKED loudly, not
+    assumed: the operator raises if the store ends with anything but 2
+    batches, rather than returning silently-wrong survivors.
+
+    Scale shape: appends are executor-side parquet writes, eviction is
+    O(1) driver metadata plus deferred directory deletes, and the
+    surviving snapshot is a 2-directory parquet scan feeding one
+    map-side-combined aggregation."""
+    topic = "orders_retained"
+    src = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def quarter(i: int) -> DataFrame:
+        return src.filter(F.col("o_orderkey") % 4 == i)
+
+    probe = StreamEngine(
+        spark,
+        EngineConfig(buffer_limit_bytes=_NO_EVICT_BYTES),
+        store_base=_fresh_store_base("ret_probe"),
+    )
+    probe.register_converter(topic, lambda env, _schema: env, src.schema)
+    probe.register_stream(topic, [])
+    probe.append_batch(topic, quarter(0))
+    probe_bytes = probe.describe_stream(topic)["bytes"]
+
+    engine = StreamEngine(
+        spark,
+        EngineConfig(buffer_limit_bytes=int(2.5 * probe_bytes)),
+        store_base=_fresh_store_base("retention"),
+    )
+    engine.register_converter(topic, lambda env, _schema: env, src.schema)
+    engine.register_stream(topic, [])
+    for i in range(4):
+        engine.append_batch(topic, quarter(i))
+    desc = engine.describe_stream(topic)
+    if desc["batches"] != 2 or desc["records_dropped"] == 0:
+        raise RuntimeError(
+            "served_retention: eviction did not converge to the last two "
+            f"batches (got {desc}) — cap margin assumption broke; fix the "
+            "cap arithmetic rather than trusting these survivors"
+        )
+    served = engine.fetch(topic, limit=-1)
+    return (
+        served.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1103,7 +1103,11 @@ _register(
 )
 
 # --- serve→query composition (streaming store feeds the relational surface)
-from roar_spark.operators.serve_compose import served_nested, served_rollup  # noqa: E402
+from roar_spark.operators.serve_compose import (  # noqa: E402
+    served_nested,
+    served_retention,
+    served_rollup,
+)
 
 _register(
     "served_rollup",
@@ -1135,6 +1139,22 @@ _register(
     FROM events
     GROUP BY event_type
     ORDER BY event_type
+    """,
+)
+
+# Oracle = the survivors byte-cap eviction provably keeps (the LAST two of
+# four mod-4 order batches — see served_retention's cap derivation): a
+# hash match proves drop-oldest retention dropped exactly batches 0 and 1
+# and nothing else anywhere in the store/snapshot path.
+_register(
+    "served_retention",
+    served_retention,
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderkey % 4 >= 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
     """,
 )
 

@@ -105,6 +105,28 @@ def test_cli_materialize_validates_query_name(capsys, tmp_path):
     assert "--store-dir only applies with --query" in err
 
 
+def test_cli_sql_unknown_table_suggests_views(spark, capsys):
+    """A typo'd table name in `sql` (and `materialize`, same helper) exits
+    2 with did-you-mean suggestions from the registered views instead of a
+    raw AnalysisException stack (r5 stretch: table-name errors get the
+    same difflib+substring hints the query-name path has)."""
+    rc = main(
+        ["sql", "SELECT * FROM lineitm LIMIT 1", "--dir", "/root/testdata/sf0.001"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "unknown table or view 'lineitm'" in err
+    assert "lineitem" in err
+    # non-table analysis errors still propagate untouched
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        main(
+            ["sql", "SELECT no_such_col FROM lineitem", "--dir", "/root/testdata/sf0.001"]
+        )
+
+
 def test_cli_sql_over_corpus_and_store(spark, tmp_path, capsys):
     """`roar_spark sql` runs in-engine SQL over the corpus views AND over a
     parquet retention store directory (the served-stream surface) — the

@@ -159,6 +159,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,20000,80000")
     ap.add_argument("--ops", default=None)
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=2,
+        help="samples per (op, size); best-of-N is reported. 1 for the "
+        "multi-hundred-second 4M+ runs where a repeat costs more than the "
+        "noise it removes",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = args.ops.split(",") if args.ops else LINEAR_OPS + QUADRATIC_OPS
@@ -184,7 +192,7 @@ def main() -> None:
             # whichever op it lands on — best-of-N measures plan cost
             fn = EXTRA_OPS.get(op) or QUERIES[op]
             best = None
-            for _ in range(2):
+            for _ in range(args.reps):
                 t0 = time.perf_counter()
                 res = fn(spark, dirs[n]).collect()
                 dt = time.perf_counter() - t0
