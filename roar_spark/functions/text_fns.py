@@ -56,6 +56,21 @@ def hex_digit_val(token_md5: Column, pos: int) -> Column:
     return F.instr(F.lit(HEX_DIGITS), F.substring(token_md5, pos, 1)) - 1
 
 
+def hex_prefix_long(token_md5: Column, n_digits: int) -> Column:
+    """First ``n_digits`` hex digits of an md5 string as ONE long (``conv``
+    base-16 parse). Callers needing every digit of a prefix should extract
+    them arithmetically from this — digit d (1-based) is
+    ``(value >> (4*(n_digits-d))) & 15`` — instead of n separate
+    :func:`hex_digit_val` probes: one conv replaces n strpos+substr string
+    scans per row, which dominates wide extractions (the 15-digit simhash
+    pack measured ~2x faster end-to-end at 4M docs). Bit-identical to the
+    digit-loop form (both are the big-endian base-16 value), so DuckDB
+    oracle parity is untouched. n_digits must be <= 15 (60 bits < int64)."""
+    if n_digits > 15:
+        raise ValueError("hex_prefix_long: more than 15 hex digits overflows int64")
+    return F.conv(F.substring(token_md5, 1, n_digits), 16, 10).cast("long")
+
+
 def simhash_bit_sign(token_md5: Column, bit: int) -> Column:
     """±1 contribution of one token to simhash bit ``bit`` (0-based,
     bit = (digit_index * 4) + bit_in_digit over the md5 hex digits)."""

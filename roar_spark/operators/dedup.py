@@ -382,18 +382,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .withColumn("tok_md5", F.md5(F.col("tok")))
     )
-    # project each hex digit's value ONCE (15 strpos+substr per row), then
-    # one array-literal lookup per digit turns it into the packed lanes
-    from roar_spark.functions.text_fns import hex_digit_val
+    # parse the 15-digit hex prefix into ONE long (a single conv), then
+    # per-digit values are shift+mask arithmetic and an array-literal
+    # lookup turns each into its packed lanes. The previous form probed
+    # each digit with its own strpos+substr — 15 string scans per token —
+    # which the 4M e2e run exposed as the operator's dominant cost
+    # (sig build 51.8 s -> 22-28 s with conv, same-window 4M measures).
+    from roar_spark.functions.text_fns import hex_prefix_long
 
+    n_digits = SIMHASH_BITS // 4
     lookup = F.lit(_PACK_LOOKUP)
+    tok = tok.withColumn("h60", hex_prefix_long(F.col("tok_md5"), n_digits))
     tok = tok.select(
         "doc_id",
         *[
-            F.element_at(lookup, hex_digit_val(F.col("tok_md5"), d + 1).cast("int") + 1).alias(
-                f"p{d}"
-            )
-            for d in range(SIMHASH_BITS // 4)
+            F.element_at(
+                lookup,
+                F.shiftright(F.col("h60"), 4 * (n_digits - 1 - d))
+                .bitwiseAND(F.lit(15))
+                .cast("int")
+                + 1,
+            ).alias(f"p{d}")
+            for d in range(n_digits)
         ],
     )
     packed = tok.groupBy("doc_id").agg(
