@@ -321,7 +321,19 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLE
     is the intended kernel for dense projections. Weights travel in the
     task closure (tables·planes·dim doubles ≈ 25 KB), batches stream
     through Arrow, and the stage stays linear in n with a constant that
-    matches hardware FLOPs."""
+    matches hardware FLOPs.
+
+    The same kernel also emits ``qemb`` — the unit-normalized vector
+    quantized to int8 (round(127·v/‖v‖)) — as the SCREEN payload for the
+    bucket-grouped matmul stages. An int8 array is ~3.3× smaller on the
+    wire than array<float>, and the replicated probe fan-out is exactly
+    what filled the disk at 4M docs (r6 scale run). The quantization is
+    screen-only: |cos(a,b) − cos(â,b̂)| ≤ ‖a−â‖+‖b−b̂‖ ≤ 2·√dim·(0.5/127)
+    ≈ 0.063 for unit vectors (cos is 1-Lipschitz in each unit argument),
+    so a 0.07 screen margin provably loses no true pair and the exact
+    recheck keeps results bit-identical. Zero-norm vectors quantize to
+    the zero vector, which the screen drops exactly like the exact path's
+    NULL cosine."""
     import numpy as np
     import pandas as pd
 
@@ -329,7 +341,11 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLE
         [_plane_weights(t, p, dim) for t in range(n_tables) for p in range(n_planes)]
     ).T  # dim × (tables·planes)
     shifts = 1 << np.arange(n_planes, dtype=np.int64)
-    schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(n_tables))
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"b{t} long" for t in range(n_tables))
+        + ", qemb array<tinyint>"
+    )
 
     def hash_batches(batches):
         for pdf in batches:
@@ -340,18 +356,54 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLE
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for t in range(n_tables):
                 out[f"b{t}"] = (bits[:, t * n_planes : (t + 1) * n_planes] * shifts).sum(axis=1)
-            yield pd.DataFrame(out)
+            q = np.round(127.0 * _unit_rows(m))
+            q = np.nan_to_num(q, nan=0.0).astype("int8")  # zero-norm → 0⃗
+            res = pd.DataFrame(out)
+            res["qemb"] = list(q)
+            yield res
 
     return emb.select("vec_id", "embedding").mapInPandas(hash_batches, schema)
 
 
 def _entries_from_buckets(
-    with_buckets: DataFrame, n_planes: int, probe: bool, n_tables: int = N_TABLES
+    with_buckets: DataFrame,
+    n_planes: int,
+    probe: bool | str,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """Explode precomputed per-table bucket ids into (vec_id, tbl, bkt)
     hash-table entries. With ``probe=True`` each row additionally fans out
-    to its Hamming-1 probe buckets. The explode fans out only key tuples,
-    never embeddings."""
+    to ALL its Hamming-1 probe buckets (the asymmetric query-vs-corpus
+    shape: the query side must reach every neighbor). ``probe="higher"``
+    fans out only to Hamming-1 buckets with a HIGHER bucket id (plus the
+    identity): for a SYMMETRIC pair space — both sides of the join are
+    the corpus — an unordered Hamming-1 bucket pair (B, B′) with B < B′
+    is covered once via the B-side vector's upward flip, instead of twice
+    (each side probing the other), which halves the probe fan-out (avg
+    1 + planes/2 copies vs 1 + planes) with an identical covered pair
+    set. The explode fans out only key tuples, never embeddings."""
+    if probe == "higher":
+        # flip bit p only when it is 0 in the bucket (XOR then increases
+        # the id); emit NULL otherwise and compact it away
+        entries = []
+        for t in range(n_tables):
+            per_t = [
+                F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
+            ] + [
+                F.when(
+                    F.col(f"b{t}").bitwiseAND(F.lit(1 << p)) == 0,
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col(f"b{t}").bitwiseXOR(F.lit(1 << p)).alias("bkt"),
+                    ),
+                )
+                for p in range(n_planes)
+            ]
+            entries.extend(per_t)
+        arr = F.array_compact(F.array(*entries))
+        return with_buckets.select(
+            "vec_id", F.explode(arr).alias("e")
+        ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
     flips = [F.lit(0)] + ([F.lit(1 << p) for p in range(n_planes)] if probe else [])
     entries = [
         F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").bitwiseXOR(flip).alias("bkt"))
@@ -628,7 +680,10 @@ def _lsh_candidate_pairs(
     pair space inside bucket groups with a matmul screen instead
     (_lsh_screened_pairs) so per-pair cost is BLAS, not a fold."""
     wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
-    left = _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
+    # "higher": the pair space is symmetric (corpus vs corpus), so upward-
+    # only Hamming-1 probing covers every unordered bucket pair once
+    # instead of twice — identical candidate set after the distinct
+    left = _entries_from_buckets(wb, n_planes, probe="higher", n_tables=n_tables).select(
         F.col("vec_id").alias("id_l"), "tbl", "bkt"
     )
     right = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
@@ -676,13 +731,23 @@ def _lsh_screened_pairs(
     plain = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
         "vec_id", "tbl", "bkt", F.lit(0).alias("side")
     )
-    probe = _entries_from_buckets(wb, n_planes, probe=True, n_tables=n_tables).select(
+    # "higher" probing: symmetric pair space — every Hamming-1 bucket pair
+    # screened once (the lower side's upward flip), not twice; halves the
+    # replicated payload with an identical covered pair set
+    probe = _entries_from_buckets(wb, n_planes, probe="higher", n_tables=n_tables).select(
         "vec_id", "tbl", "bkt", F.lit(1).alias("side")
     )
+    # screen payload = the int8-quantized unit vector _bucket_ids already
+    # computed (~3.3× smaller than array<float> on the wire): the probe
+    # replication is tables·(1+planes/2)·n rows of payload, and at 4M docs
+    # the float form's ~190 GB shuffle+spill filled the local disk (r6).
+    # The wider 0.07 margin is the PROVEN quantization bound (see
+    # _bucket_ids) — no true pair can screen out, and survivors still get
+    # the exact fold, so results stay bit-identical.
     tagged = plain.unionAll(probe).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+        wb.select("vec_id", F.col("qemb").alias("embedding")), "vec_id"
     )
-    screen_min = threshold - 1e-6
+    screen_min = threshold - 0.07
 
     # KEEP IN SYNC with _block_screen_pairs.screen (see note there).
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -742,10 +807,20 @@ def dedup_embedding_lsh(
     # spread on the LSH path: the first stage is the dense hash matmul
     # (heavy per-row work, no early shuffle) — exactly the documented
     # opt-in case; a single-row-group file would serialize it in one task
+    if use_lsh:
+        # heaviest shuffle: the screen's replicated payload —
+        # tables·(2+planes/2)·n rows through the (tbl,bkt) groupBy; width
+        # travels with this plan via the (possibly cloned) session
+        from roar_spark.session import tuned_session
+
+        n_planes = n_planes_for(n)
+        spark = tuned_session(
+            spark, n * DEDUP_EMB_TABLES * (2 + n_planes // 2)
+        )
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=use_lsh))
     if use_lsh:
         cand = _lsh_screened_pairs(
-            emb, n_planes_for(n), embedding_dim(sf_dir), threshold
+            emb, n_planes, embedding_dim(sf_dir), threshold
         )
         pairs = _exact_pair_recheck(emb, cand, threshold)
     else:

@@ -13,6 +13,14 @@ Usage:
 
 Manual tool, not part of pytest — a full run is minutes of wall-clock.
 Results from this box are recorded in SCALE.md §measured.
+
+At 4M+ docs, run heavy ops ONE PER INVOCATION (fresh session each):
+shuffle files accumulate in the session's block-manager dir until the
+driver GCs the shuffle objects, and a multi-op 4M sweep has filled the
+disk mid-op (39 GB of retained shuffle from three earlier ops killed
+dedup_embedding_lsh with SPILL_OUT_OF_MEMORY/no-space — r6). On a real
+cluster the external shuffle service ages these out; in one local JVM
+the only reliable reclaim is process exit.
 """
 
 from __future__ import annotations
