@@ -32,14 +32,15 @@ Regression gate: per-query budgets are the best recorded number per query
 across rounds 3-6 (driver BENCH_r0{3,4,5}.json + the r6 clean-window rerun
 on the current code, sf0.1, best-of-2 basis — re-based each round so the
 gate tracks the best achieved state, not a stale bar). After printing the
-JSON line, any query slower
-than max(1.5× budget, budget + 3 s) fails the run with exit code 1 — a
-local guard so perf regressions surface the round they happen, not at
-judging. The +3 s absolute arm exists because sub-second queries carry
-±2-3 s of session noise on this box (first-touch codegen, Python-worker
-residue after applyInPandas stages — measured identical on the r1 code),
-while true regressions on the multi-second queries trip the 1.5× arm.
-Only applied at sf0.1 (budgets are sf-specific). Override with
+JSON line, any query slower than
+max(REGRESSION_FACTOR × budget, budget + REGRESSION_SLACK_SEC) fails the
+run with exit code 1 — a local guard so perf regressions surface the
+round they happen, not at judging. The absolute arm absorbs the
+best-of-N session noise sub-second queries carry on this box
+(first-touch codegen, Python-worker residue after applyInPandas stages —
+measured identical on the r1 code); see the comment at
+REGRESSION_SLACK_SEC for its current value and calibration. Only applied
+at sf0.1 (budgets are sf-specific). Override with
 SPARK_GRAFT_BENCH_NO_GATE=1.
 """
 
@@ -89,7 +90,8 @@ REGRESSION_SLACK_SEC = 1.5
 
 
 def find_regressions(times: dict[str, float], budgets: dict[str, float]) -> list[str]:
-    """Queries whose measured time exceeds max(1.5x budget, budget + 3 s).
+    """Queries whose measured time exceeds
+    max(REGRESSION_FACTOR x budget, budget + REGRESSION_SLACK_SEC).
     Factored out so the gate itself is unit-tested (tests/test_bench_gate.py)."""
     return [
         f"{name}: {times[name]:.2f}s > allowed "

@@ -184,14 +184,28 @@ def _register_store_views(spark, store_dir: str) -> None:
             ).createOrReplaceTempView(topic)
 
 
+def _suggest_names(missing: str, candidates) -> str:
+    """Did-you-mean hint text: union of substring and difflib matches.
+    Both rules are needed — 'dedup_exct' needs fuzzy to reach
+    'dedup_exact', while a short prefix like 'knn' scores ~0.24 against
+    'embedding_knn_classify' and only the substring rule can suggest it
+    (r5 review). One shared policy for query names and table names so the
+    two cannot drift (r6 review)."""
+    import difflib
+
+    names = sorted(candidates)
+    sub = [n for n in names if missing and missing in n]
+    fuzzy = difflib.get_close_matches(missing, names, n=5, cutoff=0.6)
+    close = ", ".join(dict.fromkeys([*sub[:5], *fuzzy]))
+    return f" (did you mean: {close}?)" if close else ""
+
+
 def _sql_with_table_hints(spark, query: str, prog: str):
     """``spark.sql`` with unknown-table errors turned into actionable
-    hints: suggests near view names (union of substring and difflib
-    matches — the same two-rule suggester the query-name path uses, for
-    the same reason: short prefixes score too low for difflib alone)
-    from the views actually registered in this command's session. Returns
-    the DataFrame, or None after printing the hint (caller exits 2).
-    Non-table analysis errors propagate untouched."""
+    hints: suggests near view names from the views actually registered in
+    this command's session. Returns the DataFrame, or None after printing
+    the hint (caller exits 2). Non-table analysis errors propagate
+    untouched."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -205,15 +219,10 @@ def _sql_with_table_hints(spark, query: str, prog: str):
         missing = (
             (exc.getMessageParameters() or {}).get("relationName", "").strip("`")
         )
-        import difflib
-
         views = sorted(t.name for t in spark.catalog.listTables())
-        sub = [v for v in views if missing and missing in v]
-        fuzzy = difflib.get_close_matches(missing, views, n=5, cutoff=0.6)
-        close = ", ".join(dict.fromkeys([*sub[:5], *fuzzy]))
-        hint = f" (did you mean: {close}?)" if close else ""
         print(
-            f"{prog}: unknown table or view {missing!r}{hint}; "
+            f"{prog}: unknown table or view {missing!r}"
+            f"{_suggest_names(missing, views)}; "
             f"registered views: {', '.join(views)}",
             file=sys.stderr,
         )
@@ -292,18 +301,9 @@ def cmd_materialize(args: argparse.Namespace) -> int:
         from roar_spark.registry import QUERIES
 
         if args.query_name not in QUERIES:
-            import difflib
-
-            # union of substring and fuzzy matches: 'dedup_exct' needs
-            # fuzzy to reach 'dedup_exact', while a short prefix like
-            # 'knn' scores ~0.24 against 'embedding_knn_classify' and
-            # only the substring rule can suggest it (r5 review)
-            sub = [q for q in sorted(QUERIES) if args.query_name in q]
-            fuzzy = difflib.get_close_matches(args.query_name, QUERIES, n=5, cutoff=0.6)
-            close = ", ".join(dict.fromkeys([*sub[:5], *fuzzy]))
-            hint = f" (did you mean: {close}?)" if close else ""
             print(
-                f"materialize: unknown query name {args.query_name!r}{hint}; "
+                f"materialize: unknown query name {args.query_name!r}"
+                f"{_suggest_names(args.query_name, QUERIES)}; "
                 "see roar_spark.registry.QUERIES",
                 file=sys.stderr,
             )

@@ -177,13 +177,14 @@ def served_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the aggregation over the surviving snapshot must hash-match plain
     SQL over ``o_orderkey % 4 >= 2``.
 
-    Cap derivation: a probe append measures one quarter's real on-disk
-    footprint s (an uncapped store — parquet size is encoding-dependent,
-    so it is measured, never estimated), then the capped store gets
-    2.5 x s. The four quarters' sizes differ only by encoding noise
-    (row counts are within a few % of each other), so the eviction
-    arithmetic  s_2+s_3 <= cap < s_1+s_2+s_3  holds for any per-batch
-    size variation under +-25% — and the margin is CHECKED loudly, not
+    Cap derivation: an UNCAPPED probe pass appends all four quarters and
+    reads each one's real on-disk footprint s0..s3 (parquet size is
+    encoding-dependent, so it is measured, never estimated); the capped
+    store then gets cap = s2 + s3 + s1/2 — strictly between the last two
+    batches' total and the last three's, so replaying the same appends
+    provably evicts exactly batches 0 and 1 whenever the quarters are
+    within ~±33% of each other (a fixed 2.5× single-probe cap only
+    tolerated ~±17%; r6 review). The margin is still CHECKED loudly, not
     assumed: the operator raises if the store ends with anything but 2
     batches, rather than returning silently-wrong survivors.
 
@@ -206,12 +207,17 @@ def served_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe.register_converter(topic, lambda env, _schema: env, src.schema)
     probe.register_stream(topic, [])
-    probe.append_batch(topic, quarter(0))
-    probe_bytes = probe.describe_stream(topic)["bytes"]
+    sizes = []
+    seen = 0
+    for i in range(4):
+        probe.append_batch(topic, quarter(i))
+        total = probe.describe_stream(topic)["bytes"]
+        sizes.append(total - seen)
+        seen = total
 
     engine = StreamEngine(
         spark,
-        EngineConfig(buffer_limit_bytes=int(2.5 * probe_bytes)),
+        EngineConfig(buffer_limit_bytes=sizes[2] + sizes[3] + sizes[1] // 2),
         store_base=_fresh_store_base("retention"),
     )
     engine.register_converter(topic, lambda env, _schema: env, src.schema)

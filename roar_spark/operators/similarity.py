@@ -308,7 +308,13 @@ def _plane_weights(table: int, plane: int, dim: int) -> list[float]:
     ]
 
 
-def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLES) -> DataFrame:
+def _bucket_ids(
+    emb: DataFrame,
+    n_planes: int,
+    dim: int,
+    n_tables: int = N_TABLES,
+    emit_qemb: bool = False,
+) -> DataFrame:
     """vec_id + one packed sign-LSH bucket id per hash table, computed as a
     single Arrow-batched numpy matmul per input batch: (batch×dim) @
     (dim×(tables·planes)) then sign-bit packing.
@@ -323,17 +329,21 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLE
     through Arrow, and the stage stays linear in n with a constant that
     matches hardware FLOPs.
 
-    The same kernel also emits ``qemb`` — the unit-normalized vector
-    quantized to int8 (round(127·v/‖v‖)) — as the SCREEN payload for the
-    bucket-grouped matmul stages. An int8 array is ~3.3× smaller on the
-    wire than array<float>, and the replicated probe fan-out is exactly
-    what filled the disk at 4M docs (r6 scale run). The quantization is
-    screen-only: |cos(a,b) − cos(â,b̂)| ≤ ‖a−â‖+‖b−b̂‖ ≤ 2·√dim·(0.5/127)
-    ≈ 0.063 for unit vectors (cos is 1-Lipschitz in each unit argument),
-    so a 0.07 screen margin provably loses no true pair and the exact
+    With ``emit_qemb=True`` the kernel also emits ``qemb`` — the
+    unit-normalized vector quantized to int8 (round(127·v/‖v‖)) — as the
+    SCREEN payload for the bucket-grouped matmul pair stage. An int8
+    array is ~3.3× smaller on the wire than array<float>, and the
+    replicated probe fan-out is exactly what filled the disk at 4M docs
+    (r6 scale run). The quantization is screen-only:
+    |cos(a,b) − cos(â,b̂)| ≤ ‖a−â‖+‖b−b̂‖ ≤ 2·√dim·(0.5/127) for unit
+    vectors (cos is 1-Lipschitz in each unit argument), so a screen
+    margin of 2·√dim/254 provably loses no true pair and the exact
     recheck keeps results bit-identical. Zero-norm vectors quantize to
     the zero vector, which the screen drops exactly like the exact path's
-    NULL cosine."""
+    NULL cosine. The flag is opt-in because the other consumers (ANN
+    top-k, bulk k-NN, the diagnostic candidate counter) never read qemb
+    and should not pay its compute, Arrow transfer, or cache bytes
+    (r6 review)."""
     import numpy as np
     import pandas as pd
 
@@ -341,11 +351,9 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLE
         [_plane_weights(t, p, dim) for t in range(n_tables) for p in range(n_planes)]
     ).T  # dim × (tables·planes)
     shifts = 1 << np.arange(n_planes, dtype=np.int64)
-    schema = (
-        "vec_id long, "
-        + ", ".join(f"b{t} long" for t in range(n_tables))
-        + ", qemb array<tinyint>"
-    )
+    schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(n_tables))
+    if emit_qemb:
+        schema += ", qemb array<tinyint>"
 
     def hash_batches(batches):
         for pdf in batches:
@@ -356,10 +364,11 @@ def _bucket_ids(emb: DataFrame, n_planes: int, dim: int, n_tables: int = N_TABLE
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for t in range(n_tables):
                 out[f"b{t}"] = (bits[:, t * n_planes : (t + 1) * n_planes] * shifts).sum(axis=1)
-            q = np.round(127.0 * _unit_rows(m))
-            q = np.nan_to_num(q, nan=0.0).astype("int8")  # zero-norm → 0⃗
             res = pd.DataFrame(out)
-            res["qemb"] = list(q)
+            if emit_qemb:
+                q = np.round(127.0 * _unit_rows(m))
+                q = np.nan_to_num(q, nan=0.0).astype("int8")  # zero-norm → 0⃗
+                res["qemb"] = list(q)
             yield res
 
     return emb.select("vec_id", "embedding").mapInPandas(hash_batches, schema)
@@ -727,7 +736,7 @@ def _lsh_screened_pairs(
     import numpy as np
     import pandas as pd
 
-    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
+    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
     plain = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
         "vec_id", "tbl", "bkt", F.lit(0).alias("side")
     )
@@ -741,13 +750,18 @@ def _lsh_screened_pairs(
     # computed (~3.3× smaller than array<float> on the wire): the probe
     # replication is tables·(1+planes/2)·n rows of payload, and at 4M docs
     # the float form's ~190 GB shuffle+spill filled the local disk (r6).
-    # The wider 0.07 margin is the PROVEN quantization bound (see
-    # _bucket_ids) — no true pair can screen out, and survivors still get
-    # the exact fold, so results stay bit-identical.
+    # The margin is the PROVEN dim-DEPENDENT quantization bound (see
+    # _bucket_ids): each quantized unit vector is within √dim·(0.5/127)
+    # of the true one and cos is 1-Lipschitz in each unit argument, so
+    # 2·√dim/254 (+ float slack) can never screen out a true pair — a
+    # hardcoded 0.07 was only valid up to dim ≈ 78 (r6 review); survivors
+    # still get the exact fold, so results stay bit-identical.
     tagged = plain.unionAll(probe).join(
         wb.select("vec_id", F.col("qemb").alias("embedding")), "vec_id"
     )
-    screen_min = threshold - 0.07
+    import math
+
+    screen_min = threshold - (2.0 * math.sqrt(dim) / 254.0 + 1e-6)
 
     # KEEP IN SYNC with _block_screen_pairs.screen (see note there).
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -172,20 +172,27 @@ def tuned_session(spark: SparkSession, expected_rows: int) -> SparkSession:
     When the derived width is the base (every driver SF), this returns
     ``spark`` unchanged — zero overhead, identical plans. Only genuinely
     large inputs get a CLONE (``newSession``: same SparkContext, cached
-    data, and catalog; its own SQLConf) carrying the tuned
-    ``initialPartitionNum``. Because a DataFrame executes under the conf
-    of the session it was built from, the width travels WITH the
-    operator's plan: it applies at the caller's ``collect()`` no matter
-    what is built or run in between, and the caller's session is never
-    mutated — neither leak direction of the r5 session-global tuning
-    exists (small-after-big inheriting a wide conf, or big-build/small-
-    tune/big-execute re-spilling at base width; VERDICT r5 task 2 +
-    ADVICE).
+    data, and PERSISTENT catalog; its own SQLConf — note temp views and
+    registered UDFs are per-session and do NOT carry over, which is fine
+    for the registry operators because they read parquet paths directly,
+    but a host-composed query over temp views must not be built on the
+    tuned session) carrying the tuned ``initialPartitionNum``. Because a
+    DataFrame executes under the conf of the session it was built from,
+    the width travels WITH the operator's plan: it applies at the
+    caller's ``collect()`` no matter what is built or run in between, and
+    the caller's session is never mutated — neither leak direction of the
+    r5 session-global tuning exists (small-after-big inheriting a wide
+    conf, or big-build/small-tune/big-execute re-spilling at base width;
+    VERDICT r5 task 2 + ADVICE).
 
-    The clone re-applies the parent's explicitly-set SQL confs (``SET``
-    enumeration — driver-only, no job) so an embedding host's runtime
-    settings (timezone, ANSI toggles) carry over; static/immutable
-    entries are skipped."""
+    The clone re-applies the parent's explicitly-set SQL confs so an
+    embedding host's runtime settings (timezone, ANSI toggles,
+    credentials) carry over. Enumeration goes through the session state's
+    raw conf map, NOT the ``SET`` command: SET redacts values matching
+    ``spark.redaction.regex``, and copying the literal ``*(redacted)``
+    placeholder into the clone would break secret-bearing confs exactly
+    and only at the large scales where cloning engages (r6 review).
+    Static/immutable entries are skipped."""
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     target = shuffle_width_for(base, expected_rows)
     if target <= base:
@@ -199,10 +206,30 @@ def tuned_session(spark: SparkSession, expected_rows: int) -> SparkSession:
     if spark.conf.get(_INITIAL_PARTITION_NUM, None) == str(target):
         return spark
     clone = spark.newSession()
-    for row in spark.sql("SET").collect():
+    for key, value in _session_confs(spark):
         try:
-            clone.conf.set(row.key, row.value)
+            clone.conf.set(key, value)
         except Exception:  # noqa: BLE001 — static conf: value already shared
             pass
     clone.conf.set(_INITIAL_PARTITION_NUM, str(target))
     return clone
+
+
+def _session_confs(spark: SparkSession) -> list[tuple[str, str]]:
+    """(key, value) pairs of the session's set SQL confs, UNREDACTED.
+
+    Reads the SessionState's raw conf map through the JVM handle; the SQL
+    ``SET`` command applies ``spark.redaction.regex`` to its output, so it
+    cannot be used to replicate secret-bearing confs onto a clone. Falls
+    back to the (redacting) SET enumeration if the internal API moves —
+    degraded for secrets, but never silently empty."""
+    try:
+        jmap = spark._jsparkSession.sessionState().conf().getAllConfs()
+        it = jmap.iterator()
+        out = []
+        while it.hasNext():
+            kv = it.next()
+            out.append((kv._1(), kv._2()))
+        return out
+    except Exception:  # noqa: BLE001 — private API drift: degrade, don't fail
+        return [(row.key, row.value) for row in spark.sql("SET").collect()]
