@@ -424,10 +424,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Above this corpus size the pigeonhole equi-join beats the all-pairs
-# filter (measured at sf0.1 / 5000 docs: 7.1 s vs 10.6 s with persisted
-# signatures); below it the chunk join's 3 shuffles + distinct never
-# amortize against a trivial broadcast cross.
-SIMHASH_ALLPAIRS_MAX_DOCS = 2_000
+# filter; below it the chunk join's 3 shuffles + distinct never amortize
+# against a trivial broadcast cross. Re-measured in r6 after the conv
+# signature rework shifted the balance (the cheaper signature build used
+# to be the pigeonhole path's overhead): interleaved A/B best-of —
+# 5 k: 1.24 vs 1.74 s, 20 k: 1.38 vs 2.02 s (all-pairs wins both),
+# 80 k: 3.48 vs 2.43 s (pigeonhole wins; n² popcounts caught up) —
+# identical outputs at every size (equivalence also test-pinned). 30 k
+# sits just under the projected ~2.1 s crossover.
+SIMHASH_ALLPAIRS_MAX_DOCS = 30_000
 # above this, the composite chunk-pair keys win: single-chunk candidates
 # grow n²/2¹² while the composite form pays 3× keys for a 2²⁰ bucket
 # space (crossover measured between 1M and 4M docs, SCALE.md)
