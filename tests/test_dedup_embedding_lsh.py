@@ -105,3 +105,48 @@ def test_dispatch_uses_exact_path_at_driver_sf(spark):
     a = [r.vec_id for r in dedup_embedding(spark, sf).collect()]
     b = [r.vec_id for r in dedup_embedding_lsh(spark, sf).collect()]
     assert a == b
+
+
+def test_higher_probe_covers_same_pairs_as_full_probe(spark, tmp_path_factory):
+    """probe="higher" (upward-only Hamming-1 fan-out, r6) must produce the
+    SAME candidate pair set as full probing — it only removes the second
+    orientation of each unordered bucket pair, never coverage. Property-
+    pinned directly on _lsh_candidate_pairs over a seeded corpus, not just
+    implied by the e2e output-equality test."""
+    from pyspark.sql import functions as F
+
+    from roar_spark.operators.similarity import (
+        _bucket_ids,
+        _entries_from_buckets,
+        _with_norm,
+    )
+
+    d = _planted_dir(tmp_path_factory, 400)
+    emb = _with_norm(load_table(spark, "embeddings", d))
+    n_planes = 6
+    wb = _bucket_ids(emb, n_planes, DIM).persist()
+    wb.count()
+
+    def pairs(probe_mode):
+        left = _entries_from_buckets(wb, n_planes, probe=probe_mode).select(
+            F.col("vec_id").alias("id_l"), "tbl", "bkt"
+        )
+        right = _entries_from_buckets(wb, n_planes, probe=False).select(
+            F.col("vec_id").alias("id_r"), "tbl", "bkt"
+        )
+        got = (
+            left.join(right, ["tbl", "bkt"])
+            .filter(F.col("id_l") != F.col("id_r"))
+            .select(
+                F.least("id_l", "id_r").alias("a"),
+                F.greatest("id_l", "id_r").alias("b"),
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted((r.a, r.b) for r in got)
+
+    full = pairs(True)
+    higher = pairs("higher")
+    wb.unpersist()
+    assert higher == full and len(full) > 0

@@ -48,3 +48,35 @@ def test_packing_is_exact_at_the_documented_bound():
     assert packed < 2**63
     assert _PACK_LOOKUP[15] * (_PACK_SAFE_TOKENS + 1) >= 2**48 * (2**15)
     assert len(_PACK_LOOKUP) == 16 and SIMHASH_BITS // 4 == 15
+
+
+def test_hex_prefix_long_equals_digit_loop(spark):
+    """The conv-based hex-prefix parse (r6) must be bit-identical to the
+    per-digit strpos probes it replaced, across random md5 strings — the
+    property the simhash signatures and the KMV sketch both rely on."""
+    from pyspark.sql import functions as F
+
+    from roar_spark.functions.text_fns import hex_digit_val, hex_prefix_long
+
+    df = spark.range(2000).select(F.md5(F.col("id").cast("string")).alias("h"))
+    loop = F.lit(0).cast("long")
+    for i in range(1, 16):
+        loop = loop * 16 + hex_digit_val(F.col("h"), i).cast("long")
+    bad = df.select(
+        hex_prefix_long(F.col("h"), 15).alias("conv"), loop.alias("loop")
+    ).filter(F.col("conv") != F.col("loop"))
+    assert bad.count() == 0
+    # per-digit extraction from the packed long matches hex_digit_val too
+    h60 = hex_prefix_long(F.col("h"), 15)
+    checks = [
+        (
+            F.shiftright(h60, 4 * (15 - 1 - d)).bitwiseAND(F.lit(15))
+            != hex_digit_val(F.col("h"), d + 1)
+        )
+        for d in range(15)
+    ]
+    import functools
+    import operator
+
+    mismatch = df.filter(functools.reduce(operator.or_, checks))
+    assert mismatch.count() == 0
