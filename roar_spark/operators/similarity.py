@@ -1101,6 +1101,20 @@ def embedding_knn_classify_bulk(
     dim = embedding_dim(sf_dir)
     n_planes = n_planes_for(n)
 
+    # Heaviest shuffles: the rerank joins + the per-query rank window each
+    # move ≈ n·k·tables survivor pairs CARRYING dim-wide float embeddings
+    # (~600 B/row at dim 64 — ~12× the (doc_id, shingle)-sized records
+    # ROWS_PER_SHUFFLE_TASK is calibrated for, hence the ×8 width factor:
+    # per-task sort memory scales with bytes, not rows). Width tuning
+    # keeps each task's sort in memory, but it cannot reduce the TOTAL
+    # live shuffle footprint — files persist for the whole job, and the
+    # three pair-sized embedding-carrying shuffles total ~120 GB at 4M
+    # docs, which still exceeds the single-box disk (measured both ways,
+    # r6; SCALE.md documents the payload-reduction designs that remove
+    # it). On a cluster the same bytes spread across executor disks.
+    from roar_spark.session import tuned_session
+
+    spark = tuned_session(spark, n * k * N_TABLES * 8)
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     cand = _knn_screened_candidates(emb, n_planes, dim, k, probe)
     sides_q = emb.select(
