@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return events_hourly(spark, "/root/testdata/sf0.001")
 
 
-# Queries with a cumulative GREEN driver row (CORRECTNESS_r01 ∪ … ∪ r04).
+# Queries with a cumulative GREEN driver row (CORRECTNESS_r01 ∪ … ∪ r05).
 # The driver samples ~50 queries per round, apparently in dict order, so
 # anything NOT in this set is rotated to the front of queries() — never-
 # sampled queries and new additions accumulate driver evidence first
