@@ -53,6 +53,32 @@ SIMHASH_BITS = 60  # 15 md5 hex digits; 60 < 63 keeps 1<<b clear of the
 SIMHASH_HAMMING = 4
 
 
+import threading
+
+# One live set of persisted dedup intermediates per session (the
+# _TF_CACHE/_WB_CACHE pattern, same rationale): a dedup operator's
+# returned plan is lazy, so it cannot unpersist its own shingle/signature
+# caches before the caller consumes them — but sweep/bench sessions run
+# dozens of dedup queries back-to-back, and unreleased caches (a 232M-row
+# shingle table at 4M docs) pile into storage-memory pressure for every
+# later query. Registering an invocation's tables releases the PREVIOUS
+# invocation's; the bound is ONE cached set per session.
+_DEDUP_CACHE: list[DataFrame] = []
+_DEDUP_CACHE_LOCK = threading.Lock()
+
+
+def _register_scoped(dfs: list[DataFrame]) -> None:
+    """Own this invocation's persisted tables; unpersist the previous
+    invocation's. Locked like the sibling caches: a concurrent drain+
+    register must not release a set another thread just registered."""
+    with _DEDUP_CACHE_LOCK:
+        prev = _DEDUP_CACHE[:]
+        _DEDUP_CACHE.clear()
+        _DEDUP_CACHE.extend(dfs)
+    for df in prev:
+        df.unpersist()
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content digest, keep the smallest doc_id.
     Shuffles 16-byte digests, not document bodies."""
@@ -269,6 +295,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached, the broadcast is a cheap cache read and AQE sees real sizes.
     cand = _prefix_candidates(sh, JACCARD_THRESHOLD).persist()
     cand.count()
+    _register_scoped([sh, cand])
     return (
         _verify_pairs(cand, sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -296,6 +323,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute the shingle build several times over (measured 12-31 s for
     # the full query cold vs ~3 s with the cache populated).
     sh.count()
+    _register_scoped([sh])
     sig = sh.groupBy("doc_id").agg(
         *[F.min(minhash_str(F.col("shingle"), j)).alias(f"mh{j}") for j in range(N_MINHASH)]
     )
@@ -546,11 +574,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
         # 15-key union on BOTH join sides (30 lazy cache references): a
         # lazy persist lets those branches race and recompute the whole
         # token-explode signature aggregation several times over — same
-        # race minhash/jaccard pin with sh.count(). Measured at 4M docs:
-        # 288 s e2e unmaterialized vs ~60 s with the cache populated
-        # (r6 scale run); invisible at driver SFs where signatures are
-        # cheap either way.
+        # race minhash/jaccard pin with sh.count(). Invisible at driver
+        # SFs where signatures are cheap either way.
         sig.count()
+        _register_scoped([sig])
         # third tier: composite (multi-index) keys only where the
         # single-chunk candidate volume n²/2¹² dominates the 3× key cost —
         # same-window crossover measured between 1 M (single 4.0 s vs
@@ -790,6 +817,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-tokenizing the full corpus (SCALE.md 1M sweep).
     spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
+    _register_scoped([sh])
     train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
     eval_sh = F.broadcast(
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
