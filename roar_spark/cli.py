@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
+import re
 import sys
 import threading
 
@@ -200,6 +201,19 @@ def _suggest_names(missing: str, candidates) -> str:
     return f" (did you mean: {close}?)" if close else ""
 
 
+def _last_identifier(relation: str) -> str:
+    """Bare last identifier of a possibly-qualified relation name as Spark
+    renders it in error parameters: ``db``.``tbl`` → tbl,
+    spark_catalog.default.t → t. A plain strip('`') only removes the OUTER
+    backticks, so a qualified name kept inner backticks and dots and the
+    did-you-mean matcher silently found nothing (r6 review). Dots inside a
+    backticked part belong to the identifier, not the qualifier; doubled
+    backticks are the escape for a literal one."""
+    parts = re.findall(r"`((?:[^`]|``)*)`|([^.`]+)", relation)
+    idents = [quoted if quoted else bare for quoted, bare in parts]
+    return (idents[-1] if idents else relation).replace("``", "`")
+
+
 def _sql_with_table_hints(spark, query: str, prog: str):
     """``spark.sql`` with unknown-table errors turned into actionable
     hints: suggests near view names from the views actually registered in
@@ -216,9 +230,8 @@ def _sql_with_table_hints(spark, query: str, prog: str):
         ) or ""
         if not cond.startswith("TABLE_OR_VIEW_NOT_FOUND"):
             raise
-        missing = (
-            (exc.getMessageParameters() or {}).get("relationName", "").strip("`")
-        )
+        raw = (exc.getMessageParameters() or {}).get("relationName", "")
+        missing = _last_identifier(raw)
         views = sorted(t.name for t in spark.catalog.listTables())
         print(
             f"{prog}: unknown table or view {missing!r}"

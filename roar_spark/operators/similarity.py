@@ -334,11 +334,21 @@ def _bucket_ids(
     SCREEN payload for the bucket-grouped matmul pair stage. An int8
     array is ~3.3× smaller on the wire than array<float>, and the
     replicated probe fan-out is exactly what filled the disk at 4M docs
-    (r6 scale run). The quantization is screen-only:
-    |cos(a,b) − cos(â,b̂)| ≤ ‖a−â‖+‖b−b̂‖ ≤ 2·√dim·(0.5/127) for unit
-    vectors (cos is 1-Lipschitz in each unit argument), so a screen
-    margin of 2·√dim/254 provably loses no true pair and the exact
-    recheck keeps results bit-identical. Zero-norm vectors quantize to
+    (r6 scale run). The quantization is screen-only, and the bound must
+    cover what the screen actually compares: the RE-NORMALIZED quantized
+    vectors (``_unit_rows(q)``), not q/127 itself. Per coordinate the
+    rounding error is ≤ 0.5/127, so ε := ‖a − q/127‖ ≤ √dim·(0.5/127)
+    for a unit row a. Renormalizing re-inflates that error by at most the
+    norm ratio — ‖x/‖x‖ − y/‖y‖‖ ≤ 2‖x−y‖/(‖x‖+‖y‖), so with ‖a‖ = 1 and
+    ‖q/127‖ ≥ 1−ε the renormalized error is ≤ 2ε/(2−ε) = ε/(1−ε/2) — and
+    cos is 1-Lipschitz in each unit argument, so
+    |cos(a,b) − unit(q_a)·unit(q_b)| ≤ 2·ε/(1−ε/2). A screen margin of
+    that quantity provably loses no true pair (screen_min in the pair
+    stage) and the exact recheck keeps results bit-identical. The r5–r6
+    comment bounded only ‖a − q/127‖ and relied implicitly on sphere
+    projection contracting the error, which is false for points INSIDE
+    the sphere (the radial map expands by 1/‖x‖ there) — the 1/(1−ε/2)
+    factor is the honest correction (r6 ADVICE). Zero-norm vectors quantize to
     the zero vector, which the screen drops exactly like the exact path's
     NULL cosine. The flag is opt-in because the other consumers (ANN
     top-k, bulk k-NN, the diagnostic candidate counter) never read qemb
@@ -750,18 +760,24 @@ def _lsh_screened_pairs(
     # computed (~3.3× smaller than array<float> on the wire): the probe
     # replication is tables·(1+planes/2)·n rows of payload, and at 4M docs
     # the float form's ~190 GB shuffle+spill filled the local disk (r6).
-    # The margin is the PROVEN dim-DEPENDENT quantization bound (see
-    # _bucket_ids): each quantized unit vector is within √dim·(0.5/127)
-    # of the true one and cos is 1-Lipschitz in each unit argument, so
-    # 2·√dim/254 (+ float slack) can never screen out a true pair — a
-    # hardcoded 0.07 was only valid up to dim ≈ 78 (r6 review); survivors
-    # still get the exact fold, so results stay bit-identical.
+    # The margin is the PROVEN dim-DEPENDENT quantization bound on the
+    # RE-NORMALIZED quantized vectors the kernel actually compares
+    # (_unit_rows below — derivation in _bucket_ids): with
+    # ε = √dim·(0.5/127), renormalization re-inflates the raw q/127 error
+    # by at most 1/(1−ε/2) (norm-ratio inequality; sphere projection does
+    # NOT contract for points inside the sphere), and cos is 1-Lipschitz
+    # per unit argument, so 2·ε/(1−ε/2) (+ float slack) can never screen
+    # out a true pair — a hardcoded 0.07 was only valid up to dim ≈ 78
+    # (r6 review), and the bare 2·ε of r6 omitted the renormalization
+    # factor (r6 ADVICE). Survivors still get the exact fold, so results
+    # stay bit-identical.
     tagged = plain.unionAll(probe).join(
         wb.select("vec_id", F.col("qemb").alias("embedding")), "vec_id"
     )
     import math
 
-    screen_min = threshold - (2.0 * math.sqrt(dim) / 254.0 + 1e-6)
+    eps = math.sqrt(dim) * (0.5 / 127.0)
+    screen_min = threshold - (2.0 * eps / max(1.0 - eps / 2.0, 0.5) + 1e-6)
 
     # KEEP IN SYNC with _block_screen_pairs.screen (see note there).
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -215,6 +215,9 @@ def tuned_session(spark: SparkSession, expected_rows: int) -> SparkSession:
     return clone
 
 
+_warned_redacting_fallback = False
+
+
 def _session_confs(spark: SparkSession) -> list[tuple[str, str]]:
     """(key, value) pairs of the session's set SQL confs, UNREDACTED.
 
@@ -222,7 +225,12 @@ def _session_confs(spark: SparkSession) -> list[tuple[str, str]]:
     ``SET`` command applies ``spark.redaction.regex`` to its output, so it
     cannot be used to replicate secret-bearing confs onto a clone. Falls
     back to the (redacting) SET enumeration if the internal API moves —
-    degraded for secrets, but never silently empty."""
+    degraded for secrets, but never silently empty, and the degradation is
+    announced once per process (r6 review: a secret-bearing conf copied as
+    the literal ``*(redacted)`` placeholder would otherwise break the
+    tuned clone invisibly, exactly at the large scales where cloning
+    engages)."""
+    global _warned_redacting_fallback
     try:
         jmap = spark._jsparkSession.sessionState().conf().getAllConfs()
         it = jmap.iterator()
@@ -232,4 +240,17 @@ def _session_confs(spark: SparkSession) -> list[tuple[str, str]]:
             out.append((kv._1(), kv._2()))
         return out
     except Exception:  # noqa: BLE001 — private API drift: degrade, don't fail
+        if not _warned_redacting_fallback:
+            _warned_redacting_fallback = True
+            import warnings
+
+            warnings.warn(
+                "roar_spark: session-conf enumeration fell back to the SQL "
+                "SET command (internal SessionState API unavailable); confs "
+                "matching spark.redaction.regex will be copied onto tuned "
+                "session clones as the redaction placeholder, not their "
+                "real values.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return [(row.key, row.value) for row in spark.sql("SET").collect()]

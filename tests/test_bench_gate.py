@@ -3,7 +3,13 @@ that can never fire is decoration). Pure logic test — no Spark."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_gate_trips_on_deliberate_slowdown():
@@ -38,6 +44,32 @@ def test_gate_tolerates_session_noise_on_subsecond_queries():
         "sim_cosine_pairs": 1.863,
     }
     assert bench.find_regressions(r6_noisy_window, budgets) == []
+
+
+def test_gate_calibrated_against_every_recorded_window():
+    """Spurious-failure calibration over a CORPUS of measurement windows,
+    not one noisy sample (r6 ADVICE): every driver-recorded BENCH window
+    from the round the budgets were first rebased onward (r3+; r1/r2 ran
+    pre-optimization code the budgets never claimed to cover) must pass
+    the gate. Budgets are the best number seen across these windows, so
+    this asserts the 1.5x/+1.5s arms absorb the full observed window-to-
+    window spread on this box — a gate that would have flagged a past
+    clean run is miscalibrated, not strict."""
+    windows = sorted(glob.glob(os.path.join(REPO, "BENCH_r0*.json")))
+    checked = 0
+    for path in windows:
+        with open(path) as fh:
+            doc = json.load(fh)
+        queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+        round_no = int(os.path.basename(path)[len("BENCH_r") :].split(".")[0])
+        if not queries or round_no < 3:
+            continue
+        hits = bench.find_regressions(queries, bench.BUDGETS_SF01)
+        assert hits == [], f"{os.path.basename(path)} would trip the gate: {hits}"
+        checked += 1
+    # the corpus must actually exist — an empty glob passing silently
+    # would hollow the calibration out
+    assert checked >= 3, f"calibration corpus too small: {checked} windows"
 
 
 def test_budgets_cover_every_headline_query():

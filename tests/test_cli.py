@@ -105,6 +105,43 @@ def test_cli_materialize_validates_query_name(capsys, tmp_path):
     assert "--store-dir only applies with --query" in err
 
 
+def test_last_identifier_handles_qualified_names():
+    """The hint extractor must reduce a qualified relation name to its
+    bare last identifier: strip('`') only peeled the OUTER backticks, so
+    `db`.`tbl` kept inner backticks/dots and the did-you-mean matcher
+    silently degraded to the plain view list (r6 ADVICE). Pure function —
+    no Spark."""
+    from roar_spark.cli import _last_identifier
+
+    assert _last_identifier("lineitm") == "lineitm"
+    assert _last_identifier("`lineitm`") == "lineitm"
+    assert _last_identifier("`db`.`tbl`") == "tbl"
+    assert _last_identifier("spark_catalog.default.lineitm") == "lineitm"
+    # dots inside a backticked part belong to the identifier
+    assert _last_identifier("`db`.`my.view`") == "my.view"
+    # doubled backticks are the escape for a literal backtick
+    assert _last_identifier("`we``ird`") == "we`ird"
+    assert _last_identifier("") == ""
+
+
+def test_cli_sql_qualified_unknown_table_still_hints(spark, capsys):
+    """A QUALIFIED typo'd name (what Spark reports for db-prefixed
+    references) must still produce near-name suggestions against the bare
+    registered view names (r6 ADVICE: the hint used to silently degrade)."""
+    rc = main(
+        [
+            "sql",
+            "SELECT * FROM spark_catalog.default.lineitm LIMIT 1",
+            "--dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "unknown table or view 'lineitm'" in err
+    assert "did you mean" in err and "lineitem" in err
+
+
 def test_cli_sql_unknown_table_suggests_views(spark, capsys):
     """A typo'd table name in `sql` (and `materialize`, same helper) exits
     2 with did-you-mean suggestions from the registered views instead of a

@@ -107,6 +107,41 @@ def test_dispatch_uses_exact_path_at_driver_sf(spark):
     assert a == b
 
 
+@pytest.mark.parametrize("dim", [8, 64, 256, 1024])
+def test_quantized_screen_margin_covers_renormalized_drift(dim):
+    """The screen margin must bound the cos drift of what the kernel
+    ACTUALLY compares — the renormalized int8-quantized vectors
+    (_unit_rows(q) in the pair-stage screen) — not the raw q/127 error.
+    Renormalization can EXPAND the error (radial projection is not a
+    contraction inside the sphere), so the margin carries the 1/(1−ε/2)
+    norm-ratio factor (r6 ADVICE). Pure numpy, no Spark: measure the
+    empirical worst-case drift over random and adversarial (axis-aligned,
+    all-equal, near-half-step) unit vectors and assert it stays inside
+    the shipped margin at every dim."""
+    from roar_spark.operators.similarity import _unit_rows
+
+    rng = np.random.default_rng(dim)
+    vecs = [rng.standard_normal((4000, dim))]
+    # adversarial rows: half-step coordinates maximize per-coordinate
+    # rounding error; axis-aligned and all-equal hit the norm extremes
+    half_step = np.full((1, dim), 1.0)
+    half_step[:, : dim // 2] = (np.floor(127.0 / np.sqrt(dim)) + 0.5) * np.sqrt(dim) / 127.0
+    eye = np.eye(dim)[:8]
+    vecs.append(half_step)
+    vecs.append(eye + rng.standard_normal((8, dim)) * 1e-3)
+    m = _unit_rows(np.vstack(vecs))
+
+    q = np.round(127.0 * m)
+    uq = _unit_rows(q)
+    true_cos = m @ m.T
+    quant_cos = uq @ uq.T
+    worst = float(np.max(np.abs(true_cos - quant_cos)))
+
+    eps = np.sqrt(dim) * (0.5 / 127.0)
+    margin = 2.0 * eps / max(1.0 - eps / 2.0, 0.5) + 1e-6
+    assert worst <= margin, (worst, margin, dim)
+
+
 def test_higher_probe_covers_same_pairs_as_full_probe(spark, tmp_path_factory):
     """probe="higher" (upward-only Hamming-1 fan-out, r6) must produce the
     SAME candidate pair set as full probing — it only removes the second

@@ -452,6 +452,46 @@ def test_tuned_session_isolates_width_per_query(spark):
         del big
 
 
+def test_session_confs_fallback_warns_once():
+    """When the private SessionState API drifts, _session_confs degrades to
+    the redacting SET enumeration — and must SAY so, once per process, so a
+    secret-bearing conf copied as '*(redacted)' onto a tuned clone is
+    traceable to the drift instead of failing invisibly at 4M-doc scale
+    (r6 ADVICE). Pure test: a fake session whose JVM handle raises."""
+    import warnings
+
+    from roar_spark import session as sess
+
+    class _Row:
+        key, value = "k", "v"
+
+    class _FakeDF:
+        def collect(self):
+            return [_Row()]
+
+    class _FakeSpark:
+        @property
+        def _jsparkSession(self):
+            raise AttributeError("API drift")
+
+        def sql(self, q):
+            return _FakeDF()
+
+    old_flag = sess._warned_redacting_fallback
+    sess._warned_redacting_fallback = False
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = sess._session_confs(_FakeSpark())
+            assert out == [("k", "v")]
+            # second call: degraded result again, but NO second warning
+            sess._session_confs(_FakeSpark())
+        hits = [w for w in caught if "redaction" in str(w.message)]
+        assert len(hits) == 1 and issubclass(hits[0].category, RuntimeWarning)
+    finally:
+        sess._warned_redacting_fallback = old_flag
+
+
 def test_spread_row_floor_skips_small_embeddings(spark):
     """The embeddings consumers pass an int spread floor (20k rows): at
     driver SFs the table is far smaller, so the plan must contain NO
