@@ -999,23 +999,35 @@ def _knn_screened_candidates(
     probe: bool,
     n_tables: int = N_TABLES,
 ) -> DataFrame:
-    """(query_id, vec_id) candidate pairs for bulk k-NN: per (tbl, bkt)
-    group, one corpus×query matmul scores every in-bucket pair and only
-    each query's top-k-with-margin survives — the _lsh_screened_pairs
-    kernel specialized to per-query top-k selection.
+    """(query_id, vec_id, cos) candidate pairs for bulk k-NN: per
+    (tbl, bkt) group, one corpus×query matmul scores every in-bucket pair
+    and only each query's top-k-with-margin survives — the
+    _lsh_screened_pairs kernel specialized to per-query top-k selection.
+    NOT deduplicated across tables: the same pair surfaces once per
+    shared bucket (with last-ulp matmul jitter on cos), and each caller
+    applies its own dedup — select+distinct for the exact rerank,
+    groupBy+max(cos) for the screen-scored rerank.
 
     Why a per-group top-k is a safe filter for the GLOBAL top-k: if a
     candidate ranks below k inside its own bucket, the ≥ k candidates
     above it there are also global candidates for that query, so it can
     never enter the global top-k. The margin widens the per-group cut so
     a candidate whose exact rounded cosine ties the k-th can't be lost to
-    float summation-order noise; ties within the margin all survive and
-    the downstream exact rerank orders them deterministically. Versus
-    materializing every bucket collision (the previous shape), the
-    interpreted exact fold now runs only on ≈ k·tables survivors per
-    query instead of every collision (~tables·occupancy), and the
-    distinct shrinks by the same factor — the per-pair cost of the
-    collision space is one BLAS matmul per bucket."""
+    float summation-order noise (and, for the screen-scored rerank,
+    covers the ≤1e-12 cross-bucket jitter of the same pair's matmul cos);
+    ties within the margin all survive and the downstream rerank orders
+    them deterministically. Versus materializing every bucket collision
+    (the previous shape), the rerank runs only on ≈ k·tables survivors
+    per query instead of every collision (~tables·occupancy) — the
+    per-pair cost of the collision space is one BLAS matmul per bucket.
+
+    The emitted ``cos`` is the float64 matmul cosine of the renormalized
+    TRUE embeddings (no quantization anywhere in this family): it differs
+    from the exact ordered-fold `cosine()` only at summation-order level
+    (~1e-15 on unit vectors), which `round(·, 6)` absorbs. Zero-norm rows
+    (NaN → −2 sentinel) and self-pairs are cut in-kernel: both were
+    dropped downstream anyway (the exact rerank's NULL-cosine filter), so
+    shipping them was pure shuffle waste."""
     import numpy as np
     import pandas as pd
 
@@ -1040,7 +1052,9 @@ def _knn_screened_candidates(
         p = pdf[pdf["side"] != 1]  # corpus rows (side 0 or 2)
         q = pdf[pdf["side"] != 0]  # query rows (side 1 or 2)
         if p.empty or q.empty:
-            return pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
+            empty = pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
+            empty["cos"] = pd.Series([], dtype="float64")
+            return empty
         mp = _unit_rows(np.stack(p["embedding"].to_numpy()).astype("float64"))
         mq = _unit_rows(np.stack(q["embedding"].to_numpy()).astype("float64"))
         ids_p = p["vec_id"].to_numpy()
@@ -1057,6 +1071,7 @@ def _knn_screened_candidates(
         block = max(1, _SCREEN_BLOCK_FLOATS // max(1, nc))
         out_q: list[np.ndarray] = []
         out_p: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
         for s in range(0, len(ids_q), block):
             cos = mq[s : s + block] @ mp.T  # block × corpus
             cos[np.isnan(cos)] = -2.0  # zero-norm rows: never neighbors
@@ -1066,23 +1081,45 @@ def _knn_screened_candidates(
             # k-th largest per query row; the masked -2 self entries can
             # only LOWER the cut (more survivors), never exclude a real one
             kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
-            keep = (cos >= kth[:, None] - _KNN_SCREEN_MARGIN) & ~self_mask
+            # cos > -1.5 cuts the -2 sentinels (zero-norm / self) that
+            # survive the rank cut in an under-full bucket (kth = -2)
+            keep = (cos >= kth[:, None] - _KNN_SCREEN_MARGIN) & (cos > -1.5)
             iq, ip = np.nonzero(keep)
             out_q.append(ids_q[s + iq])
             out_p.append(ids_p[ip])
+            out_c.append(cos[iq, ip])
         return pd.DataFrame(
-            {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_p)}
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_p),
+                "cos": np.concatenate(out_c),
+            }
         )
 
-    return (
-        tagged.groupBy("tbl", "bkt")
-        .applyInPandas(screen_topk, "query_id long, vec_id long")
-        .distinct()  # the same survivor surfaces in several tables
+    return tagged.groupBy("tbl", "bkt").applyInPandas(
+        screen_topk, "query_id long, vec_id long, cos double"
     )
 
 
+# Above this corpus size the bulk classifier reranks on the SCREEN's own
+# matmul cosine instead of re-joining float embeddings onto pair rows: the
+# exact-fold rerank's three pair-sized embedding-carrying shuffles
+# (survivors × ~600 B at dim 64) totaled ~120 GB at 4M docs and filled the
+# local disk (r6 scale run) while the screen-scored shape ships only
+# (query_id, vec_id, cos) 24 B rows. Below it the exact ordered-fold
+# rerank keeps bit-parity with the published DuckDB oracle (driver SFs are
+# ≤ 2k embeddings); the two paths are output-equality-pinned on a seeded
+# corpus (tests/test_knn_tfidf_mix.py), since round(·, 6) absorbs the
+# ~1e-15 summation-order gap between BLAS matmul and the ordered fold.
+_BULK_EXACT_RERANK_CUTOFF = 20_000
+
+
 def embedding_knn_classify_bulk(
-    spark: SparkSession, sf_dir: str, k: int = KNN_K, probe: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    probe: bool = False,
+    force_screen_rerank: bool | None = None,
 ) -> DataFrame:
     """Full-corpus k-NN label prediction — the bulk-classification path
     the brute operator's docstring promises: EVERY vector is classified,
@@ -1110,56 +1147,96 @@ def embedding_knn_classify_bulk(
     SMALL query set (ann_lsh_topk uses it), but at bulk scale it turns
     ~128 candidates/vector into ~1500 (measured: the 80k smoke ran 10×
     longer); with every vector already OR-matched across N_TABLES
-    independent tables, table diversity supplies the recall instead."""
+    independent tables, table diversity supplies the recall instead.
+
+    ``force_screen_rerank`` overrides the size dispatch between the two
+    rerank shapes (None = dispatch on _BULK_EXACT_RERANK_CUTOFF):
+
+    - exact (small n): survivors re-join float embeddings and the ordered
+      fold `cosine()` scores each pair — bit-parity with the DuckDB
+      oracle, but three pair-sized embedding-carrying shuffles.
+    - screen-scored (large n): the score IS the screen's own float64
+      matmul cosine (max over shared buckets, then round(·, 6)); no
+      embedding ever attaches to a pair row, so the rerank ships 24 B
+      rows instead of ~1.2 KB — the shape that removed the 4M single-box
+      disk ceiling (SCALE.md). round(·, 6) absorbs the ~1e-15
+      summation-order gap, so ranking and votes come out identical
+      (equality-pinned across the cutoff in tests)."""
     from roar_spark.catalog import embedding_dim, table_row_count
 
     n = table_row_count("embeddings", sf_dir)
     dim = embedding_dim(sf_dir)
     n_planes = n_planes_for(n)
+    screen_rerank = (
+        n > _BULK_EXACT_RERANK_CUTOFF
+        if force_screen_rerank is None
+        else force_screen_rerank
+    )
 
-    # Heaviest shuffles: the rerank joins + the per-query rank window each
-    # move ≈ n·k·tables survivor pairs CARRYING dim-wide float embeddings
-    # (~600 B/row at dim 64 — ~12× the (doc_id, shingle)-sized records
-    # ROWS_PER_SHUFFLE_TASK is calibrated for, hence the ×8 width factor:
-    # per-task sort memory scales with bytes, not rows). Width tuning
-    # keeps each task's sort in memory, but it cannot reduce the TOTAL
-    # live shuffle footprint — files persist for the whole job, and the
-    # three pair-sized embedding-carrying shuffles total ~120 GB at 4M
-    # docs, which still exceeds the single-box disk (measured both ways,
-    # r6; SCALE.md documents the payload-reduction designs that remove
-    # it). On a cluster the same bytes spread across executor disks.
+    # Heaviest shuffle by BYTES: the screen explosion (n·tables rows
+    # carrying the dim-wide embedding, ~12× the record size
+    # ROWS_PER_SHUFFLE_TASK is calibrated for); on the exact path the
+    # rerank joins move ≈ n·k·tables embedding-carrying pair rows on top.
+    # Width tuning keeps each task's sort in memory — it cannot reduce
+    # the TOTAL live shuffle footprint (files persist for the whole job),
+    # which is exactly why the screen-scored rerank exists: it removes
+    # the ~120 GB of pair-sized embedding shuffles measured at 4M (r6),
+    # leaving the screen explosion as the only wide stage.
     from roar_spark.session import tuned_session
 
-    spark = tuned_session(spark, n * k * N_TABLES * 8)
+    heaviest = n * N_TABLES * 12 if screen_rerank else n * k * N_TABLES * 8
+    spark = tuned_session(spark, heaviest)
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
-    cand = _knn_screened_candidates(emb, n_planes, dim, k, probe)
-    sides_q = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    scored = (
-        cand.join(emb, "vec_id")
-        .join(sides_q, "query_id")
-        .withColumn(
-            "cos",
-            F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
+    screened = _knn_screened_candidates(emb, n_planes, dim, k, probe)
+    if screen_rerank:
+        # dedup across tables keeps the LARGEST matmul cos (same pair,
+        # last-ulp jitter between buckets); rounding AFTER the max mirrors
+        # the exact path's round-then-rank
+        scored = (
+            screened.groupBy("query_id", "vec_id")
+            .agg(F.round(F.max("cos"), 6).alias("cos"))
+            .join(emb.select("vec_id", "label"), "vec_id")
         )
-    )
+    else:
+        cand = screened.select("query_id", "vec_id").distinct()
+        sides_q = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        scored = (
+            cand.join(emb, "vec_id")
+            .join(sides_q, "query_id")
+            .withColumn(
+                "cos",
+                F.round(
+                    cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6
+                ),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     nn = (
-        # NULL cos = zero-norm vector: dropped here, so a degenerate query
+        # NULL cos = zero-norm vector (exact path; the screen path cuts
+        # its -2 sentinels in-kernel): dropped here, so a degenerate query
         # loses every candidate and surfaces as an explicit abstain row
         scored.filter(F.col("cos").isNotNull())
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
-    votes = nn.groupBy("query_id", "true_label", "label").agg(
+    votes = nn.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
     )
-    picked = _pick_knn_vote(votes)
+    # true_label attaches at query granularity (n skinny rows), never on
+    # pair rows — both paths share the vote/pick/abstain tail
+    picked = _pick_knn_vote(
+        votes.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+            ),
+            "query_id",
+        )
+    )
     # "EVERY vector is classified" literally: a vector sharing no bucket
     # with anyone in ANY table has an empty candidate set and would
     # silently vanish from the inner pipeline above — left-join back from

@@ -706,7 +706,13 @@ PIPELINE_ORACLES["embedding_knn_classify"] = f"""
 # below its own bucket's top-k by more than the float margin, hence below
 # the GLOBAL top-k (proof in _knn_screened_candidates), so the oracle may
 # rank ALL collisions with the exact rounded cosine and reach identical
-# votes. The abstain contract (a vector sharing no bucket with anyone in
+# votes. At driver SFs (≤ _BULK_EXACT_RERANK_CUTOFF rows) the operator
+# reranks survivors with the same exact ordered-fold cosine this oracle
+# uses — bit parity; above the cutoff it reranks on the screen's own
+# float64 matmul cosine (round(·,6) absorbs the ~1e-15 summation-order
+# gap; output-equality pinned across the cutoff in
+# tests/test_knn_tfidf_mix.py) so no embedding ever joins onto pair rows.
+# The abstain contract (a vector sharing no bucket with anyone in
 # any table keeps a null-prediction row with n_votes 0) is mirrored by the
 # LEFT JOIN back from the corpus. Sign-bit hazard = ann_lsh_topk's
 # (P ≈ 1e-13/bit; deterministic per fixed corpus).

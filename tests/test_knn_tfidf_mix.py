@@ -287,6 +287,93 @@ def test_bulk_knn_classifies_planted_clusters(spark, tmp_path_factory):
     assert acc >= 0.95
 
 
+def test_bulk_knn_screen_rerank_identical_output(spark, tmp_path_factory):
+    """The screen-scored rerank (large-n dispatch: the final score is the
+    screen's own float64 matmul cosine, max over shared buckets, rounded
+    to 6 — no embedding ever re-joined onto pair rows) must produce
+    byte-identical classifications to the exact-fold rerank: round(·, 6)
+    absorbs the ~1e-15 summation-order gap between BLAS and the ordered
+    fold. Pinned on a labeled cluster corpus WITH a zero-norm cohort so
+    the screen path's in-kernel sentinel cut is held to the exact path's
+    NULL-cosine abstain contract too."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.similarity import KNN_K, embedding_knn_classify_bulk
+
+    rng = np.random.default_rng(23)
+    n_labels, per, dim = 8, 80, 32
+    centers = rng.standard_normal((n_labels, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for i in range(per):
+        for lbl in range(n_labels):
+            v = centers[lbl] + 0.15 * rng.standard_normal(dim)
+            vecs.append((v / np.linalg.norm(v)).astype("float32"))
+            labels.append(lbl)
+    for _ in range(KNN_K):
+        vecs.append(np.zeros(dim, dtype="float32"))
+        labels.append(99)
+    d = tmp_path_factory.mktemp("screen_rerank")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    exact = sorted(
+        map(
+            tuple,
+            embedding_knn_classify_bulk(spark, str(d), force_screen_rerank=False).collect(),
+        )
+    )
+    screen = sorted(
+        map(
+            tuple,
+            embedding_knn_classify_bulk(spark, str(d), force_screen_rerank=True).collect(),
+        )
+    )
+    assert screen == exact
+    # the zero-norm cohort abstains on BOTH paths (n_votes 0, null label)
+    by_id = {r[0]: r for r in screen}
+    for q in range(len(vecs) - KNN_K, len(vecs)):
+        assert by_id[q][2] is None and by_id[q][3] == 0
+
+
+def test_bulk_knn_screen_rerank_never_ships_embeddings_on_pairs(spark):
+    """Plan pin for the 4M disk-ceiling fix: the screen-scored rerank's
+    executed plan must contain NO rerank join of embeddings onto survivor
+    pairs — `q_emb` (the query-side embedding alias that marks the exact
+    rerank join) must be absent, while the exact path's plan carries it.
+    The only embedding-bearing stage left is the screen explosion inside
+    _knn_screened_candidates."""
+    from roar_spark.operators.similarity import embedding_knn_classify_bulk
+
+    screen_plan = (
+        embedding_knn_classify_bulk(spark, SF, force_screen_rerank=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exact_plan = (
+        embedding_knn_classify_bulk(spark, SF, force_screen_rerank=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "q_emb" not in screen_plan
+    assert "q_emb" in exact_plan
+    # still candidate equi-joins only, and exactly one grouped-Pandas screen
+    assert "CartesianProduct" not in screen_plan
+    assert "BroadcastNestedLoopJoin" not in screen_plan
+    assert screen_plan.count("FlatMapGroupsInPandas") == 1
+
+
 def test_text_ops_survive_empty_documents(spark, tmp_path):
     """Empty/whitespace docs crash a Spark-4 ANSI session without the
     nullif/try_element_at guards (DIVIDE_BY_ZERO, INVALID_ARRAY_INDEX);
