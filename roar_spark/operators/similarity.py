@@ -1127,20 +1127,21 @@ def embedding_knn_classify_bulk(
     OR-amplified sign-LSH tables as ann_lsh_topk, but the collision space
     is screened INSIDE each bucket group by one corpus×query matmul that
     keeps only each query's top-k-with-margin (_knn_screened_candidates —
-    never all-pairs, never a per-collision fold), the exact ordered-fold
-    cosine reranks just those survivors, and the vote stage is identical
-    to embedding_knn_classify (votes desc, best cosine desc, label asc —
-    deterministic; the margin guarantees the screen never drops a
-    candidate the exact rounded score would rank ≤ k).
+    never all-pairs, never a per-collision fold), a rerank orders just
+    those survivors (exact ordered-fold cosine below the size cutoff, the
+    screen's own matmul cosine above it — see force_screen_rerank), and
+    the vote stage is identical to embedding_knn_classify (votes desc,
+    best cosine desc, label asc — deterministic; the margin guarantees
+    the screen never drops a candidate the rounded score would rank ≤ k).
 
     Scale shape: corpus hashes once per table (Arrow-batched matmul,
     _bucket_ids); per-bucket work is one BLAS matmul bounded by bucket
     occupancy (planes are sized for ~32-doc buckets at any n —
     n_planes_for), and only ≈ k·tables survivors per vector reach the
-    distinct + interpreted rerank, so total work is O(n · tables · 32)
-    matmul FLOPs + O(n · k · tables) exact folds ≈ linear in corpus size
-    where brute classification is O(n²). Approximate only in the
-    candidate set; scores and votes above it are exact.
+    rerank, so total work is O(n · tables · 32) matmul FLOPs +
+    O(n · k · tables) rerank rows ≈ linear in corpus size where brute
+    classification is O(n²). Approximate only in the candidate set;
+    scores and votes above it are exact to 6 decimals on both paths.
 
     ``probe`` (default False): Hamming-1 multi-probe multiplies the
     probe-side fan-out by (1+planes) — the right recall/cost trade for a
@@ -1188,13 +1189,21 @@ def embedding_knn_classify_bulk(
     spark = tuned_session(spark, heaviest)
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     screened = _knn_screened_candidates(emb, n_planes, dim, k, probe)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     if screen_rerank:
         # dedup across tables keeps the LARGEST matmul cos (same pair,
         # last-ulp jitter between buckets); rounding AFTER the max mirrors
-        # the exact path's round-then-rank
-        scored = (
-            screened.groupBy("query_id", "vec_id")
-            .agg(F.round(F.max("cos"), 6).alias("cos"))
+        # the exact path's round-then-rank. No NULL/sentinel filter: the
+        # kernel already cut zero-norm and self rows.
+        scored = screened.groupBy("query_id", "vec_id").agg(
+            F.round(F.max("cos"), 6).alias("cos")
+        )
+        nn = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            # candidate labels attach AFTER the top-k cut — ~n·k rows
+            # instead of every survivor, and the rank shuffle stays
+            # three-column narrow
             .join(emb.select("vec_id", "label"), "vec_id")
         )
     else:
@@ -1214,15 +1223,14 @@ def embedding_knn_classify_bulk(
                 ),
             )
         )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    nn = (
-        # NULL cos = zero-norm vector (exact path; the screen path cuts
-        # its -2 sentinels in-kernel): dropped here, so a degenerate query
-        # loses every candidate and surfaces as an explicit abstain row
-        scored.filter(F.col("cos").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-    )
+        nn = (
+            # NULL cos = zero-norm vector: dropped here, so a degenerate
+            # query loses every candidate and surfaces as an explicit
+            # abstain row
+            scored.filter(F.col("cos").isNotNull())
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
     votes = nn.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
