@@ -231,10 +231,15 @@ def _sql_with_table_hints(spark, query: str, prog: str):
         if not cond.startswith("TABLE_OR_VIEW_NOT_FOUND"):
             raise
         raw = (exc.getMessageParameters() or {}).get("relationName", "")
+        # match on the bare last identifier, but PRINT what the user
+        # typed: when the typo is in the qualifier (`default2`.`lineitem`)
+        # naming only the correct part would be actively misleading
+        # (r7 review)
         missing = _last_identifier(raw)
+        shown = raw.replace("`", "") or missing
         views = sorted(t.name for t in spark.catalog.listTables())
         print(
-            f"{prog}: unknown table or view {missing!r}"
+            f"{prog}: unknown table or view {shown!r}"
             f"{_suggest_names(missing, views)}; "
             f"registered views: {', '.join(views)}",
             file=sys.stderr,

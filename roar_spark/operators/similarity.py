@@ -81,10 +81,133 @@ def _unit_rows(m):
         return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
-def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Salt width for the two-phase per-query top-k: phase-1 parallelism is
+# |queries|·_TOPK_SALT rank groups (640 at the 10-query default — saturates
+# the 32-core box and spreads a 1000-executor cluster), phase-2 input is
+# ≤ |queries|·_TOPK_SALT·k rows (3.2k at k=10) — constant in corpus size.
+_TOPK_SALT = 64
+
+
+def _topk_per_query(scored: DataFrame, k: int, rank_col: str) -> DataFrame:
+    """Exact per-query top-k by (cos DESC, vec_id ASC) as a salted
+    two-phase rank. A single query-keyed window funnels the ENTIRE scored
+    corpus through |queries| tasks — with 10 broadcast queries at 16M docs
+    that was 10 tasks sorting 16M rows each, measured superlinear (188 s
+    vs a linear-projected ~130 s; SCALE.md r7). Phase 1 ranks inside
+    (query_id, vec_id-derived salt) at full parallelism and keeps k rows
+    per salt group; phase 2 ranks the ≤ |queries|·_TOPK_SALT·k survivors.
+    (cos, vec_id) totally orders each query's rows, so every global top-k
+    row is also in its own salt group's top-k — the result set AND its
+    rank numbers are identical to the single-window form under any
+    partitioning, and deterministic. Callers must project NARROW rows
+    first (no embedding columns): the rank shuffle then carries a few
+    dozen bytes per row instead of the ~1.2 KB of two embeddings."""
+    order = (F.desc("cos"), F.asc("vec_id"))
+    w1 = W.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = W.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(_TOPK_SALT)))
+        .withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_salt", "_prk")
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def _matmul_brute_scores(emb: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched brute scorer for the broadcast-query operators at
+    scale: the N_QUERIES query vectors ride the task closure (constant
+    ~5 KB), each corpus batch scores against all of them in ONE BLAS
+    matmul, and only each query's per-batch top-k survives — so the
+    kernel's output is ≤ batches·|queries|·k narrow rows regardless of
+    corpus size. Replaces the interpreted per-pair expression fold, which
+    the 16M run measured fold-bound at ~200 s (SCALE.md r7) — the same
+    expression-fold-vs-BLAS gap _bucket_ids documents at 12×.
+
+    Scores are float64 matmul cosines (the final Spark-side round(·, 6)
+    then matches the exact fold except on rounding-boundary hits — same
+    documented caveat as the bulk screen rerank). The per-batch cut
+    orders by (np-rounded cos desc, vec_id asc) — the FINAL sort key —
+    so the union over any batching provably contains the global top-k
+    and the result is partitioning-independent; np.round is half-even vs
+    Spark's half-up, divergent only on exact-midpoint doubles (measure
+    zero for computed cosines). Zero-norm rows (NaN) are never neighbors
+    and zero-norm queries match nothing, mirroring the exact path's NULL
+    cosine. The driver-side collect is the |queries| constant-size side,
+    the same precedent as ann_ivf_topk's centroid table."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    qids = np.array([r.vec_id for r in qrows], dtype="int64")
+    qm = _unit_rows(np.stack([np.asarray(r.embedding, dtype="float64") for r in qrows]))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _unit_rows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+            ids = pdf["vec_id"].to_numpy()
+            lbl = pdf["label"].to_numpy()
+            cos = m @ qm.T  # batch × |queries|
+            r6 = np.round(cos, 6)
+            out = []
+            for j in range(len(qids)):
+                c = r6[:, j]
+                valid = ~np.isnan(c) & (ids != qids[j])
+                idx = np.flatnonzero(valid)
+                if idx.size == 0:
+                    continue
+                order = np.lexsort((ids[idx], -c[idx]))[: min(k, idx.size)]
+                sel = idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(sel.size, qids[j]),
+                            "vec_id": ids[sel].astype("int64"),
+                            "label": lbl[sel].astype("int32"),
+                            "cos": cos[sel, j],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    return emb.select("vec_id", "embedding", "label").mapInPandas(
+        score, "query_id long, vec_id long, label int, cos double"
+    )
+
+
+def sim_brute_topk(
+    spark: SparkSession, sf_dir: str, force_matmul: bool | None = None
+) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10).
-    Query side is broadcast; corpus side never shuffles for the join."""
+    Query side is broadcast; corpus side never shuffles for the join; the
+    per-query rank runs as the salted two-phase top-k (_topk_per_query)
+    so no task ever sorts the whole corpus. Above the size cutoff the
+    scoring itself dispatches to the Arrow matmul kernel
+    (_matmul_brute_scores — the exact expression fold is fold-bound at
+    ~200 s per 16M×10 pairs); output-equality pinned across the cutoff."""
+    from roar_spark.catalog import table_row_count
+
+    matmul = (
+        table_row_count("embeddings", sf_dir) > _BULK_EXACT_RERANK_CUTOFF
+        if force_matmul is None
+        else force_matmul
+    )
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
+    if matmul:
+        scored = _matmul_brute_scores(emb, TOP_K).withColumn("cos", F.round("cos", 6))
+        # kernel output is ≤ batches·|queries|·k rows — one final window
+        # over that residue is already tiny
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
+            .orderBy("query_id", "rank")
+        )
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -99,14 +222,21 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         # NULL cos = zero-norm vector (non-comparable): drop BEFORE
-        # ranking so degenerate vectors never occupy a top-k slot
-        scored.filter(F.col("cos").isNotNull())
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
+        # ranking so degenerate vectors never occupy a top-k slot; project
+        # narrow before the rank shuffle (embeddings stay in the scan)
+        _topk_per_query(
+            scored.filter(F.col("cos").isNotNull()).select("query_id", "vec_id", "cos"),
+            TOP_K,
+            "rank",
+        )
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+        )
         .orderBy("query_id", "rank")
     )
 
@@ -912,12 +1042,16 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 10
 
 
-def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_knn_classify(
+    spark: SparkSession, sf_dir: str, force_matmul: bool | None = None
+) -> DataFrame:
     """k-NN label prediction: for each query vector (vec_id < N_QUERIES),
     take its KNN_K nearest corpus neighbors by exact cosine (self
     excluded) and predict the majority label; ties break by (votes desc,
     best neighbor cosine desc, label asc) — fully deterministic, so the
-    result carries an exact SQL oracle.
+    result carries an exact SQL oracle. Above the size cutoff the scoring
+    dispatches to the Arrow matmul kernel (_matmul_brute_scores), same
+    trade and caveat as sim_brute_topk.
 
     Scale shape (the classifier-inference pattern over a labeled corpus,
     e.g. quality/domain labeling of new documents against a curated seed
@@ -932,25 +1066,55 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: client-side similarity scoring delegated by the
     serving gateway (SURVEY.md Part B north-star); no reference-engine
     counterpart file."""
+    from roar_spark.catalog import table_row_count
+
+    matmul = (
+        table_row_count("embeddings", sf_dir) > _BULK_EXACT_RERANK_CUTOFF
+        if force_matmul is None
+        else force_matmul
+    )
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("true_label"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+    if matmul:
+        # scale path: one BLAS matmul per Arrow batch scores all queries,
+        # per-batch top-k in-kernel — the exact expression fold was
+        # fold-bound at ~200 s for 16M×10 pairs (SCALE.md r7)
+        scored = _matmul_brute_scores(emb, KNN_K).withColumn("cos", F.round("cos", 6))
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        nn = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KNN_K)
+            .join(
+                F.broadcast(
+                    emb.filter(F.col("vec_id") < N_QUERIES).select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("label").alias("true_label"),
+                    )
+                ),
+                "query_id",
+            )
         )
-    )
-    scored = emb.join(q, F.col("vec_id") != F.col("query_id")).withColumn(
-        "cos",
-        F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    nn = (
-        scored.filter(F.col("cos").isNotNull())  # zero-norm: never a neighbor
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KNN_K)
-    )
+    else:
+        q = F.broadcast(
+            emb.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            )
+        )
+        scored = emb.join(q, F.col("vec_id") != F.col("query_id")).withColumn(
+            "cos",
+            F.round(cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")), 6),
+        )
+        nn = _topk_per_query(
+            # zero-norm: never a neighbor; narrow projection before the
+            # rank shuffle (embeddings stay in the scan)
+            scored.filter(F.col("cos").isNotNull()).select(
+                "query_id", "true_label", "vec_id", "label", "cos"
+            ),
+            KNN_K,
+            "rk",
+        )
     votes = nn.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
@@ -959,17 +1123,22 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pick_knn_vote(votes: DataFrame) -> DataFrame:
-    """Deterministic winner per query from a (query_id, true_label, label,
-    n_votes, best_cos) vote table — shared by brute and bulk classify."""
+    """Deterministic winner per query from a (query_id, label, n_votes,
+    best_cos) vote table — shared by brute and bulk classify. A
+    ``true_label`` column is passed through when the caller already
+    carries one (brute does; bulk attaches it in its corpus left-join
+    instead, so forcing the column here would cost an n-row join whose
+    output is immediately dropped — r7 review)."""
     wv = W.partitionBy("query_id").orderBy(
         F.desc("n_votes"), F.desc("best_cos"), F.asc("label")
     )
+    carry = ["true_label"] if "true_label" in votes.columns else []
     return (
         votes.withColumn("vrk", F.row_number().over(wv))
         .filter(F.col("vrk") == 1)
         .select(
             "query_id",
-            "true_label",
+            *carry,
             F.col("label").alias("predicted_label"),
             "n_votes",
             "best_cos",
@@ -1109,8 +1278,9 @@ def _knn_screened_candidates(
 # (query_id, vec_id, cos) 24 B rows. Below it the exact ordered-fold
 # rerank keeps bit-parity with the published DuckDB oracle (driver SFs are
 # ≤ 2k embeddings); the two paths are output-equality-pinned on a seeded
-# corpus (tests/test_knn_tfidf_mix.py), since round(·, 6) absorbs the
-# ~1e-15 summation-order gap between BLAS matmul and the ordered fold.
+# corpus (tests/test_knn_tfidf_mix.py) — round(·, 6) absorbs the
+# summation-order gap between BLAS matmul and the ordered fold except on
+# rounding-boundary hits (see the operator docstring's caveat).
 _BULK_EXACT_RERANK_CUTOFF = 20_000
 
 
@@ -1141,7 +1311,8 @@ def embedding_knn_classify_bulk(
     rerank, so total work is O(n · tables · 32) matmul FLOPs +
     O(n · k · tables) rerank rows ≈ linear in corpus size where brute
     classification is O(n²). Approximate only in the candidate set;
-    scores and votes above it are exact to 6 decimals on both paths.
+    scores above it are 6-decimal roundings of a float64 cosine on both
+    paths (see the rerank-gap caveat under ``force_screen_rerank``).
 
     ``probe`` (default False): Hamming-1 multi-probe multiplies the
     probe-side fan-out by (1+planes) — the right recall/cost trade for a
@@ -1160,9 +1331,15 @@ def embedding_knn_classify_bulk(
       matmul cosine (max over shared buckets, then round(·, 6)); no
       embedding ever attaches to a pair row, so the rerank ships 24 B
       rows instead of ~1.2 KB — the shape that removed the 4M single-box
-      disk ceiling (SCALE.md). round(·, 6) absorbs the ~1e-15
-      summation-order gap, so ranking and votes come out identical
-      (equality-pinned across the cutoff in tests)."""
+      disk ceiling (SCALE.md). The BLAS-vs-ordered-fold summation gap is
+      ~dim·1e-16 per cosine; round(·, 6) absorbs it EXCEPT for cosines
+      landing within that gap of a 0.5e-6 rounding boundary, so at 100M+
+      survivor pairs a handful of best_cos values may differ in the 6th
+      decimal from what the exact fold would emit (and a vote can flip
+      only on an exact tie at that digit). Never at driver SFs — they
+      dispatch to the exact path — and equality-pinned across the cutoff
+      on a 650-row corpus in tests, where boundary hits have ~1e-9
+      probability."""
     from roar_spark.catalog import embedding_dim, table_row_count
 
     n = table_row_count("embeddings", sf_dir)
@@ -1235,16 +1412,10 @@ def embedding_knn_classify_bulk(
         F.count(F.lit(1)).alias("n_votes"),
         F.max("cos").alias("best_cos"),
     )
-    # true_label attaches at query granularity (n skinny rows), never on
-    # pair rows — both paths share the vote/pick/abstain tail
-    picked = _pick_knn_vote(
-        votes.join(
-            emb.select(
-                F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
-            ),
-            "query_id",
-        )
-    )
+    # true_label attaches once, at query granularity, in the corpus
+    # left-join below — never on pair rows, and not on the vote table
+    # either (it would be an n-row join dropped straight after)
+    picked = _pick_knn_vote(votes)
     # "EVERY vector is classified" literally: a vector sharing no bucket
     # with anyone in ANY table has an empty candidate set and would
     # silently vanish from the inner pipeline above — left-join back from
@@ -1254,7 +1425,7 @@ def embedding_knn_classify_bulk(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
     return (
-        all_q.join(picked.drop("true_label"), "query_id", "left")
+        all_q.join(picked, "query_id", "left")
         .select(
             "query_id",
             "true_label",

@@ -709,8 +709,9 @@ PIPELINE_ORACLES["embedding_knn_classify"] = f"""
 # votes. At driver SFs (≤ _BULK_EXACT_RERANK_CUTOFF rows) the operator
 # reranks survivors with the same exact ordered-fold cosine this oracle
 # uses — bit parity; above the cutoff it reranks on the screen's own
-# float64 matmul cosine (round(·,6) absorbs the ~1e-15 summation-order
-# gap; output-equality pinned across the cutoff in
+# float64 matmul cosine (round(·,6) absorbs the summation-order gap except
+# on ~1e-13-probability rounding-boundary hits — caveat in the operator
+# docstring; output-equality pinned across the cutoff in
 # tests/test_knn_tfidf_mix.py) so no embedding ever joins onto pair rows.
 # The abstain contract (a vector sharing no bucket with anyone in
 # any table keeps a null-prediction row with n_votes 0) is mirrored by the

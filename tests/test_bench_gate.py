@@ -55,7 +55,9 @@ def test_gate_calibrated_against_every_recorded_window():
     this asserts the 1.5x/+1.5s arms absorb the full observed window-to-
     window spread on this box — a gate that would have flagged a past
     clean run is miscalibrated, not strict."""
-    windows = sorted(glob.glob(os.path.join(REPO, "BENCH_r0*.json")))
+    # BENCH_r*.json, not r0*: a r0-anchored glob would silently stop
+    # matching at round 10 and freeze the corpus (r7 review)
+    windows = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     checked = 0
     for path in windows:
         with open(path) as fh:

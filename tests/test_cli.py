@@ -138,7 +138,11 @@ def test_cli_sql_qualified_unknown_table_still_hints(spark, capsys):
     )
     err = capsys.readouterr().err
     assert rc == 2
-    assert "unknown table or view 'lineitm'" in err
+    # the message shows what the user TYPED (qualified), while the
+    # did-you-mean match runs on the bare last identifier (r7 review:
+    # printing only the bare part is misleading when the typo is in the
+    # qualifier)
+    assert "unknown table or view 'spark_catalog.default.lineitm'" in err
     assert "did you mean" in err and "lineitem" in err
 
 

@@ -122,12 +122,23 @@ def test_quantized_screen_margin_covers_renormalized_drift(dim):
 
     rng = np.random.default_rng(dim)
     vecs = [rng.standard_normal((4000, dim))]
-    # adversarial rows: half-step coordinates maximize per-coordinate
-    # rounding error; axis-aligned and all-equal hit the norm extremes
-    half_step = np.full((1, dim), 1.0)
-    half_step[:, : dim // 2] = (np.floor(127.0 / np.sqrt(dim)) + 0.5) * np.sqrt(dim) / 127.0
+    # Adversarial rows must be EXACT unit vectors, or _unit_rows'
+    # renormalization shifts the coordinates off the half-steps and
+    # neutralizes them (r7 review caught a previous construction doing
+    # exactly that). Build rows with dim-1 coordinates at (m+0.5)/127 —
+    # worst-case rounding error per coordinate — and the last coordinate
+    # absorbing the norm so the row is unit by construction.
+    for mm in (0, 1, 3):
+        c = (mm + 0.5) / 127.0
+        if (dim - 1) * c * c >= 1.0:
+            continue
+        row = np.full(dim, c)
+        row[-1] = np.sqrt(1.0 - (dim - 1) * c * c)
+        vecs.append(row[None, :])
+        flipped = row.copy()
+        flipped[: dim // 2] *= -1.0  # error directions disagree pairwise
+        vecs.append(flipped[None, :])
     eye = np.eye(dim)[:8]
-    vecs.append(half_step)
     vecs.append(eye + rng.standard_normal((8, dim)) * 1e-3)
     m = _unit_rows(np.vstack(vecs))
 

@@ -374,6 +374,71 @@ def test_bulk_knn_screen_rerank_never_ships_embeddings_on_pairs(spark):
     assert screen_plan.count("FlatMapGroupsInPandas") == 1
 
 
+def test_brute_matmul_dispatch_identical_output(spark, tmp_path_factory):
+    """sim_brute_topk and embedding_knn_classify dispatch their scoring to
+    the Arrow matmul kernel above the size cutoff (the exact expression
+    fold measured fold-bound at ~200 s for 16M×10 pairs — SCALE.md r7).
+    Forced A/B on a labeled corpus with a zero-norm query AND zero-norm
+    corpus rows: outputs must be identical, including the degenerate-query
+    absence contract (a zero-norm query has only NULL cosines on the exact
+    path and an all-NaN column in the kernel — no rows either way)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.similarity import (
+        N_QUERIES,
+        embedding_knn_classify,
+        sim_brute_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    n, dim = 3000, 32
+    vecs = [v / np.linalg.norm(v) for v in rng.standard_normal((n, dim))]
+    vecs[3] = np.zeros(dim)  # zero-norm QUERY (vec_id 3 < N_QUERIES)
+    for i in range(50, 60):
+        vecs[i] = np.zeros(dim)  # zero-norm corpus rows
+    d = tmp_path_factory.mktemp("brute_matmul")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(np.asarray(v, dtype="float32")) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 7 for i in range(n)], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for fn in (sim_brute_topk, embedding_knn_classify):
+        exact = sorted(map(tuple, fn(spark, str(d), force_matmul=False).collect()))
+        matmul = sorted(map(tuple, fn(spark, str(d), force_matmul=True).collect()))
+        assert matmul == exact, fn.__name__
+        # the zero-norm query is absent from both (never a voter/neighbor)
+        assert all(r[0] != 3 for r in matmul), fn.__name__
+        assert len({r[0] for r in matmul}) == N_QUERIES - 1
+
+
+def test_brute_matmul_plan_is_arrow_batched(spark):
+    """The matmul scoring path must be ONE Arrow-batched mapInPandas over
+    the corpus — no row-at-a-time Python, no cartesian/nested-loop join
+    (the broadcast-join + fold shape is the exact path's)."""
+    from roar_spark.operators.similarity import sim_brute_topk
+
+    plan = (
+        sim_brute_topk(spark, SF, force_matmul=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_text_ops_survive_empty_documents(spark, tmp_path):
     """Empty/whitespace docs crash a Spark-4 ANSI session without the
     nullif/try_element_at guards (DIVIDE_BY_ZERO, INVALID_ARRAY_INDEX);
