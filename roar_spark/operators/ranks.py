@@ -1,0 +1,74 @@
+"""Salted two-phase per-group top-k — the scale-safe form of the
+``row_number() <= k`` idiom when the GROUP KEY has small cardinality.
+
+A single group-keyed rank window shuffles every input row into
+|groups| tasks; with tens of groups (p_type ~150, p_brand ~25,
+lang ~10, broadcast query ids ~10) each task sorts corpus-sized input —
+measured superlinear on the 16M-doc harness (SCALE.md r7: 10 tasks each
+sorting 16M rows). High-cardinality keys (custkey, user_id) don't have
+this problem and keep the plain window.
+
+The two-phase form is EXACT, not approximate, whenever the ORDER is a
+total order on each group's rows (every call site orders by a unique
+tiebreak column): every global top-k row ranks ≤ k inside its own
+(group, salt) slice too, so phase 1 — rank inside (group, pmod(salt_col,
+_SALT)) at full parallelism, keep k — provably retains the global top-k,
+and phase 2 ranks the ≤ |groups|·_SALT·k survivors. Result rows AND rank
+numbers are identical to the single-window form under any partitioning,
+and deterministic. The salt derives from a data column (not
+spark_partition_id), so the intermediate — not just the result — is
+partitioning-independent.
+
+Callers should project NARROW columns first: both rank shuffles carry
+every column of ``df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# Phase-1 parallelism is |groups|·_SALT rank slices; phase-2 input is
+# ≤ |groups|·_SALT·k rows — constant in corpus size. 64 saturates the
+# 32-core local box and spreads a 1000-executor cluster.
+_SALT = 64
+
+
+def salted_survivors(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_col: str,
+) -> DataFrame:
+    """Phase 1 only: the ≤ k rows per (group, salt) slice — a provable
+    superset of each group's global top-k under the same total order
+    (callers that need several rank flavors — window_rank's
+    rank/dense_rank — re-rank the survivors themselves; any row ranked
+    ≤ k globally has ALL rows above it surviving too, so ranks computed
+    on survivors match the full-input ranks for the kept rows)."""
+    w1 = W.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", F.pmod(F.col(salt_col).cast("long"), F.lit(_SALT)))
+        .withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_salt", "_prk")
+    )
+
+
+def salted_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str,
+    salt_col: str,
+) -> DataFrame:
+    """Exact per-group top-k with rank numbers, as the two-phase rank.
+    ``order_cols`` MUST totally order each group's rows (include a unique
+    tiebreak) — that is what makes the phase-1 cut lossless."""
+    w2 = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        salted_survivors(df, group_cols, order_cols, k, salt_col)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

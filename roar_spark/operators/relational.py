@@ -365,11 +365,29 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking family: row_number / rank / dense_rank per brand, ordered by
-    price. Deterministic tiebreak on partkey."""
+    price. Deterministic tiebreak on partkey.
+
+    Scale shape: p_brand has 25 values, so the rank window runs on
+    salted-survivor input (operators/ranks.py) instead of sorting the
+    whole part table in 25 tasks. The (price, partkey) order is total, so
+    phase 1's per-(brand, salt) top-5 provably contains every global
+    top-5 row AND every row ranked above one — rank/dense_rank computed
+    on the survivors therefore equal the full-input values for all kept
+    rows."""
+    from roar_spark.operators.ranks import salted_survivors
+
     part = load_table(spark, "part", sf_dir)
-    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    order = [F.desc("p_retailprice"), F.asc("p_partkey")]
+    surv = salted_survivors(
+        part.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        order,
+        5,
+        "p_partkey",
+    )
+    w = W.partitionBy("p_brand").orderBy(*order)
     return (
-        part.select(
+        surv.select(
             "p_brand",
             "p_partkey",
             "p_retailprice",
@@ -402,13 +420,24 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts by price per type — the row_number()<=k idiom (at scale
-    this beats a global sort: one hash shuffle by group, no total order)."""
+    """Top-3 parts by price per type — the row_number()<=k idiom, in its
+    scale-safe salted two-phase form (operators/ranks.py): p_type has
+    ~150 values, so a single type-keyed window would sort the whole part
+    table in 150 tasks at 100 TB. Identical rows and rank numbers (the
+    order is total via the partkey tiebreak)."""
+    from roar_spark.operators.ranks import salted_topk
+
     part = load_table(spark, "part", sf_dir)
-    w = W.partitionBy("p_type").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        part.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
+        salted_topk(
+            part.select("p_type", "p_partkey", "p_name", "p_retailprice"),
+            ["p_type"],
+            [F.desc("p_retailprice"), F.asc("p_partkey")],
+            3,
+            "rn",
+            "p_partkey",
+        )
+        .withColumn("rn", F.col("rn").cast("long"))
         .select("p_type", "rn", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "rn")
     )

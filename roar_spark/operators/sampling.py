@@ -136,20 +136,26 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation/audit pipelines need ("give me exactly 20 of each"),
     reproducible across runs, engines and partitionings.
 
-    Plan: one hash shuffle on lang for the rank window; the md5 rank key
-    is computed map-side. Stratum skew is bounded by the window's
-    top-k-per-partition shape (rank + filter prunes to k rows per group
-    before anything else happens downstream). No RNG, no sampleBy
-    approximation, no collect."""
-    docs = load_table(spark, "documents", sf_dir)
-    from pyspark.sql import Window as W
+    Plan: the rank runs as the salted two-phase top-k
+    (operators/ranks.py) — lang has ~10 values, so a single lang-keyed
+    window would sort the whole corpus in 10 tasks at scale. The md5 rank
+    key is computed map-side; (md5, doc_id) is a total order, so rows and
+    rank numbers are identical to the single-window form. No RNG, no
+    sampleBy approximation, no collect."""
+    from roar_spark.operators.ranks import salted_topk
 
+    docs = load_table(spark, "documents", sf_dir)
     key = F.md5(F.col("doc_id").cast("string"))
-    w = W.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
     return (
-        docs.select("lang", "doc_id", key.alias("sample_key"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= K_PER_STRATUM)
+        salted_topk(
+            docs.select("lang", "doc_id", key.alias("sample_key")),
+            ["lang"],
+            [F.asc("sample_key"), F.asc("doc_id")],
+            K_PER_STRATUM,
+            "rk",
+            "doc_id",
+        )
+        .withColumn("rk", F.col("rk").cast("long"))
         .select("lang", "rk", "doc_id")
         .orderBy("lang", "rk")
     )

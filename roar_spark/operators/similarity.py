@@ -81,37 +81,17 @@ def _unit_rows(m):
         return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
-# Salt width for the two-phase per-query top-k: phase-1 parallelism is
-# |queries|·_TOPK_SALT rank groups (640 at the 10-query default — saturates
-# the 32-core box and spreads a 1000-executor cluster), phase-2 input is
-# ≤ |queries|·_TOPK_SALT·k rows (3.2k at k=10) — constant in corpus size.
-_TOPK_SALT = 64
-
-
 def _topk_per_query(scored: DataFrame, k: int, rank_col: str) -> DataFrame:
-    """Exact per-query top-k by (cos DESC, vec_id ASC) as a salted
-    two-phase rank. A single query-keyed window funnels the ENTIRE scored
-    corpus through |queries| tasks — with 10 broadcast queries at 16M docs
-    that was 10 tasks sorting 16M rows each, measured superlinear (188 s
-    vs a linear-projected ~130 s; SCALE.md r7). Phase 1 ranks inside
-    (query_id, vec_id-derived salt) at full parallelism and keeps k rows
-    per salt group; phase 2 ranks the ≤ |queries|·_TOPK_SALT·k survivors.
-    (cos, vec_id) totally orders each query's rows, so every global top-k
-    row is also in its own salt group's top-k — the result set AND its
-    rank numbers are identical to the single-window form under any
-    partitioning, and deterministic. Callers must project NARROW rows
-    first (no embedding columns): the rank shuffle then carries a few
-    dozen bytes per row instead of the ~1.2 KB of two embeddings."""
-    order = (F.desc("cos"), F.asc("vec_id"))
-    w1 = W.partitionBy("query_id", "_salt").orderBy(*order)
-    w2 = W.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(_TOPK_SALT)))
-        .withColumn("_prk", F.row_number().over(w1))
-        .filter(F.col("_prk") <= k)
-        .drop("_salt", "_prk")
-        .withColumn(rank_col, F.row_number().over(w2))
-        .filter(F.col(rank_col) <= k)
+    """Exact per-query top-k by (cos DESC, vec_id ASC) — the salted
+    two-phase rank (operators/ranks.py): a single query-keyed window
+    funnels the ENTIRE scored corpus through |queries| tasks (with 10
+    broadcast queries at 16M docs that was 10 tasks sorting 16M rows
+    each — SCALE.md r7). Callers must project NARROW rows first (no
+    embedding columns): the rank shuffles carry every column."""
+    from roar_spark.operators.ranks import salted_topk
+
+    return salted_topk(
+        scored, ["query_id"], [F.desc("cos"), F.asc("vec_id")], k, rank_col, "vec_id"
     )
 
 

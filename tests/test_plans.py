@@ -515,3 +515,33 @@ def test_spread_zero_floor_means_always_spread(spark):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "RoundRobinPartitioning" in buf.getvalue()
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """operators/ranks.py: the salted two-phase top-k must return the SAME
+    rows and rank numbers as the single group-keyed window, on a skewed
+    input (one giant group, several tiny ones, rank ties broken by the
+    unique id) — the losslessness proof exercised, not just asserted."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from roar_spark.operators.ranks import salted_topk
+
+    df = spark.range(20000).select(
+        F.when(F.col("id") < 19000, F.lit("big"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+        F.col("id"),
+        # heavy ties: only 5 distinct scores, so the unique-id tiebreak
+        # carries the total order
+        (F.col("id") % 5).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    plain = (
+        df.withColumn("rk", F.row_number().over(W.partitionBy("grp").orderBy(*order)))
+        .filter(F.col("rk") <= 4)
+        .collect()
+    )
+    salted = salted_topk(df, ["grp"], order, 4, "rk", "id").collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    assert len(plain) == 8 * 4  # big + 7 tiny groups, 4 rows each
