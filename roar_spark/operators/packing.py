@@ -10,13 +10,18 @@ count. The result is one row per (shard, window) with its document count
 and token occupancy — every window except a shard's last is exactly full,
 which is the whole point of packing (no padding waste).
 
-Scale design: the running token offset is a window function PARTITIONED
-BY source — per-shard sequential semantics with cross-shard parallelism,
-which is exactly how 100 TB packing jobs run (a global single-partition
-prefix sum would serialize the corpus through one task; sharded packing
-is embarrassingly parallel and what trainers actually consume, one packed
-stream per shard/worker). The doc→window fan-out is an explode of at most
-⌈n_tok/W⌉+1 elements per doc — linear in corpus tokens, no joins.
+Scale design: the running token offset is a per-shard (``source``)
+exclusive prefix sum, computed as a DISTRIBUTED two-level prefix sum
+rather than one source-keyed window: with ~20 shards, a single window
+would serialize the whole corpus through 20 sort tasks (the r7
+low-cardinality-window finding, operators/ranks.py). Level 1 buckets
+doc_ids into coarse monotone ranges and window-sums INSIDE
+(source, bucket) at full parallelism; level 2 cumulates the per-bucket
+totals per source (≤ shards·buckets tiny rows) and the bucket offset
+joins back broadcast. start = bucket_offset + within-bucket prefix —
+exactly the single-window value, deterministic under any partitioning.
+The doc→window fan-out is an explode of at most ⌈n_tok/W⌉+1 elements per
+doc — linear in corpus tokens, no pair joins.
 """
 
 from __future__ import annotations
@@ -30,6 +35,12 @@ from roar_spark.functions.text_fns import tokens
 
 PACK_WINDOW = 256  # tokens per packed training sequence
 
+# Doc-ids per prefix-sum bucket: floor(doc_id / B) is monotone in doc_id,
+# so bucket order = doc order. 1M keeps level-1 slices task-sized and the
+# level-2 offsets table tiny (corpus_rows / 1M rows) — at 1e12 docs that
+# is a 1M-row window per source, itself parallel enough.
+_PREFIX_BUCKET = 1 << 20
+
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (source, window_id): documents overlapping the window and the
@@ -41,12 +52,39 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop deliberate and visible beats an accounting hole at corpus scale
     docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     n_tok = F.size(tokens(F.col("text"))).cast("long")
-    win = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    laid = docs.select("source", "doc_id", n_tok.alias("n_tok")).select(
+    sized = docs.select(
         "source",
         "doc_id",
-        "n_tok",
-        F.coalesce(F.sum("n_tok").over(win), F.lit(0)).cast("long").alias("start"),
+        n_tok.alias("n_tok"),
+        F.floor(F.col("doc_id") / _PREFIX_BUCKET).cast("long").alias("bkt"),
+    )
+    # level 2: exclusive running total of whole buckets, per source — the
+    # input is ≤ sources·buckets rows, so this window is tiny by design
+    woff = W.partitionBy("source").orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        sized.groupBy("source", "bkt")
+        .agg(F.sum("n_tok").alias("bkt_tok"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("bkt_tok").over(woff), F.lit(0)).cast("long").alias("bkt_off"),
+        )
+    )
+    # level 1: exclusive prefix inside (source, bucket) — full parallelism
+    win = W.partitionBy("source", "bkt").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    laid = (
+        sized.withColumn(
+            "local", F.coalesce(F.sum("n_tok").over(win), F.lit(0)).cast("long")
+        )
+        .join(F.broadcast(offsets), ["source", "bkt"])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("bkt_off") + F.col("local")).alias("start"),
+        )
     )
     laid = laid.withColumn("end", F.col("start") + F.col("n_tok"))
     wcol = F.explode(

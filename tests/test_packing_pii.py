@@ -55,3 +55,59 @@ def test_pii_scrub_idempotent_on_clean_text(spark):
     for pat in (PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE):
         n = df.select(F.size(F.regexp_extract_all("scrubbed", F.lit(pat), 0)).alias("n")).collect()[0].n
         assert n == 0
+
+
+def test_packing_prefix_sum_crosses_bucket_boundaries(spark, tmp_path):
+    """The r7 distributed two-level prefix sum buckets doc_ids by
+    floor(doc_id / 2^20); driver SFs never leave bucket 0, so exercise
+    doc_ids straddling several bucket boundaries directly and compare
+    against the independently computed single-window offsets (the
+    semantics the DuckDB oracle pins at sf0.01)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.packing import _PREFIX_BUCKET
+
+    # doc_ids hugging three bucket boundaries, two sources interleaved
+    ids = []
+    for b in (0, 1, 2, 5):
+        base = b * _PREFIX_BUCKET
+        ids += [base, base + 1, base + _PREFIX_BUCKET - 2, base + _PREFIX_BUCKET - 1]
+    ids = sorted(set(ids))
+    texts = [" ".join(["tok"] * (3 + i % 7)) for i in range(len(ids))]
+    srcs = [f"s{i % 2}" for i in range(len(ids))]
+    d = tmp_path / "bkt"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(srcs),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        (r.source, r.window_id): (r.n_docs, r.window_tokens)
+        for r in pack_sequences(spark, str(d)).collect()
+    }
+    # independent single-pass expectation in plain Python
+    from collections import defaultdict
+
+    from roar_spark.operators.packing import PACK_WINDOW as PW
+
+    expect = defaultdict(lambda: [0, 0])
+    offset = defaultdict(int)
+    for i, doc in enumerate(ids):
+        src, n = srcs[i], 3 + i % 7
+        start = offset[src]
+        end = start + n
+        offset[src] = end
+        for w in range(start // PW, (end - 1) // PW + 1):
+            tok = min(end, (w + 1) * PW) - max(start, w * PW)
+            expect[(src, w)][0] += 1
+            expect[(src, w)][1] += tok
+    assert got == {k: tuple(v) for k, v in expect.items()}
