@@ -17,9 +17,10 @@ would serialize the whole corpus through 20 sort tasks (the r7
 low-cardinality-window finding, operators/ranks.py). Level 1 buckets
 doc_ids into coarse monotone ranges and window-sums INSIDE
 (source, bucket) at full parallelism; level 2 cumulates the per-bucket
-totals per source (≤ shards·buckets tiny rows) and the bucket offset
-joins back broadcast. start = bucket_offset + within-bucket prefix —
-exactly the single-window value, deterministic under any partitioning.
+totals per source (≤ shards·buckets pre-aggregated rows) and the bucket
+offset joins back on (source, bucket). start = bucket_offset +
+within-bucket prefix — exactly the single-window value, deterministic
+under any partitioning.
 The doc→window fan-out is an explode of at most ⌈n_tok/W⌉+1 elements per
 doc — linear in corpus tokens, no pair joins.
 """
@@ -58,8 +59,21 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tok"),
         F.floor(F.col("doc_id") / _PREFIX_BUCKET).cast("long").alias("bkt"),
     )
+    # The two levels form a diamond over the tokenize projection, so the
+    # corpus is scanned and tokenized TWICE — deliberate (r7 review
+    # adjudication): exchange reuse cannot dedupe the branches (column
+    # pruning and join-key isnotnull propagation diverge the exchange
+    # children — verified against the executed plan both ways), and a
+    # persisted intermediate is ~40 B/doc ≈ 40 TB of cache at the 1e12-doc
+    # design point, while the second tokenize pass is embarrassingly
+    # parallel map CPU whose level-2 branch shuffles only the map-side
+    # pre-aggregated (source, bkt) sums — the cheaper honest cost.
     # level 2: exclusive running total of whole buckets, per source — the
-    # input is ≤ sources·buckets rows, so this window is tiny by design
+    # shuffled input is ≤ sources·buckets pre-aggregated rows. NOT
+    # force-broadcast: at 1e12 docs offsets is corpus/2^20 rows
+    # (~1e6/source) — a plain (source, bkt) join keeps the plan honest at
+    # any size while Catalyst still auto-broadcasts it whenever it is
+    # actually small (r7 review).
     woff = W.partitionBy("source").orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = (
         sized.groupBy("source", "bkt")
@@ -78,7 +92,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized.withColumn(
             "local", F.coalesce(F.sum("n_tok").over(win), F.lit(0)).cast("long")
         )
-        .join(F.broadcast(offsets), ["source", "bkt"])
+        .join(offsets, ["source", "bkt"])
         .select(
             "source",
             "doc_id",

@@ -1,26 +1,31 @@
-"""Salted two-phase per-group top-k — the scale-safe form of the
-``row_number() <= k`` idiom when the GROUP KEY has small cardinality.
+"""Salted two-phase per-group top-k — a tightening of the
+``row_number() <= k`` idiom for GROUP KEYS of small cardinality.
 
-A single group-keyed rank window shuffles every input row into
-|groups| tasks; with tens of groups (p_type ~150, p_brand ~25,
-lang ~10, broadcast query ids ~10) each task sorts corpus-sized input —
-measured superlinear on the 16M-doc harness (SCALE.md r7: 10 tasks each
-sorting 16M rows). High-cardinality keys (custkey, user_id) don't have
-this problem and keep the plain window.
+What Catalyst already does: a rank-function filter gets a map-side
+WindowGroupLimit (pinned by test_sample_topk_gets_window_group_limit),
+so each input partition forwards at most k rows per group and the final
+G-key window sorts ≤ input_partitions·k rows per group — NOT corpus-sized
+input. (r7 initially claimed otherwise; measured plans corrected it.)
+
+What this helper adds: the per-group final-sort input becomes a CONSTANT
+≤ _SALT·k instead of growing with the scan's partition count — the
+difference between a 1280-row and a 10M-row single-task sort at the
+1e5-partition scan widths a 100 TB corpus implies. Phase 1 ranks inside
+(group, pmod(salt_col, _SALT)) at full parallelism (itself
+WindowGroupLimit-protected); phase 2 ranks the ≤ |groups|·_SALT·k
+survivors.
 
 The two-phase form is EXACT, not approximate, whenever the ORDER is a
 total order on each group's rows (every call site orders by a unique
 tiebreak column): every global top-k row ranks ≤ k inside its own
-(group, salt) slice too, so phase 1 — rank inside (group, pmod(salt_col,
-_SALT)) at full parallelism, keep k — provably retains the global top-k,
-and phase 2 ranks the ≤ |groups|·_SALT·k survivors. Result rows AND rank
-numbers are identical to the single-window form under any partitioning,
-and deterministic. The salt derives from a data column (not
+(group, salt) slice too, so phase 1 provably retains the global top-k,
+and result rows AND rank numbers are identical to the single-window form
+under any partitioning. The salt derives from a data column (not
 spark_partition_id), so the intermediate — not just the result — is
 partitioning-independent.
 
-Callers should project NARROW columns first: both rank shuffles carry
-every column of ``df``.
+High-cardinality group keys (custkey, user_id, the bulk classifier's
+query_id) don't need any of this and keep the plain window.
 """
 
 from __future__ import annotations
@@ -28,8 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # Phase-1 parallelism is |groups|·_SALT rank slices; phase-2 input is
-# ≤ |groups|·_SALT·k rows — constant in corpus size. 64 saturates the
-# 32-core local box and spreads a 1000-executor cluster.
+# ≤ |groups|·_SALT·k rows — constant in corpus size and scan width. 64
+# saturates the 32-core local box and spreads a 1000-executor cluster.
 _SALT = 64
 
 

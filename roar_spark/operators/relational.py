@@ -367,13 +367,14 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking family: row_number / rank / dense_rank per brand, ordered by
     price. Deterministic tiebreak on partkey.
 
-    Scale shape: p_brand has 25 values, so the rank window runs on
-    salted-survivor input (operators/ranks.py) instead of sorting the
-    whole part table in 25 tasks. The (price, partkey) order is total, so
-    phase 1's per-(brand, salt) top-5 provably contains every global
-    top-5 row AND every row ranked above one — rank/dense_rank computed
-    on the survivors therefore equal the full-input values for all kept
-    rows."""
+    Scale shape: the rank window runs on salted-survivor input
+    (operators/ranks.py) — with 25 p_brand values, Catalyst's map-side
+    WindowGroupLimit bounds the final per-brand sort to scan_partitions·5
+    rows and the salt tightens it to a constant 64·5. The (price,
+    partkey) order is total, so phase 1's per-(brand, salt) top-5
+    provably contains every global top-5 row AND every row ranked above
+    one — rank/dense_rank computed on the survivors therefore equal the
+    full-input values for all kept rows."""
     from roar_spark.operators.ranks import salted_survivors
 
     part = load_table(spark, "part", sf_dir)
@@ -420,10 +421,12 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts by price per type — the row_number()<=k idiom, in its
-    scale-safe salted two-phase form (operators/ranks.py): p_type has
-    ~150 values, so a single type-keyed window would sort the whole part
-    table in 150 tasks at 100 TB. Identical rows and rank numbers (the
+    """Top-3 parts by price per type — the row_number()<=k idiom in the
+    salted two-phase form (operators/ranks.py): Catalyst's map-side
+    WindowGroupLimit already bounds the final per-type sort to
+    scan_partitions·k rows; the salt tightens that to a constant 64·k,
+    which matters at the 1e5-partition scan widths of a 100 TB part
+    table (~150 p_type values). Identical rows and rank numbers (the
     order is total via the partkey tiebreak)."""
     from roar_spark.operators.ranks import salted_topk
 

@@ -137,11 +137,13 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across runs, engines and partitionings.
 
     Plan: the rank runs as the salted two-phase top-k
-    (operators/ranks.py) — lang has ~10 values, so a single lang-keyed
-    window would sort the whole corpus in 10 tasks at scale. The md5 rank
-    key is computed map-side; (md5, doc_id) is a total order, so rows and
-    rank numbers are identical to the single-window form. No RNG, no
-    sampleBy approximation, no collect."""
+    (operators/ranks.py) — with ~10 langs, Catalyst's map-side
+    WindowGroupLimit already bounds the final per-lang sort to
+    scan_partitions·k rows; the salt tightens it to a constant 64·k for
+    the 1e5-partition scan widths of a 100 TB corpus. The md5 rank key is
+    computed map-side; (md5, doc_id) is a total order, so rows and rank
+    numbers are identical to the single-window form. No RNG, no sampleBy
+    approximation, no collect."""
     from roar_spark.operators.ranks import salted_topk
 
     docs = load_table(spark, "documents", sf_dir)

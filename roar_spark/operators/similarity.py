@@ -83,11 +83,12 @@ def _unit_rows(m):
 
 def _topk_per_query(scored: DataFrame, k: int, rank_col: str) -> DataFrame:
     """Exact per-query top-k by (cos DESC, vec_id ASC) — the salted
-    two-phase rank (operators/ranks.py): a single query-keyed window
-    funnels the ENTIRE scored corpus through |queries| tasks (with 10
-    broadcast queries at 16M docs that was 10 tasks sorting 16M rows
-    each — SCALE.md r7). Callers must project NARROW rows first (no
-    embedding columns): the rank shuffles carry every column."""
+    two-phase rank (operators/ranks.py): with ~10 query keys, Catalyst's
+    map-side WindowGroupLimit already bounds each query's final sort to
+    scan_partitions·k rows; the salt tightens it to a constant 64·k
+    (SCALE.md r7 — the 16M wall itself was the scoring fold, fixed by
+    _matmul_brute_scores, not this window). Callers still project NARROW
+    rows first: the rank shuffles carry every column."""
     from roar_spark.operators.ranks import salted_topk
 
     return salted_topk(
@@ -95,7 +96,17 @@ def _topk_per_query(scored: DataFrame, k: int, rank_col: str) -> DataFrame:
     )
 
 
-def _matmul_brute_scores(emb: DataFrame, k: int) -> DataFrame:
+def _collect_query_rows(emb: DataFrame):
+    """The N_QUERIES query rows (vec_id, embedding, label) — the one
+    constant-size driver-side collect the matmul brute path makes."""
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+
+
+def _matmul_brute_scores(emb: DataFrame, k: int, qrows=None) -> DataFrame:
     """Arrow-batched brute scorer for the broadcast-query operators at
     scale: the N_QUERIES query vectors ride the task closure (constant
     ~5 KB), each corpus batch scores against all of them in ONE BLAS
@@ -115,11 +126,20 @@ def _matmul_brute_scores(emb: DataFrame, k: int) -> DataFrame:
     zero for computed cosines). Zero-norm rows (NaN) are never neighbors
     and zero-norm queries match nothing, mirroring the exact path's NULL
     cosine. The driver-side collect is the |queries| constant-size side,
-    the same precedent as ann_ivf_topk's centroid table."""
+    the same precedent as ann_ivf_topk's centroid table; callers that
+    also need the query rows (knn's true_label lookup) pass the SAME
+    collect in via ``qrows`` so the table is scanned exactly once for
+    them (r7 review). A corpus with no vec_id < N_QUERIES yields an
+    empty result like the exact arm, not an np.stack crash (r7 review)."""
     import numpy as np
     import pandas as pd
 
-    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    if qrows is None:
+        qrows = _collect_query_rows(emb)
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, label int, cos double"
+        )
     qids = np.array([r.vec_id for r in qrows], dtype="int64")
     qm = _unit_rows(np.stack([np.asarray(r.embedding, dtype="float64") for r in qrows]))
 
@@ -1057,21 +1077,22 @@ def embedding_knn_classify(
     if matmul:
         # scale path: one BLAS matmul per Arrow batch scores all queries,
         # per-batch top-k in-kernel — the exact expression fold was
-        # fold-bound at ~200 s for 16M×10 pairs (SCALE.md r7)
-        scored = _matmul_brute_scores(emb, KNN_K).withColumn("cos", F.round("cos", 6))
+        # fold-bound at ~200 s for 16M×10 pairs (SCALE.md r7). The
+        # true_label lookup is built from the SAME driver-side query
+        # collect the kernel uses, not a third table scan (r7 review).
+        qrows = _collect_query_rows(emb)
+        scored = _matmul_brute_scores(emb, KNN_K, qrows).withColumn(
+            "cos", F.round("cos", 6)
+        )
+        true_labels = spark.createDataFrame(
+            [(r.vec_id, r.label) for r in qrows] or [],
+            "query_id long, true_label int",
+        )
         w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
         nn = (
             scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= KNN_K)
-            .join(
-                F.broadcast(
-                    emb.filter(F.col("vec_id") < N_QUERIES).select(
-                        F.col("vec_id").alias("query_id"),
-                        F.col("label").alias("true_label"),
-                    )
-                ),
-                "query_id",
-            )
+            .join(F.broadcast(true_labels), "query_id")
         )
     else:
         q = F.broadcast(

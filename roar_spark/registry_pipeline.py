@@ -710,9 +710,10 @@ PIPELINE_ORACLES["embedding_knn_classify"] = f"""
 # reranks survivors with the same exact ordered-fold cosine this oracle
 # uses — bit parity; above the cutoff it reranks on the screen's own
 # float64 matmul cosine (round(·,6) absorbs the summation-order gap except
-# on ~1e-13-probability rounding-boundary hits — caveat in the operator
-# docstring; output-equality pinned across the cutoff in
-# tests/test_knn_tfidf_mix.py) so no embedding ever joins onto pair rows.
+# on rounding-boundary hits — ≈ dim·1e-16 gap vs a 0.5e-6 boundary ≈ 1e-8
+# per pair at dim 64, caveat in the operator docstring; output-equality
+# pinned across the cutoff in tests/test_knn_tfidf_mix.py) so no
+# embedding ever joins onto pair rows.
 # The abstain contract (a vector sharing no bucket with anyone in
 # any table keeps a null-prediction row with n_votes 0) is mirrored by the
 # LEFT JOIN back from the corpus. Sign-bit hazard = ann_lsh_topk's

@@ -546,3 +546,36 @@ def test_bulk_knn_zero_norm_vectors_do_not_poison_buckets(spark, tmp_path):
     real = [rows[q] for q in range(n_labels * per)]
     acc = sum(1 for r in real if r.predicted_label == r.true_label) / len(real)
     assert acc >= 0.95
+
+
+def test_brute_matmul_empty_query_set_matches_exact_arm(spark, tmp_path):
+    """A corpus with no vec_id < N_QUERIES must yield an EMPTY result on
+    both dispatch arms — the matmul arm used to crash in np.stack at
+    plan-construction time while the exact arm degraded gracefully
+    (r7 review)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.similarity import embedding_knn_classify, sim_brute_topk
+
+    rng = np.random.default_rng(1)
+    n, dim = 100, 8
+    d = tmp_path / "noq"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(1000, 1000 + n), pa.int64()),
+                "embedding": pa.array(
+                    [list(v.astype("float32")) for v in rng.standard_normal((n, dim))],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for fn in (sim_brute_topk, embedding_knn_classify):
+        assert fn(spark, str(d), force_matmul=False).collect() == []
+        assert fn(spark, str(d), force_matmul=True).collect() == []
