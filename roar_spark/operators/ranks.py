@@ -77,3 +77,58 @@ def salted_topk(
         .withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    bucket_width: int,
+    rank_col: str = "rn",
+    count_col: str = "n",
+) -> DataFrame:
+    """Exact 1-based global rank per group ordered by (value_col ASC,
+    tiebreak_col ASC), plus the group's total count — WITHOUT a
+    group-keyed window over the full input. Rank-producing windows get no
+    WindowGroupLimit protection (every row is output), so on a small-key
+    group (o_orderpriority: 5, c_mktsegment: 5) the plain form sorts
+    corpus/G rows per task at scale.
+
+    Two-level form (the pack_sequences prefix-sum pattern with the sort
+    key as the bucket axis): rows bucket by floor(value/bucket_width) —
+    monotone in the sort order, needs NO domain bound and no
+    repartitionByRange sampling job — level 1 ranks inside
+    (group, bucket) at full parallelism, level 2 cumulates per-bucket
+    counts per group (tiny), and rank = bucket offset + local rank.
+    Value-identical to row_number() OVER (PARTITION BY group ORDER BY
+    value, tiebreak) under any partitioning (ties on value break by the
+    unique tiebreak INSIDE one bucket, since equal values share a
+    bucket). Callers wanting DESC order pre-negate value_col. Value skew
+    concentrates a bucket; its local sort is still bounded by that
+    value-range's rows only."""
+    sized = df.withColumn(
+        "_bkt", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    )
+    wcum = W.partitionBy(*group_cols).orderBy("_bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = (
+        sized.groupBy(*group_cols, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            *group_cols,
+            "_bkt",
+            F.coalesce(F.sum("_bn").over(wcum), F.lit(0)).cast("long").alias("_off"),
+            F.sum("_bn").over(W.partitionBy(*group_cols)).cast("long").alias(count_col),
+        )
+    )
+    wloc = W.partitionBy(*group_cols, "_bkt").orderBy(
+        F.asc(value_col), F.asc(tiebreak_col)
+    )
+    return (
+        sized.withColumn("_lrn", F.row_number().over(wloc))
+        .join(offs, [*group_cols, "_bkt"])
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_bkt", "_off", "_lrn")
+    )

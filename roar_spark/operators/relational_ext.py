@@ -82,16 +82,29 @@ def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group via the ranking composition (deterministic,
     unlike interpolating percentile built-ins whose arithmetic differs
     across engines): median = avg of the middle one/two values, computed
-    on exact scaled integers."""
+    on exact scaled integers.
+
+    Scale shape: the rank comes from the two-level bucketed global rank
+    (operators/ranks.py) — o_orderpriority has 5 values and a
+    rank-producing window gets no WindowGroupLimit protection, so the
+    plain form sorts orders/5 per task at 100 TB; the bucketed form ranks
+    inside (priority, price-bucket) at full parallelism. Identical rank
+    values (equivalence-pinned), same oracle."""
+    from roar_spark.operators.ranks import bucketed_global_rank
+
     orders = load_table(spark, "orders", sf_dir)
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice"), F.col("o_orderkey")
-    )
-    ranked = orders.select(
-        "o_orderpriority",
-        _scaled(F.col("o_totalprice")).alias("price_c"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    ranked = bucketed_global_rank(
+        orders.select(
+            "o_orderpriority",
+            _scaled(F.col("o_totalprice")).alias("price_c"),
+            "o_orderkey",
+        ),
+        ["o_orderpriority"],
+        "price_c",
+        "o_orderkey",
+        1 << 20,  # ~$10k price buckets; width needs no domain bound
+        rank_col="rn",
+        count_col="n",
     )
     mid = ranked.filter(
         (F.col("rn") == F.floor((F.col("n") + 1) / 2))
@@ -174,15 +187,65 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Balance-cents per ntile rank bucket: c_acctbal has a FIXED TPC-H domain
+# (-999.99..9999.99 → ~1.1M cents), so ~270 fixed-width buckets need no
+# sampling pass the way repartitionByRange would; floor(bal/width) is
+# monotone in balance, so bucket order = rank order. Value skew (many
+# equal balances) concentrates one bucket — bounded by the domain, and
+# the bucket's local sort is still one task of that value's rows only.
+_NTILE_BUCKET_CENTS = 4096
+
+
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing (ntile) of customers by balance within market
-    segment, with per-quartile aggregates."""
+    segment, with per-quartile aggregates.
+
+    Scale shape: ntile needs each row's GLOBAL rank and its group's total
+    count, and — unlike the rank-filter family — gets no WindowGroupLimit
+    protection (every row is output), so a single segment-keyed window
+    sorts corpus/5 rows per task at 100 TB. Computed instead as the
+    two-level rank the pack_sequences prefix sum uses: rows bucket by
+    fixed-width balance ranges (monotone in the sort key, no sampling
+    job), level 1 ranks inside (segment, bucket) at full parallelism,
+    level 2 cumulates per-bucket counts per segment (tiny) and the global
+    rank is offset + local. The quartile is then Spark's exact NTile
+    arithmetic (first n%4 tiles take ⌈n/4⌉ rows) applied to (rank, count)
+    — value-identical to ntile(4) OVER the single window, pinned by a
+    direct equivalence test across remainder/undersized groups."""
+    from roar_spark.operators.ranks import bucketed_global_rank
+
     cust = load_table(spark, "customer", sf_dir)
-    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    quartiled = cust.select(
-        "c_mktsegment",
-        _scaled(F.col("c_acctbal")).alias("bal_c"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ranked = bucketed_global_rank(
+        cust.select(
+            "c_mktsegment",
+            _scaled(F.col("c_acctbal")).alias("bal_c"),
+            "c_custkey",
+        ).withColumn("neg_bal", -F.col("bal_c")),  # ASC rank = DESC balance
+        ["c_mktsegment"],
+        "neg_bal",
+        "c_custkey",
+        _NTILE_BUCKET_CENTS,
+        rank_col="rn",
+        count_col="cnt",
+    )
+    # Spark NTile(4): base = n div 4 rows per tile, the first n % 4 tiles
+    # take one extra; ceil-division via floor((a + b - 1) / b) on longs
+    base = F.floor(F.col("cnt") / 4).cast("long")
+    rem = F.pmod(F.col("cnt"), F.lit(4)).cast("long")
+    wide = base + 1  # size of the padded tiles (first `rem` of them)
+    threshold = wide * rem  # rows covered by the padded tiles
+    tile = F.when(
+        F.col("rn") <= threshold,
+        F.floor((F.col("rn") + wide - 1) / wide),
+    ).otherwise(
+        rem
+        + F.floor(
+            (F.col("rn") - threshold + F.greatest(base, F.lit(1)) - 1)
+            / F.greatest(base, F.lit(1))
+        )
+    )
+    quartiled = ranked.select(
+        "c_mktsegment", "bal_c", tile.cast("long").alias("quartile")
     )
     return (
         quartiled.groupBy("c_mktsegment", "quartile")

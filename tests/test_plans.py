@@ -545,3 +545,91 @@ def test_salted_topk_equals_plain_window(spark):
     salted = salted_topk(df, ["grp"], order, 4, "rk", "id").collect()
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
     assert len(plain) == 8 * 4  # big + 7 tiny groups, 4 rows each
+
+
+def test_distributed_ntile_equals_plain_ntile(spark, tmp_path):
+    """window_ntile's two-level rank + NTile arithmetic must equal
+    ntile(4) OVER the single segment window on every group-size regime:
+    n % 4 == 0, n % 4 != 0, n < 4, and heavy balance ties (rank buckets
+    collapse onto few values)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from roar_spark.operators.relational_ext import _scaled, window_ntile
+
+    rows = []
+    ck = 0
+    for seg, n in (("A", 16), ("B", 13), ("C", 3), ("D", 1), ("E", 7)):
+        for i in range(n):
+            ck += 1
+            # ties: only 3 distinct balances per segment, incl. negatives
+            rows.append((ck, seg, float([-55.25, 0.0, 9999.99][i % 3])))
+    d = tmp_path / "cust"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array([f"c{r[0]}" for r in rows]),
+                "c_mktsegment": pa.array([r[1] for r in rows]),
+                "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+                "c_nationkey": pa.array([0] * len(rows), pa.int64()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    got = sorted(map(tuple, window_ntile(spark, str(d)).collect()))
+    cust = spark.read.parquet(str(d / "customer.parquet"))
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    plain = sorted(
+        map(
+            tuple,
+            cust.select(
+                "c_mktsegment",
+                _scaled(F.col("c_acctbal")).alias("bal_c"),
+                F.ntile(4).over(w).cast("long").alias("quartile"),
+            )
+            .groupBy("c_mktsegment", "quartile")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                (F.sum("bal_c") / F.lit(100.0)).alias("total_balance"),
+            )
+            .collect(),
+        )
+    )
+    assert got == plain
+
+
+def test_bucketed_global_rank_equals_plain_window(spark):
+    """operators/ranks.py bucketed_global_rank: rank values and group
+    counts must equal row_number()/count() OVER the plain group window —
+    exercised on data with heavy value ties, negative values, values
+    straddling bucket boundaries, and a tiny bucket width that forces
+    many buckets."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from roar_spark.operators.ranks import bucketed_global_rank
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("tid"),
+        # ties + negatives + boundary-straddling values, bucket width 7
+        ((F.col("id") * 37) % 50 - 25).alias("val"),
+    )
+    got = bucketed_global_rank(df, ["grp"], "val", "tid", 7).collect()
+    w = W.partitionBy("grp").orderBy(F.asc("val"), F.asc("tid"))
+    plain = df.select(
+        "grp",
+        "tid",
+        "val",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).cast("long").alias("n"),
+    ).collect()
+    key = lambda r: (r.grp, r.tid)  # noqa: E731
+    gm = {key(r): (r.rn, r.n) for r in got}
+    pm = {key(r): (r.rn, r.n) for r in plain}
+    assert gm == pm and len(gm) == 5000
