@@ -104,11 +104,27 @@ def bucketed_global_rank(
     Value-identical to row_number() OVER (PARTITION BY group ORDER BY
     value, tiebreak) under any partitioning (ties on value break by the
     unique tiebreak INSIDE one bucket, since equal values share a
-    bucket). Callers wanting DESC order pre-negate value_col. Value skew
-    concentrates a bucket; its local sort is still bounded by that
-    value-range's rows only."""
+    bucket). NULL values rank FIRST (Spark's ASC NULLS FIRST default) via
+    a sentinel bucket below every real one, and the offsets join back
+    null-safely so NULL group keys keep forming their own group — both
+    NULL behaviors are equivalence-pinned (r7 review: the first cut
+    silently dropped NULL rows while still counting them). Callers
+    wanting DESC order pre-negate value_col. Value skew concentrates a
+    bucket; its local sort is still bounded by that value-range's rows.
+    Parallelism is |groups|·|occupied buckets| — pick bucket_width so the
+    value domain yields well over the cluster's core count; the level-2
+    table stays tiny either way. Columns named _bkt/_lrn/_off/_bn are
+    RESERVED (raises) and rank_col/count_col must be fresh."""
+    reserved = {"_bkt", "_lrn", "_off", "_bn", "_obkt", rank_col, count_col}
+    reserved.update(f"_og_{g}" for g in group_cols)
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(f"bucketed_global_rank: input columns collide: {sorted(clash)}")
     sized = df.withColumn(
-        "_bkt", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+        "_bkt",
+        F.when(F.col(value_col).isNull(), F.lit(-(1 << 62))).otherwise(
+            F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+        ),
     )
     wcum = W.partitionBy(*group_cols).orderBy("_bkt").rowsBetween(
         W.unboundedPreceding, -1
@@ -118,17 +134,21 @@ def bucketed_global_rank(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .select(
             *group_cols,
-            "_bkt",
+            F.col("_bkt").alias("_obkt"),
             F.coalesce(F.sum("_bn").over(wcum), F.lit(0)).cast("long").alias("_off"),
             F.sum("_bn").over(W.partitionBy(*group_cols)).cast("long").alias(count_col),
         )
+        .withColumnsRenamed({c: f"_og_{c}" for c in group_cols})
     )
     wloc = W.partitionBy(*group_cols, "_bkt").orderBy(
         F.asc(value_col), F.asc(tiebreak_col)
     )
+    cond = F.col("_bkt") == F.col("_obkt")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_og_{g}"))
     return (
         sized.withColumn("_lrn", F.row_number().over(wloc))
-        .join(offs, [*group_cols, "_bkt"])
+        .join(offs, cond)
         .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_bkt", "_off", "_lrn")
+        .drop("_bkt", "_obkt", "_off", "_lrn", *[f"_og_{g}" for g in group_cols])
     )

@@ -102,7 +102,10 @@ def agg_median_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         "price_c",
         "o_orderkey",
-        1 << 20,  # ~$10k price buckets; width needs no domain bound
+        # ~$164 price buckets → ~3.7k rank slices per priority over the
+        # observed ~$9..$600k totalprice spread (width needs no domain
+        # bound; narrower = more parallel, level-2 table stays tiny)
+        1 << 14,
         rank_col="rn",
         count_col="n",
     )
@@ -187,13 +190,17 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Balance-cents per ntile rank bucket: c_acctbal has a FIXED TPC-H domain
-# (-999.99..9999.99 → ~1.1M cents), so ~270 fixed-width buckets need no
-# sampling pass the way repartitionByRange would; floor(bal/width) is
-# monotone in balance, so bucket order = rank order. Value skew (many
-# equal balances) concentrates one bucket — bounded by the domain, and
-# the bucket's local sort is still one task of that value's rows only.
-_NTILE_BUCKET_CENTS = 4096
+# Balance-cents per ntile rank bucket: c_acctbal spans ~1.1M cents
+# (TPC-H -999.99..9999.99), so 64-cent buckets give ~17k rank slices per
+# segment — parallelism is |groups|·|occupied buckets|, and the width is
+# the lever that keeps per-slice sort input small as the corpus grows
+# (r7 review: a 4096-cent width capped the slices at ~270, a constant
+# improvement rather than a scale-out one). floor(bal/width) is monotone
+# in balance, so bucket order = rank order and no sampling pass is
+# needed; the level-2 offsets table is |groups|·|buckets| rows — tiny at
+# any width down to 1 cent. Value skew (many equal balances)
+# concentrates one bucket, bounded by that value's row mass only.
+_NTILE_BUCKET_CENTS = 64
 
 
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +261,34 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_c") / F.lit(100.0)).alias("total_balance"),
         )
         .orderBy("c_mktsegment", "quartile")
+    )
+
+
+def events_hourly_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, bucket its hours into volume quartiles with the
+    NATIVE ntile window and report per-quartile hour counts and volume
+    bounds. The window input is the PRE-AGGREGATED hourly table —
+    |event_types|·|hours| rows by construction — so the plain ntile
+    window IS the scale-correct plan here, in contrast to window_ntile,
+    which ranks raw corpus rows and therefore uses the bucketed two-level
+    rank. Also keeps Spark's native NTile expression under the DuckDB
+    oracle after the window_ntile rewrite stopped exercising it
+    (r7 review)."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("hour_start"))
+    q = hourly.withColumn("volume_quartile", F.ntile(4).over(w).cast("long"))
+    return (
+        q.groupBy("event_type", "volume_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").cast("long").alias("total_events"),
+            F.min("n_events").cast("long").alias("min_events"),
+            F.max("n_events").cast("long").alias("max_events"),
+        )
+        .orderBy("event_type", "volume_quartile")
     )
 
 

@@ -876,6 +876,31 @@ _register(
 )
 
 _register(
+    "events_hourly_quartiles",
+    RX.events_hourly_quartiles,
+    """
+    WITH hourly AS (
+      SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), q AS (
+      SELECT event_type, n_events,
+             CAST(NTILE(4) OVER (PARTITION BY event_type
+                    ORDER BY n_events DESC, hour_start ASC) AS BIGINT)
+               AS volume_quartile
+      FROM hourly
+    )
+    SELECT event_type, volume_quartile, COUNT(*) AS n_hours,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MIN(n_events) AS BIGINT) AS min_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM q
+    GROUP BY 1, 2
+    ORDER BY event_type, volume_quartile
+    """,
+)
+
+_register(
     "setop_except_all",
     RX.setop_except_all,
     """
