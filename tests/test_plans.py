@@ -633,3 +633,42 @@ def test_bucketed_global_rank_equals_plain_window(spark):
     gm = {key(r): (r.rn, r.n) for r in got}
     pm = {key(r): (r.rn, r.n) for r in plain}
     assert gm == pm and len(gm) == 5000
+
+
+def test_bucketed_global_rank_null_values_and_groups(spark):
+    """r7 review contract fixes: NULL values must rank FIRST (Spark's ASC
+    NULLS FIRST), not silently vanish while still being counted; NULL
+    group keys must keep forming their own group through the null-safe
+    offsets join; reserved internal names must raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from roar_spark.operators.ranks import bucketed_global_rank
+
+    rows = [
+        ("a", 1, 5),
+        ("a", 2, None),
+        ("a", 3, 7),
+        (None, 4, 9),
+        (None, 5, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, tid long, val long")
+    got = bucketed_global_rank(df, ["grp"], "val", "tid", 7).collect()
+    w = W.partitionBy("grp").orderBy(F.asc("val"), F.asc("tid"))
+    plain = df.select(
+        "grp",
+        "tid",
+        "val",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).cast("long").alias("n"),
+    ).collect()
+    gm = {r.tid: (r.grp, r.val, r.rn, r.n) for r in got}
+    pm = {r.tid: (r.grp, r.val, r.rn, r.n) for r in plain}
+    assert gm == pm and len(gm) == 5  # every row present, NULLs rank first
+
+    with _pytest.raises(ValueError, match="collide"):
+        bucketed_global_rank(df.withColumn("_bkt", F.lit(1)), ["grp"], "val", "tid", 7)
+    with _pytest.raises(ValueError, match="collide"):
+        bucketed_global_rank(df.withColumn("n", F.lit(1)), ["grp"], "val", "tid", 7)
