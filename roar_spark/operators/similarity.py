@@ -577,38 +577,69 @@ IVF_ASSIGN = 2  # cells per corpus vector (multi-assignment): with random
 # cell can slip past a query's nprobe window; indexing each vector in its
 # 2 best cells makes a miss require BOTH to fall outside the probe set.
 # Index size and candidates scale by the same factor (still ~nprobe·2√n).
-_MAX_CENTROIDS = 4096
+#
+# Hierarchical (two-level) assignment — the r7-measured fix for the one
+# superlinear stage in the registry (n·C assignment FLOPs: 105 s at 4M →
+# 1007 s at 16M). The first S = ⌈√C⌉ centroids (same content-stable
+# hash order that picks the centroids) act as SUPER-centroids; every
+# centroid joins the groups of its IVF_CENT_FAN nearest supers, and a
+# vector scores only the centroids in the groups of its IVF_VEC_SUPERS
+# (queries: IVF_QUERY_SUPERS) nearest supers. Per-vector work drops from
+# C to S + fan·(C·IVF_CENT_FAN/S) ≈ (1+2·fan)·√C dot products. The
+# pruning is deterministic (content-stable supers, fixed fan-out, total
+# tie-breaks), so it is part of the operator's DEFINED semantics and is
+# mirrored verbatim in the DuckDB oracle — the exact value-hash check
+# survives. When S ≤ fan the union of probed groups is every centroid and
+# the semantics degrade continuously to full assignment — no small-corpus
+# special case.
+_MAX_CENTROIDS = 2048  # scale-independent cap (was 4096): beyond n ≈ 4.2M
+# rows assignment work is linear in n; cells get proportionally larger and
+# the fixed nprobe·IVF_ASSIGN probe set compensates (candidates/query grow
+# ∝ n/C, still a vanishing fraction of the corpus).
+IVF_CENT_FAN = 2  # super-groups each centroid joins (overlap aids recall)
+IVF_VEC_SUPERS = 4  # super-groups a corpus vector scores during assignment
+IVF_QUERY_SUPERS = 8  # queries are few — probe wider for recall
 
 
 def n_centroids_for(n_rows: int) -> int:
-    """IVF coarse-quantizer size: C ≈ √n balances assignment cost (n·C
-    pair evaluations) against cell size (n/C candidates per probed cell) —
-    the classic IVF-flat tradeoff, total work O(n^1.5) for assignment and
-    O(C + nprobe·n/C) per query."""
+    """IVF coarse-quantizer size: C ≈ √n balances assignment cost against
+    cell size (n/C candidates per probed cell) — the classic IVF-flat
+    tradeoff. With hierarchical assignment the per-vector assignment cost
+    is O(√C·fan), so total work is O(n·n^¼) below the cap and O(n) above."""
     import math
 
     return min(_MAX_CENTROIDS, max(4, math.ceil(math.sqrt(max(n_rows, 1)))))
+
+
+def n_supers_for(n_cent: int) -> int:
+    """Super-centroid count S = ⌈√C⌉ — n^¼ below the centroid cap:
+    balances the always-scored super matmul (S per vector) against group
+    size (C·IVF_CENT_FAN/S scored members per probed group)."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(max(n_cent, 1))))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN, IVF-flat variant: top-3 per query from the NPROBE
     nearest coarse cells.
 
-    Centroids are a content-stable sample — the √n corpus vectors with the
-    smallest md5(vec_id) hashes (TakeOrdered top-C, no RNG state, no
-    iterative training; reproducible on any engine). The ≤ 4096-row
-    centroid table is the coarse-quantizer state: it is collected once and
-    shipped in the assignment kernel's closure (≈ 2 MB at the cap) — the
-    IVF equivalent of broadcasting a dimension table, NOT a driver-side
-    loop over data. Cell assignment is one Arrow-batched numpy matmul per
-    batch ((batch×dim) @ (dim×C), stable top-k per row) for corpus and
-    queries alike — n·C dot products as BLAS FLOPs rather than n·C
-    interpreted expression folds (measured 12× slower at n=80k).
-    Candidates = equi-join on cell id → ≈ nprobe·assign·√n per query —
-    sub-linear in n. Exact ordered-fold cosine ranks
-    candidates, so scores are bit-identical to brute force; only the
-    candidate set is approximate → rows-only driver check, recall pinned
-    by tests/test_ann_recall.py."""
+    Centroids are a content-stable sample — the √n (≤ 2048) corpus vectors
+    with the smallest md5(vec_id) hashes (TakeOrdered top-C, no RNG state,
+    no iterative training; reproducible on any engine). The centroid table
+    is the coarse-quantizer state: it is collected once and shipped in the
+    assignment kernel's closure (≈ 1 MB at the cap) — the IVF equivalent
+    of broadcasting a dimension table, NOT a driver-side loop over data.
+
+    Cell assignment is HIERARCHICAL (see the constants block above): each
+    Arrow batch does one (batch×dim)@(dim×S) super matmul, then per probed
+    super-group a (rows×dim)@(dim×members) member matmul — ≈ (1+2·fan)·√C
+    dot products per vector instead of C, all as BLAS FLOPs. The pruning
+    is deterministic and mirrored in the DuckDB oracle, so the exact
+    value-hash check still holds. Candidates = equi-join on cell id →
+    ≈ nprobe·assign·(n/C) per query — a vanishing corpus fraction. Exact
+    ordered-fold cosine ranks candidates, so scores are bit-identical to
+    brute force; recall pinned by tests/test_ann_recall.py."""
     import numpy as np
     import pandas as pd
 
@@ -616,6 +647,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = table_row_count("embeddings", sf_dir)
     n_cent = n_centroids_for(n)
+    n_sup = n_supers_for(n_cent)
 
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
     hash_col = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
@@ -628,36 +660,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cent_id", "embedding")
         .collect()
     )
+    # supers = prefix of the SAME hash ordering that picked the centroids
+    # (content-stable; the oracle reproduces it as hrank <= n_sup)
+    super_id_set = {r.cent_id for r in cent_rows[:n_sup]}
     cent_rows.sort(key=lambda r: r.cent_id)  # ascending ids → stable-sort tie-break
     cent_ids = np.array([r.cent_id for r in cent_rows], dtype=np.int64)
     cent_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
     cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    sup_idx = np.array([i for i, cid in enumerate(cent_ids) if cid in super_id_set])
+    super_mat = cent_mat[sup_idx]  # rows in ascending super_id (cent_ids sorted)
 
-    def best_cells(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    # centroid → super-group membership (driver-side: C×S matmul, ≤ 2048×46).
+    # Stable argsort on -cos with columns in ascending super_id = the
+    # oracle's ROW_NUMBER(ORDER BY scos DESC, super_id ASC).
+    cs_cos = cent_mat @ super_mat.T
+    cs_top = np.argsort(-cs_cos, axis=1, kind="stable")[:, : min(IVF_CENT_FAN, n_sup)]
+    members = [np.nonzero((cs_top == s).any(axis=1))[0] for s in range(n_sup)]
+
+    def best_cells(df: DataFrame, id_col: str, k: int, fan: int) -> DataFrame:
+        fan = min(fan, n_sup)
+        chunk = 4096  # bounds the (chunk × C) score buffer at 64 MB
+
         def assign(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
-                cos = m @ cent_mat.T  # batch × C
-                # stable argsort on -cos: exact ties resolve toward the
-                # smaller centroid id (columns are in ascending cent_id)
-                top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-                ids = pdf["vec_id"].to_numpy().repeat(k)
-                yield pd.DataFrame({id_col: ids, "cell": cent_ids[top].ravel()})
+                m_all = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+                vid_all = pdf["vec_id"].to_numpy()
+                for lo in range(0, len(pdf), chunk):
+                    m = m_all[lo : lo + chunk]
+                    scos = m @ super_mat.T  # chunk × S
+                    tops = np.argsort(-scos, axis=1, kind="stable")[:, :fan]
+                    scores = np.full((m.shape[0], cent_mat.shape[0]), -np.inf)
+                    for s in range(n_sup):
+                        rows = np.nonzero((tops == s).any(axis=1))[0]
+                        mem = members[s]
+                        if rows.size and mem.size:
+                            scores[np.ix_(rows, mem)] = m[rows] @ cent_mat[mem].T
+                    # stable argsort on -scores: exact ties resolve toward
+                    # the smaller centroid id (columns ascend in cent_id)
+                    top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+                    # drop never-scored (-inf) slots — a vector whose probed
+                    # groups hold < k centroids emits fewer cells, exactly
+                    # as the oracle's rn <= k over existing pairs does
+                    keep = (np.take_along_axis(scores, top, axis=1) != -np.inf).ravel()
+                    ids = vid_all[lo : lo + chunk].repeat(k)
+                    yield pd.DataFrame(
+                        {id_col: ids[keep], "cell": cent_ids[top].ravel()[keep]}
+                    )
 
         return df.select(F.col(id_col).alias("vec_id"), "embedding").mapInPandas(
             assign, f"{id_col} long, cell long"
         )
 
-    cells = best_cells(emb.select("vec_id", "embedding"), "vec_id", IVF_ASSIGN)
+    cells = best_cells(emb.select("vec_id", "embedding"), "vec_id", IVF_ASSIGN, IVF_VEC_SUPERS)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     probes = F.broadcast(
         best_cells(
             queries.select(F.col("vec_id").alias("query_id"), "embedding", "nrm"),
             "query_id",
             IVF_NPROBE,
+            IVF_QUERY_SUPERS,
         )
     )
     cand = (

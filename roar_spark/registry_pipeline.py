@@ -282,18 +282,25 @@ PIPELINE_ORACLES["ann_lsh_topk"] = f"""
     WHERE rank <= 3 ORDER BY query_id, rank
 """
 
-# ann_ivf_topk: same determinism argument. Centroids are the ⌈√n⌉ corpus
-# vectors with the smallest md5(vec_id) 8-hex-digit prefix (the conv() is
-# re-expressed as a positional hex fold), multi-assignment/probing are
-# rank-≤-k windows with the same total tie-break the numpy stable argsort
-# uses (cos DESC, cent_id ASC). Assignment cosines: numpy normalizes then
+# ann_ivf_topk: same determinism argument. Centroids are the ⌈√n⌉ (≤ cap)
+# corpus vectors with the smallest md5(vec_id) 8-hex-digit prefix (the
+# conv() is re-expressed as a positional hex fold); the HIERARCHICAL
+# assignment (supers = the first ⌈√C⌉ of the same hash ordering; each
+# centroid in its IVF_CENT_FAN nearest super-groups; each vector scores
+# only the union of its fan nearest supers' groups — similarity.py
+# constants block) is mirrored clause-for-clause: every pruning step is a
+# rank-≤-k window with the same total tie-break the numpy stable argsort
+# uses (cos DESC, id ASC). Assignment cosines: numpy normalizes then
 # multiplies, SQL folds then divides — ulp-level divergence can only matter
-# on an exact tie at the k-boundary (none on a fixed corpus; deterministic).
+# on an exact tie at a fan/k boundary (none on a fixed corpus;
+# deterministic).
 PIPELINE_ORACLES["ann_ivf_topk"] = f"""
     WITH {_EMB_NORM_CTE},
     params AS (
       SELECT LEAST({S._MAX_CENTROIDS}, GREATEST(4,
-               CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) AS n_cent
+               CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) AS n_cent,
+             GREATEST(1, CAST(ceil(sqrt(LEAST({S._MAX_CENTROIDS}, GREATEST(4,
+               CAST(ceil(sqrt(COUNT(*))) AS INTEGER))))) AS INTEGER)) AS n_sup
       FROM embeddings),
     hashed AS (
       SELECT vec_id,
@@ -302,28 +309,64 @@ PIPELINE_ORACLES["ann_ivf_topk"] = f"""
                          substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
                     * (CAST(1 AS BIGINT) << (4 * (8 - i)))), (x, y) -> x + y) AS h
       FROM embeddings),
+    cent_ranked AS (
+      SELECT e.vec_id AS cent_id, e.embedding, e.nrm,
+             ROW_NUMBER() OVER (ORDER BY hashed.h, hashed.vec_id) AS hrank
+      FROM hashed JOIN e ON e.vec_id = hashed.vec_id),
     cent AS (
-      SELECT e.vec_id AS cent_id, e.embedding, e.nrm
-      FROM hashed JOIN e ON e.vec_id = hashed.vec_id
-      ORDER BY hashed.h, hashed.vec_id
-      LIMIT (SELECT n_cent FROM params)),
-    assign_all AS (
-      SELECT v.vec_id, c.cent_id,
+      SELECT cent_id, embedding, nrm FROM cent_ranked
+      WHERE hrank <= (SELECT n_cent FROM params)),
+    sup AS (
+      SELECT cent_id AS super_id, embedding, nrm FROM cent_ranked
+      WHERE hrank <= (SELECT n_sup FROM params)),
+    cent_sup AS (
+      SELECT cent_id, super_id FROM (
+        SELECT c.cent_id, s.super_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cent_id
+                 ORDER BY {_dot('c.embedding', 's.embedding')} / (c.nrm * s.nrm) DESC,
+                          s.super_id ASC) AS rn
+        FROM cent c CROSS JOIN sup s)
+      WHERE rn <= {S.IVF_CENT_FAN}),
+    vec_sup AS (
+      SELECT vec_id, super_id, rn FROM (
+        SELECT v.vec_id, s.super_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_dot('v.embedding', 's.embedding')} / (v.nrm * s.nrm) DESC,
+                          s.super_id ASC) AS rn
+        FROM e v CROSS JOIN sup s)),
+    assign_scored AS (
+      -- corpus CELL assignment: every vector (queries included) scores the
+      -- union of its IVF_VEC_SUPERS nearest supers' member groups
+      SELECT p.vec_id, p.cent_id,
              {_dot('v.embedding', 'c.embedding')} / (v.nrm * c.nrm) AS ccos
-      FROM e v CROSS JOIN cent c),
+      FROM (SELECT DISTINCT vs.vec_id, cs.cent_id
+            FROM vec_sup vs JOIN cent_sup cs ON cs.super_id = vs.super_id
+            WHERE vs.rn <= {S.IVF_VEC_SUPERS}) p
+      JOIN e v ON v.vec_id = p.vec_id
+      JOIN cent c ON c.cent_id = p.cent_id),
     cells AS (
       SELECT vec_id, cent_id AS cell FROM (
         SELECT vec_id, cent_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY ccos DESC, cent_id ASC) AS rn
-        FROM assign_all)
+        FROM assign_scored)
       WHERE rn <= {S.IVF_ASSIGN}),
+    query_scored AS (
+      -- query PROBE assignment: wider fan (IVF_QUERY_SUPERS), queries only
+      SELECT p.vec_id, p.cent_id,
+             {_dot('v.embedding', 'c.embedding')} / (v.nrm * c.nrm) AS ccos
+      FROM (SELECT DISTINCT vs.vec_id, cs.cent_id
+            FROM vec_sup vs JOIN cent_sup cs ON cs.super_id = vs.super_id
+            WHERE vs.rn <= {S.IVF_QUERY_SUPERS}
+              AND vs.vec_id < {S.N_QUERIES}) p
+      JOIN e v ON v.vec_id = p.vec_id
+      JOIN cent c ON c.cent_id = p.cent_id),
     qprobes AS (
       SELECT vec_id AS query_id, cent_id AS cell FROM (
         SELECT vec_id, cent_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY ccos DESC, cent_id ASC) AS rn
-        FROM assign_all WHERE vec_id < {S.N_QUERIES})
+        FROM query_scored)
       WHERE rn <= {S.IVF_NPROBE}),
     cand AS (
       SELECT DISTINCT q.query_id, c.vec_id

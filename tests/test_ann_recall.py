@@ -27,6 +27,7 @@ from roar_spark.operators.similarity import (
     n_blocks_for,
     n_centroids_for,
     n_planes_for,
+    n_supers_for,
 )
 
 N = 2000
@@ -101,8 +102,14 @@ def test_ann_recall_on_planted_neighbors(spark, planted_dir, ann_fn):
 def test_ivf_centroids_scale_with_corpus():
     assert n_centroids_for(2000) == 45  # ~sqrt(n)
     assert n_centroids_for(1_000_000) == 1000
-    assert n_centroids_for(10**9) == 4096  # capped
+    assert n_centroids_for(10**9) == 2048  # scale-independent cap
     assert n_centroids_for(0) == 4  # floor
+    # hierarchical assignment: supers = √C → per-vector assignment work is
+    # O(√C·fan) — n^¼ below the cap, constant above it
+    assert n_supers_for(45) == 7
+    assert n_supers_for(2048) == 46
+    assert n_supers_for(1) == 1
+    assert n_supers_for(0) == 1
 
 
 def test_ann_buckets_are_sublinear(spark, planted_dir):

@@ -112,3 +112,70 @@ def test_metadata_rpcs_do_not_touch_stream_state(served_engine):
         REGISTRY.get("roar_flight_stream_requests_total", topic="clicks")
         == before_ctr + 1
     )
+
+
+def test_flight_streaming_source_engine_to_engine(served_engine, spark, tmp_path):
+    """North-star e2e (BASELINE.json: "Structured Streaming with Arrow
+    Flight source"): engine A serves its buffered stream over Flight;
+    engine B ingests it THROUGH the streaming source (poll DoGet →
+    high-water slice → typed append) and B's served table matches A's
+    store snapshot — including incremental rows appended after the
+    replica query started, delivered once (no re-reads of the prefix)."""
+    import json as _json
+
+    from roar_spark.sources.files import read_envelope_batch, write_envelope_file
+    from roar_spark.sources.flight import ingest_from_flight
+
+    engine_a, location = served_engine
+    engine_b = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, checkpoint_path=str(tmp_path / "ckpt")),
+    )
+    handle = ingest_from_flight(
+        engine_b,
+        "clicks_replica",
+        location,
+        remote_topic="clicks",
+        # rate limit smaller than the 20-row backlog → the first drain
+        # takes ≥ 3 micro-batches, proving the mark advances correctly
+        maxRowsPerBatch="8",
+    )
+    # same names/types; nullability is deliberately relaxed on the consumer
+    # (JSON-omitted fields arrive as NULL regardless of the frozen flag)
+    assert [(f.name, f.dataType) for f in handle.schema.fields] == [
+        (f.name, f.dataType) for f in engine_a.get_schema("clicks").fields
+    ]
+    try:
+        handle.query.processAllAvailable()
+        replica = {r.kafka_offset: r for r in engine_b.fetch("clicks_replica", -1).collect()}
+        source = {r.kafka_offset: r for r in engine_a.fetch("clicks", -1).collect()}
+        assert replica == source and len(replica) == 20
+
+        # incremental: rows appended to A AFTER the replica drained arrive
+        # as a delta, not a re-delivery of the prefix
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            write_envelope_file(
+                d,
+                [
+                    {
+                        "key": f"k{i}",
+                        "value": _json.dumps({"n": i, "kind": "late"}),
+                        "timestamp": f"2026-08-13T11:00:{i - 20:02d}Z",
+                        "offset": i,
+                        "partition": 0,
+                    }
+                    for i in range(20, 25)
+                ],
+            )
+            engine_a.append_batch("clicks", read_envelope_batch(spark, d))
+        handle.query.processAllAvailable()
+        rows = engine_b.fetch("clicks_replica", -1).collect()
+        assert len(rows) == 25  # exactly once while the buffer holds
+        assert {r.kafka_offset for r in rows} == set(range(25))
+        assert handle.records_total == 25
+    finally:
+        if handle.query is not None:
+            handle.query.stop()
+        engine_b.stop()
