@@ -39,6 +39,10 @@ class EngineConfig:
     starting_offsets: str = "latest"  # StartOffset: LastOffset (consumer.go:231)
     schema_sample_size: int = 10  # sampleSize ≤ 10 (consumer.go:841-843)
     # extension knobs (not in reference)
+    rescue_columns: bool = False  # True → post-freeze payload fields land
+    # in a reserved `_rescued` JSON column instead of being silently
+    # dropped (the SURVEY §2.3.5 extension to the frozen-schema parity
+    # quirk); default False = exact reference behavior
     infer_nested: bool = False  # True → real Struct/Array types instead of
     # the reference's stringified nested values (SURVEY.md §1.3)
     persist_path: str | None = None  # sink target (corrected A30)

@@ -9,10 +9,12 @@ Pattern (the real thing at 100 TB):
 - cheap metadata (byte length, magic-byte sniff) is pure built-in
   expressions — JVM-side, no Python;
 - decode / feature-extract runs in ``mapInPandas`` (Arrow batches, one
-  Python roundtrip per batch, not per row). The image/audio codec libs
-  are not in this container, so the decoder is a clearly marked STUB: a
-  deterministic fake keyed on the payload digest. The Spark-side plumbing
-  (schema, batching, partition independence) is real and tested.
+  Python roundtrip per batch, not per row). The decoder dispatches AT
+  RUNTIME: real PIL decode when Pillow is importable on the worker,
+  otherwise a clearly marked deterministic stub keyed on the payload
+  digest (this container ships no codec libs). The Spark-side plumbing
+  (schema, batching, partition independence) is real and tested either
+  way.
 """
 
 from __future__ import annotations
@@ -43,14 +45,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
+def _fake_decode(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
     """STUB decoder — deterministic fake in place of a real codec.
 
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
-    the codec libraries are not available in this environment, so decode
-    properties derive from the payload digest instead. Raise
-    NotImplementedError here if accidental production use must be loud.
-    """
+    Used only when no codec library exists in the environment (see
+    _pick_decoder); decode properties derive from the payload digest so
+    the plumbing stays exercised and deterministic."""
     import hashlib
 
     h = hashlib.md5(payload).digest()
@@ -58,18 +58,57 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
     return fmt, 64 + h[1] % 192, 64 + h[2] % 192, 1 + h[3] % 3
 
 
+def _real_decode(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """REAL codec path (PIL) — taken automatically when Pillow is
+    importable on the worker. Undecodable bytes (this corpus's payloads
+    are text stand-ins, not media) yield a loud 'undecodable' row with
+    NULL dimensions rather than failing the batch — the behavior a 100 TB
+    crawl needs, where some fraction of payloads is always corrupt."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return (
+                (im.format or "unknown").lower(),
+                im.width,
+                im.height,
+                len(im.getbands()),
+            )
+    except Exception:
+        return "undecodable", None, None, None
+
+
+def _pick_decoder():
+    """Runtime dispatch: the real PIL decoder when the lib exists, the
+    deterministic stub otherwise. Resolved once per kernel invocation ON
+    THE WORKER (the driver's environment may differ from executors')."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return _real_decode
+    except ImportError:
+        return _fake_decode
+
+
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode pipeline over the binary column (STUB codec).
+    """Arrow-batched decode pipeline over the binary column.
 
     mapInPandas keeps the Python boundary per-batch; output schema is fixed
-    and typed. Rows-only correctness check (no SQL oracle for a codec)."""
+    and typed. ENV-CONDITIONAL: with Pillow installed the kernel really
+    decodes (corrupt payloads → 'undecodable' + NULL dims); without it the
+    deterministic digest stub runs. Rows-only correctness check either way
+    (no SQL oracle for a codec); the dispatch and both kernels are pinned
+    by tests/test_multimodal.py."""
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pick_decoder()
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

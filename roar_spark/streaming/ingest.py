@@ -18,6 +18,15 @@ are silently dropped (kafka/consumer.go:630-634 — parity quirk, see
 SURVEY.md §2.3.5). A whole message that fails to parse yields NULL payload
 columns (parse-error row → all-null, kafka/consumer.go:607-612).
 
+RESCUED-DATA extension (opt-in, EngineConfig.rescue_columns — the designed
+escape from the silent-drop quirk, SURVEY.md §2.3.5): when the frozen
+schema carries the reserved ``_rescued`` string field (the engine appends
+it at bootstrap for JSON streams), every post-freeze payload field that is
+NOT in the frozen schema lands there as a JSON object of key → stringified
+value (nested values keep their JSON text), NULL when nothing was dropped.
+Entirely built-in expressions — from_json to map<string,string> +
+map_filter + to_json, whole-stage codegen, no Python on the data path.
+
 Scale: stages 2-4 are one whole-stage-codegen'd projection per micro-batch;
 schema inference runs ONCE per stream on a driver-side sample, never on the
 data path.
@@ -32,7 +41,15 @@ from pyspark.sql import types as T
 from roar_spark.coerce import carrier_schema, coerce_to_schema
 from roar_spark.inference import KAFKA_METADATA_FIELDS, infer_schema
 
-__all__ = ["bootstrap_schema", "parse_envelope", "is_json_schema"]
+__all__ = [
+    "RESCUED_COL",
+    "bootstrap_schema",
+    "is_json_schema",
+    "parse_envelope",
+    "with_rescued_column",
+]
+
+RESCUED_COL = "_rescued"
 
 
 def bootstrap_schema(
@@ -73,13 +90,37 @@ def _metadata_cols() -> list[Column]:
     ]
 
 
+def with_rescued_column(schema: T.StructType) -> T.StructType:
+    """Frozen schema + the reserved ``_rescued`` string field (idempotent;
+    no-op for binary streams, which have no payload fields to drop)."""
+    if not is_json_schema(schema) or RESCUED_COL in schema.fieldNames():
+        return schema
+    return T.StructType([*schema.fields, T.StructField(RESCUED_COL, T.StringType(), True)])
+
+
 def parse_envelope(envelope: DataFrame, schema: T.StructType) -> DataFrame:
     """Apply the frozen schema to an envelope DataFrame (streaming or
-    batch). Output column order = schema order (metadata first)."""
+    batch). Output column order = schema order (metadata first). A schema
+    carrying the reserved ``_rescued`` field (with_rescued_column) also
+    captures the silently-dropped post-freeze payload fields there."""
     if not is_json_schema(schema):
         return envelope.select(*_metadata_cols(), F.col("value").alias("value"))
-    carrier = carrier_schema(schema)
+    rescue = RESCUED_COL in schema.fieldNames()
+    base = (
+        T.StructType([f for f in schema.fields if f.name != RESCUED_COL])
+        if rescue
+        else schema
+    )
+    carrier = carrier_schema(base)
     parsed = envelope.withColumn(
         "_payload", F.from_json(F.col("value").cast("string"), carrier)
     )
-    return parsed.select(*_metadata_cols(), *coerce_to_schema("_payload", schema))
+    cols = [*_metadata_cols(), *coerce_to_schema("_payload", base)]
+    if rescue:
+        known = F.array(*[F.lit(f.name) for f in base.fields])
+        raw = F.from_json(F.col("value").cast("string"), "map<string,string>")
+        dropped = F.map_filter(raw, lambda k, _v: ~F.array_contains(known, k))
+        # NULL when nothing was dropped (size(NULL map) is NULL too — an
+        # unparseable payload rescues nothing, matching its all-null row)
+        cols.append(F.when(F.size(dropped) > 0, F.to_json(dropped)).alias(RESCUED_COL))
+    return parsed.select(*cols)

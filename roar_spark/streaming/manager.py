@@ -57,7 +57,7 @@ from pyspark.sql import types as T
 
 from roar_spark.config import EngineConfig
 from roar_spark.metrics import REGISTRY, update_engine_gauges
-from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
+from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope, with_rescued_column
 
 __all__ = ["StreamEngine", "MemoryStore", "ParquetStore", "StreamHandle"]
 
@@ -333,6 +333,10 @@ class StreamEngine:
                 self.config.schema_sample_size,
                 infer_nested=self.config.infer_nested,
             )
+            if self.config.rescue_columns:
+                # opt-in escape from the silent-drop quirk: post-freeze
+                # fields land in `_rescued` (ingest.parse_envelope)
+                schema = with_rescued_column(schema)
         return self._attach(topic, schema)
 
     def _attach(self, topic: str, schema: T.StructType) -> StreamHandle:

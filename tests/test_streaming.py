@@ -779,3 +779,56 @@ def test_negative_epoch_ns_floors_like_catalog(spark, tmp_path):
     out = parse_envelope(read_envelope_batch(spark, path), handle.schema)
     row = out.collect()[0]
     assert row.ts.microsecond == 999998  # -2 µs, not -1 (truncation)
+
+
+def test_rescued_column_captures_post_freeze_fields(spark, tmp_path):
+    """SURVEY §2.3.5 extension: with rescue_columns=True, payload fields
+    that appear AFTER the schema froze land in `_rescued` as a JSON object
+    instead of being silently dropped; rows without extras carry NULL.
+    Default config (parity) is untouched — no `_rescued` field exists."""
+    from roar_spark.sources.files import file_envelope_stream
+    from roar_spark.streaming.ingest import RESCUED_COL
+
+    src = str(tmp_path / "src")
+    write_envelope_file(
+        src,
+        [
+            {"key": "k0", "value": json.dumps({"n": 0, "s": "x"}),
+             "timestamp": "2026-08-13T09:00:00Z", "offset": 0, "partition": 0},
+            # post-freeze producer upgrade: two new fields, one nested
+            {"key": "k1", "value": json.dumps({"n": 1, "s": "y", "lang": "de",
+                                               "meta": {"v": 2}}),
+             "timestamp": "2026-08-13T09:00:01Z", "offset": 1, "partition": 0},
+            {"key": "k2", "value": "not json at all",
+             "timestamp": "2026-08-13T09:00:02Z", "offset": 2, "partition": 0},
+        ],
+        file_name="a.json",
+    )
+    engine = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, rescue_columns=True,
+                     checkpoint_path=str(tmp_path / "ckpt")),
+    )
+    # schema freezes on the FIRST message only — 'lang'/'meta' are unknown
+    handle = engine.ingest("up", file_envelope_stream(spark, src),
+                           [json.dumps({"n": 0, "s": "x"})])
+    try:
+        handle.query.processAllAvailable()
+        assert RESCUED_COL in handle.schema.fieldNames()
+        rows = {r.kafka_offset: r for r in engine.fetch("up", limit=-1).collect()}
+        assert len(rows) == 3
+        assert rows[0]._rescued is None  # nothing dropped
+        assert json.loads(rows[1]._rescued) == {"lang": "de", "meta": '{"v":2}'}
+        assert rows[1].n == 1 and rows[1].s == "y"  # frozen fields unaffected
+        # unparseable payload: all-null row, rescues nothing (parity)
+        assert rows[2].n is None and rows[2]._rescued is None
+    finally:
+        if handle.query is not None:
+            handle.query.stop()
+        engine.stop()
+
+    # parity default: the flag off reproduces the silent drop exactly
+    engine2 = StreamEngine(spark, EngineConfig())
+    h2 = engine2.register_stream("parity", [json.dumps({"n": 0, "s": "x"})])
+    assert RESCUED_COL not in h2.schema.fieldNames()
+    engine2.stop()

@@ -40,10 +40,12 @@ ROWS_ONLY_BY_DESIGN: dict[str, str] = {
         "statistical half."
     ),
     "multimodal_decode_stub": (
-        "the decode is an honest NotImplementedError stub — no codec libs "
-        "exist in this container, so there is no value to verify; the "
-        "Spark-side plumbing (schema, batching, partitioning) is what the "
-        "rows-only run checks, and it is separately pinned by "
+        "the decode is ENV-CONDITIONAL: a real PIL decode when Pillow is "
+        "importable on the worker, a deterministic digest stub otherwise "
+        "(this container ships no codec libs, so the stub runs here) — "
+        "either way no SQL engine can mirror a codec, so there is no "
+        "value-hash oracle; the Spark-side plumbing (schema, batching, "
+        "partitioning) and both kernels' dispatch are pinned by "
         "tests/test_multimodal.py."
     ),
 }
