@@ -84,7 +84,20 @@ def cmd_serve(args: argparse.Namespace) -> int:
     engine = StreamEngine(spark, config, store_base=args.store_dir)
     attach(spark)
 
-    if args.source_dir:
+    if args.source_flight:
+        # engine-to-engine replication: consume another engine's served
+        # streams over the Arrow-Flight source (sources/flight.py). Topics
+        # default to everything the upstream serves.
+        from roar_spark.sources.flight import ingest_from_flight
+        from roar_spark.streaming.flight_facade import list_topics
+
+        topics = list(config.topics) or list_topics(args.source_flight)
+        if not topics:
+            print("serve: upstream serves no topics", file=sys.stderr)
+            return 2
+        for topic in topics:
+            ingest_from_flight(engine, topic, args.source_flight)
+    elif args.source_dir:
         from roar_spark.sources.files import file_envelope_stream, read_envelope_batch
 
         topic = args.topics or "files"
@@ -104,7 +117,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
             # freeze a payload-less schema and drop every field forever)
             engine.ingest(topic, env)
     else:
-        print("serve: need --source-dir or --topics", file=sys.stderr)
+        print("serve: need --source-flight, --source-dir or --topics", file=sys.stderr)
         return 2
 
     server = serve_in_thread(engine, args.port)
@@ -372,6 +385,10 @@ def main(argv: list[str] | None = None) -> int:
     serve.add_argument("--port", type=int, default=8080)  # serve.go:217
     serve.add_argument("--metrics-port", type=int, default=0)  # serve.go:221
     serve.add_argument("--source-dir", default="", help="file-simulated source dir")
+    serve.add_argument(
+        "--source-flight", default="",
+        help="upstream Flight server (grpc://host:port) to replicate from",
+    )
     serve.add_argument("--store-dir", default="", help="parquet retention store dir")
     serve.set_defaults(fn=cmd_serve)
 

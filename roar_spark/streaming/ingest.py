@@ -90,12 +90,32 @@ def _metadata_cols() -> list[Column]:
     ]
 
 
+_RESCUED_MARK = "roar.rescued"  # field-metadata marker: distinguishes the
+# ENGINE-APPENDED rescue sink from a user payload field that happens to be
+# named "_rescued" (which must keep flowing as ordinary data in parity mode)
+
+
+def _is_rescue_sink(f: T.StructField) -> bool:
+    return f.name == RESCUED_COL and bool(f.metadata.get(_RESCUED_MARK))
+
+
 def with_rescued_column(schema: T.StructType) -> T.StructType:
-    """Frozen schema + the reserved ``_rescued`` string field (idempotent;
-    no-op for binary streams, which have no payload fields to drop)."""
-    if not is_json_schema(schema) or RESCUED_COL in schema.fieldNames():
+    """Frozen schema + the reserved ``_rescued`` string sink (idempotent;
+    no-op for binary streams, which have no payload fields to drop). The
+    sink carries a metadata marker so parse_envelope never mistakes a
+    user's own "_rescued" payload field for it."""
+    # no-op on name collision too: if the PAYLOAD itself has a "_rescued"
+    # field, appending a sink would duplicate the column name — the user's
+    # field wins and rescue is unavailable for that stream (deterministic,
+    # and the parity path is exactly preserved)
+    if not is_json_schema(schema) or any(f.name == RESCUED_COL for f in schema.fields):
         return schema
-    return T.StructType([*schema.fields, T.StructField(RESCUED_COL, T.StringType(), True)])
+    return T.StructType(
+        [
+            *schema.fields,
+            T.StructField(RESCUED_COL, T.StringType(), True, {_RESCUED_MARK: True}),
+        ]
+    )
 
 
 def parse_envelope(envelope: DataFrame, schema: T.StructType) -> DataFrame:
@@ -105,9 +125,9 @@ def parse_envelope(envelope: DataFrame, schema: T.StructType) -> DataFrame:
     captures the silently-dropped post-freeze payload fields there."""
     if not is_json_schema(schema):
         return envelope.select(*_metadata_cols(), F.col("value").alias("value"))
-    rescue = RESCUED_COL in schema.fieldNames()
+    rescue = any(_is_rescue_sink(f) for f in schema.fields)
     base = (
-        T.StructType([f for f in schema.fields if f.name != RESCUED_COL])
+        T.StructType([f for f in schema.fields if not _is_rescue_sink(f)])
         if rescue
         else schema
     )

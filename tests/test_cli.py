@@ -285,3 +285,53 @@ def test_cli_bucketed_routes_same_dir_as_views(monkeypatch, capsys):
     assert rc == 0
     capsys.readouterr()
     assert seen["bucketed"] == seen["views"]
+
+
+def test_serve_requires_some_source(capsys):
+    """serve with no source flag exits 2 and names all three options."""
+    assert main(["serve"]) == 2
+    assert "--source-flight" in capsys.readouterr().err
+
+
+def test_serve_source_flight_replicates_upstream(spark, tmp_path):
+    """`serve --source-flight` consumes an upstream engine's served streams
+    through the Flight source (the CLI face of ingest_from_flight). Tested
+    at the wiring level: upstream serves a stream, the flag path registers
+    the replica and starts its query (we invoke the branch directly —
+    cmd_serve itself blocks on server.wait())."""
+    import json as _json
+
+    from roar_spark.config import EngineConfig
+    from roar_spark.sources.files import read_envelope_batch, write_envelope_file
+    from roar_spark.sources.flight import ingest_from_flight
+    from roar_spark.streaming.flight_facade import list_topics, serve_in_thread
+    from roar_spark.streaming.manager import StreamEngine
+
+    up = StreamEngine(spark, EngineConfig())
+    up.register_stream("clicks", [_json.dumps({"n": 1})])
+    src = str(tmp_path / "data")
+    write_envelope_file(
+        src,
+        [{"key": "k0", "value": _json.dumps({"n": 7}),
+          "timestamp": "2026-08-13T10:00:00Z", "offset": 0, "partition": 0}],
+    )
+    up.append_batch("clicks", read_envelope_batch(spark, src))
+    server = serve_in_thread(up)
+    loc = f"grpc://localhost:{server.port}"
+
+    # the cmd_serve branch: topics default to the upstream's full listing
+    down = StreamEngine(
+        spark, EngineConfig(flush_interval_seconds=1,
+                            checkpoint_path=str(tmp_path / "ckpt"))
+    )
+    try:
+        for topic in list_topics(loc):
+            handle = ingest_from_flight(down, topic, loc)
+        handle.query.processAllAvailable()
+        assert [r.n for r in down.fetch("clicks", -1).collect()] == [7]
+    finally:
+        if handle.query is not None:
+            handle.query.stop()
+        down.stop()
+        server.shutdown()
+        up.stop()

@@ -832,3 +832,28 @@ def test_rescued_column_captures_post_freeze_fields(spark, tmp_path):
     h2 = engine2.register_stream("parity", [json.dumps({"n": 0, "s": "x"})])
     assert RESCUED_COL not in h2.schema.fieldNames()
     engine2.stop()
+
+
+def test_rescued_name_collision_keeps_user_field(spark):
+    """A payload field genuinely NAMED `_rescued` is user data: in parity
+    mode it flows as an ordinary column; with rescue_columns=True the sink
+    is NOT appended (name collision → rescue unavailable, user field wins)
+    and the field still parses as data."""
+    from roar_spark.streaming.ingest import (
+        RESCUED_COL,
+        bootstrap_schema,
+        parse_envelope,
+        with_rescued_column,
+    )
+
+    sample = [json.dumps({"n": 1, "_rescued": "mine"})]
+    schema = bootstrap_schema(sample)
+    assert with_rescued_column(schema) == schema  # collision → no-op
+    env = spark.createDataFrame(
+        [("k", json.dumps({"n": 2, "_rescued": "yours", "extra": 7}),
+          "2026-08-13T09:00:00Z", 0, 0)],
+        "key string, value string, timestamp string, offset long, partition int",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    row = parse_envelope(env, with_rescued_column(schema)).collect()[0]
+    assert row[RESCUED_COL] == "yours"  # user data, not a rescue sink
+    assert row.n == 2 and "extra" not in row.asDict()  # parity drop intact
