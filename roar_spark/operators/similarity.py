@@ -443,7 +443,7 @@ def _bucket_ids(
     n_planes: int,
     dim: int,
     n_tables: int = N_TABLES,
-    emit_qemb: bool = False,
+    emit_qemb: bool | str = False,
 ) -> DataFrame:
     """vec_id + one packed sign-LSH bucket id per hash table, computed as a
     single Arrow-batched numpy matmul per input batch: (batch×dim) @
@@ -492,8 +492,16 @@ def _bucket_ids(
     ).T  # dim × (tables·planes)
     shifts = 1 << np.arange(n_planes, dtype=np.int64)
     schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(n_tables))
+    # emit_qemb: False | True/"int8" (array<tinyint>, scale 127 — the dedup
+    # screen's payload) | "int16" (array<smallint>, scale 32767 — the bulk-
+    # kNN screen's payload, where the screen cosine IS the reported score
+    # above the exact-rerank cutoff and int8's ±0.064 proven bound would be
+    # visible; int16's is ±2.4e-4 at dim 64, absorbed by a ~5e-4 margin)
+    q_scale, q_dtype = (
+        (32767.0, "int16") if emit_qemb == "int16" else (127.0, "int8")
+    )
     if emit_qemb:
-        schema += ", qemb array<tinyint>"
+        schema += ", qemb array<" + ("smallint" if emit_qemb == "int16" else "tinyint") + ">"
 
     def hash_batches(batches):
         for pdf in batches:
@@ -506,8 +514,8 @@ def _bucket_ids(
                 out[f"b{t}"] = (bits[:, t * n_planes : (t + 1) * n_planes] * shifts).sum(axis=1)
             res = pd.DataFrame(out)
             if emit_qemb:
-                q = np.round(127.0 * _unit_rows(m))
-                q = np.nan_to_num(q, nan=0.0).astype("int8")  # zero-norm → 0⃗
+                q = np.round(q_scale * _unit_rows(m))
+                q = np.nan_to_num(q, nan=0.0).astype(q_dtype)  # zero-norm → 0⃗
                 res["qemb"] = list(q)
             yield res
 
@@ -1232,6 +1240,7 @@ def _knn_screened_candidates(
     k: int,
     probe: bool,
     n_tables: int = N_TABLES,
+    quantize: bool = False,
 ) -> DataFrame:
     """(query_id, vec_id, cos) candidate pairs for bulk k-NN: per
     (tbl, bkt) group, one corpus×query matmul scores every in-bucket pair
@@ -1262,10 +1271,14 @@ def _knn_screened_candidates(
     (NaN → −2 sentinel) and self-pairs are cut in-kernel: both were
     dropped downstream anyway (the exact rerank's NULL-cosine filter), so
     shipping them was pure shuffle waste."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
+    wb = _persist_bounded(
+        _bucket_ids(emb, n_planes, dim, n_tables, emit_qemb="int16" if quantize else False)
+    )
     base = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables)
     if probe:
         tagged = base.select("vec_id", "tbl", "bkt", F.lit(0).alias("side")).unionAll(
@@ -1279,7 +1292,31 @@ def _knn_screened_candidates(
         # volume of the dim-wide embedding column through the (tbl, bkt)
         # shuffle vs. unioning two copies
         tagged = base.select("vec_id", "tbl", "bkt", F.lit(2).alias("side"))
-    tagged = tagged.join(emb.select("vec_id", "embedding"), "vec_id")
+    if quantize:
+        # int16 screen payload (scale cancels under renormalization): the
+        # entry shrinks from ~620 B (array<float> + row overhead, measured
+        # in the r8 16M probe that filled the disk at ~35 GB of screen
+        # shuffle) to ~170 B — the difference between "killed by no-space
+        # at 16M" and completing on one box. The margin below absorbs the
+        # PROVEN int16 quantization bound, so no candidate the true rounded
+        # score would rank ≤ k is ever screened out; the emitted cos is
+        # the quantized cosine (±2δ of true — see margin derivation), used
+        # as the final score only on the rows-only large-n path.
+        payload = wb.select("vec_id", F.col("qemb").alias("embedding"))
+    else:
+        payload = emb.select("vec_id", "embedding")
+    tagged = tagged.join(payload, "vec_id")
+
+    # per-pair screen-vs-true gap: 0 unquantized (same float64 matmul);
+    # quantized, each side's renormalized int16 error is ε/(1−ε/2) with
+    # ε = √dim·(0.5/32767) (the _bucket_ids bound at scale 32767), so
+    # δ = 2ε/(1−ε/2) per pair — and the k-th order statistic also shifts
+    # ≤ δ, hence the 2δ widening: cos_q(c) ≥ cos_t(c)−δ ≥ kth_t−δ ≥ kth_q−2δ
+    # for any candidate whose true cosine reaches the true k-th.
+    margin = _KNN_SCREEN_MARGIN
+    if quantize:
+        eps = math.sqrt(dim) * (0.5 / 32767.0)
+        margin += 2.0 * (2.0 * eps / (1.0 - eps / 2.0))
 
     # KEEP IN SYNC with _lsh_screened_pairs.screen (normalization + stack).
     def screen_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1317,7 +1354,7 @@ def _knn_screened_candidates(
             kth = np.partition(cos, nc - kk, axis=1)[:, nc - kk]
             # cos > -1.5 cuts the -2 sentinels (zero-norm / self) that
             # survive the rank cut in an under-full bucket (kth = -2)
-            keep = (cos >= kth[:, None] - _KNN_SCREEN_MARGIN) & (cos > -1.5)
+            keep = (cos >= kth[:, None] - margin) & (cos > -1.5)
             iq, ip = np.nonzero(keep)
             out_q.append(ids_q[s + iq])
             out_p.append(ids_p[ip])
@@ -1348,6 +1385,16 @@ def _knn_screened_candidates(
 # rounding-boundary hits (see the operator docstring's caveat).
 _BULK_EXACT_RERANK_CUTOFF = 20_000
 
+# Above this corpus size the screen ships the int16-quantized payload
+# instead of array<float> (~170 B vs ~620 B per entry): the r8 16M probe
+# measured the float screen shuffle filling the box's 44 GB free disk at
+# ~35 GB written (SCALE.md) — the quantized form is ~4× smaller. Kept off
+# below the cutoff so every oracle/pinned size sees bit-identical floats;
+# above it the final scores are already the rows-only screen cosines, and
+# the margin widening makes candidate survival provably lossless
+# (derivation in _knn_screened_candidates).
+_SCREEN_QUANT_CUTOFF = 1_000_000
+
 
 def embedding_knn_classify_bulk(
     spark: SparkSession,
@@ -1355,6 +1402,7 @@ def embedding_knn_classify_bulk(
     k: int = KNN_K,
     probe: bool = False,
     force_screen_rerank: bool | None = None,
+    quantize_screen: bool | None = None,
 ) -> DataFrame:
     """Full-corpus k-NN label prediction — the bulk-classification path
     the brute operator's docstring promises: EVERY vector is classified,
@@ -1386,6 +1434,13 @@ def embedding_knn_classify_bulk(
     longer); with every vector already OR-matched across N_TABLES
     independent tables, table diversity supplies the recall instead.
 
+    ``quantize_screen`` (None = dispatch on _SCREEN_QUANT_CUTOFF) ships
+    the int16-quantized payload through the screen shuffle above 1M rows
+    — ~4× narrower entries, the fix for the measured 16M disk ceiling
+    (SCALE.md r8); candidate survival stays provably lossless via the
+    margin widening in _knn_screened_candidates, and reported scores
+    (already the rows-only screen cosines at those sizes) move by ≤ ~5e-4.
+
     ``force_screen_rerank`` overrides the size dispatch between the two
     rerank shapes (None = dispatch on _BULK_EXACT_RERANK_CUTOFF):
 
@@ -1415,6 +1470,9 @@ def embedding_knn_classify_bulk(
         if force_screen_rerank is None
         else force_screen_rerank
     )
+    quantize = (
+        n > _SCREEN_QUANT_CUTOFF if quantize_screen is None else quantize_screen
+    )
 
     # Heaviest shuffle by BYTES: the screen explosion (n·tables rows
     # carrying the dim-wide embedding, ~12× the record size
@@ -1427,10 +1485,11 @@ def embedding_knn_classify_bulk(
     # leaving the screen explosion as the only wide stage.
     from roar_spark.session import tuned_session
 
-    heaviest = n * N_TABLES * 12 if screen_rerank else n * k * N_TABLES * 8
+    screen_row_units = 3 if quantize else 12  # int16 payload ≈ 4× narrower
+    heaviest = n * N_TABLES * screen_row_units if screen_rerank else n * k * N_TABLES * 8
     spark = tuned_session(spark, heaviest)
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=SPREAD_MIN_EMB_ROWS))
-    screened = _knn_screened_candidates(emb, n_planes, dim, k, probe)
+    screened = _knn_screened_candidates(emb, n_planes, dim, k, probe, quantize=quantize)
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     if screen_rerank:
         # dedup across tables keeps the LARGEST matmul cos (same pair,

@@ -579,3 +579,68 @@ def test_brute_matmul_empty_query_set_matches_exact_arm(spark, tmp_path):
     for fn in (sim_brute_topk, embedding_knn_classify):
         assert fn(spark, str(d), force_matmul=False).collect() == []
         assert fn(spark, str(d), force_matmul=True).collect() == []
+
+
+def test_bulk_knn_quantized_screen_same_labels(spark, tmp_path_factory):
+    """The int16 screen payload (large-n dispatch: ~4× narrower shuffle,
+    the r8 fix for the measured 16M disk ceiling) must classify the
+    planted-cluster corpus IDENTICALLY to the float screen — label for
+    label, vote count for vote count — with best_cos within the proven
+    quantization bound (2δ ≈ 5e-4 at dim 32), and the zero-norm abstain
+    contract intact (int16 quantizes 0⃗ → 0⃗ → NaN sentinel cut)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roar_spark.operators.similarity import KNN_K, embedding_knn_classify_bulk
+
+    rng = np.random.default_rng(31)
+    n_labels, per, dim = 6, 70, 32
+    centers = rng.standard_normal((n_labels, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for _ in range(per):
+        for lbl in range(n_labels):
+            v = centers[lbl] + 0.15 * rng.standard_normal(dim)
+            vecs.append((v / np.linalg.norm(v)).astype("float32"))
+            labels.append(lbl)
+    for _ in range(KNN_K):
+        vecs.append(np.zeros(dim, dtype="float32"))
+        labels.append(99)
+    d = tmp_path_factory.mktemp("quant_screen")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    kw = dict(force_screen_rerank=True)
+    plain = {
+        r.query_id: r
+        for r in embedding_knn_classify_bulk(
+            spark, str(d), quantize_screen=False, **kw
+        ).collect()
+    }
+    quant = {
+        r.query_id: r
+        for r in embedding_knn_classify_bulk(
+            spark, str(d), quantize_screen=True, **kw
+        ).collect()
+    }
+    assert plain.keys() == quant.keys()
+    eps = math.sqrt(dim) * (0.5 / 32767.0)
+    bound = 2.0 * (2.0 * eps / (1.0 - eps / 2.0)) + 1e-6
+    for qid, p in plain.items():
+        q = quant[qid]
+        assert (q.predicted_label, q.n_votes) == (p.predicted_label, p.n_votes), qid
+        if p.best_cos is not None:
+            assert abs(q.best_cos - p.best_cos) <= bound, (qid, p.best_cos, q.best_cos)
+    # zero-norm cohort abstains on the quantized path too
+    for qid in range(len(vecs) - KNN_K, len(vecs)):
+        assert quant[qid].predicted_label is None and quant[qid].n_votes == 0
