@@ -711,9 +711,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     top = np.argsort(-scores, axis=1, kind="stable")[:, :k]
                     # drop never-scored (-inf) slots — a vector whose probed
                     # groups hold < k centroids emits fewer cells, exactly
-                    # as the oracle's rn <= k over existing pairs does
+                    # as the oracle's rn <= k over existing pairs does.
+                    # top.shape[1] (not k): a corpus with fewer centroids
+                    # than k yields a narrower top — repeat must match it
+                    # (latent in the flat-assignment kernel too; never hit
+                    # because every exercised corpus has C > nprobe)
                     keep = (np.take_along_axis(scores, top, axis=1) != -np.inf).ravel()
-                    ids = vid_all[lo : lo + chunk].repeat(k)
+                    ids = vid_all[lo : lo + chunk].repeat(top.shape[1])
                     yield pd.DataFrame(
                         {id_col: ids[keep], "cell": cent_ids[top].ravel()[keep]}
                     )

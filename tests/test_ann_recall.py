@@ -129,3 +129,32 @@ def test_ann_buckets_are_sublinear(spark, planted_dir):
     assert stats.n_buckets >= N_TABLES * 2**n_planes / 4
     # expected occupancy is within a small factor of the design target
     assert N * N_TABLES / stats.n_buckets <= 4 * TARGET_BUCKET_DOCS
+
+
+def test_ivf_survives_fewer_centroids_than_probes(spark, tmp_path):
+    """Tiny corpus: C = 4 centroids < IVF_NPROBE = 8. The assignment
+    kernel's emit width must follow the actual top width, not k (latent
+    repeat-mismatch, r8 review); every row still gets ranked neighbors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((10, 16)).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(10), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 10, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = ann_ivf_topk(spark, str(tmp_path)).collect()
+    assert out  # no repeat-width crash
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert ranks == sorted(ranks) and ranks[0] == 1
