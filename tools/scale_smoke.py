@@ -175,6 +175,16 @@ def main() -> None:
         "multi-hundred-second 4M+ runs where a repeat costs more than the "
         "noise it removes",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf for the probe session (deployment-level "
+        "knobs a cluster operator would set, e.g. "
+        "spark.io.compression.codec=zstd to trade shuffle CPU for the "
+        "~1.5x better ratio that fits a 16M run on this box's disk)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = args.ops.split(",") if args.ops else LINEAR_OPS + QUADRATIC_OPS
@@ -182,7 +192,8 @@ def main() -> None:
     from roar_spark.registry import QUERIES
     from roar_spark.session import get_spark, warm_python_workers
 
-    spark = get_spark(app_name="roar_scale_smoke")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="roar_scale_smoke", extra_conf=extra or None)
     warm_python_workers(spark)
 
     dirs = {n: gen_corpus(n) for n in sizes}
