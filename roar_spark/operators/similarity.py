@@ -1269,9 +1269,12 @@ def _knn_screened_candidates(
     per-pair cost of the collision space is one BLAS matmul per bucket.
 
     The emitted ``cos`` is the float64 matmul cosine of the renormalized
-    TRUE embeddings (no quantization anywhere in this family): it differs
-    from the exact ordered-fold `cosine()` only at summation-order level
-    (~1e-15 on unit vectors), which `round(·, 6)` absorbs. Zero-norm rows
+    payload vectors: TRUE embeddings when ``quantize=False`` (differs from
+    the exact ordered-fold `cosine()` only at summation-order level,
+    ~1e-15 on unit vectors, absorbed by `round(·, 6)`), or the int16-
+    quantized unit vectors when ``quantize=True`` (within the proven ±2δ
+    bound of true — see the margin derivation below; used as the final
+    score only on the rows-only large-n path). Zero-norm rows
     (NaN → −2 sentinel) and self-pairs are cut in-kernel: both were
     dropped downstream anyway (the exact rerank's NULL-cosine filter), so
     shipping them was pure shuffle waste."""

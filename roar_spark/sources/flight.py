@@ -14,15 +14,25 @@ high-water mark:
           .option("topic", "events").load())
 
 Offset model: the server's DoGet returns the buffered snapshot in append
-order, so the offset is the ROW HIGH-WATER MARK ``{"rows": n}`` — batch k
-delivers ``snapshot[rows_k-1:]`` and advances to ``{"rows": len(snapshot)}``.
+order, so the offset is the ROW HIGH-WATER MARK plus a HEAD FINGERPRINT,
+``{"rows": n, "head": md5(first row)}`` — batch k delivers
+``snapshot[rows_k-1:]`` and advances ``rows`` to ``len(snapshot)``.
 ``maxRowsPerBatch`` rate-limits a batch exactly like Kafka's
 maxOffsetsPerTrigger (the residue stays buffered server-side and the next
 poll resumes from the mark). The roar buffer is drop-oldest under a byte
-cap (stream/manager.go AddBatch), so a snapshot can SHRINK between polls;
-when ``len(snapshot) < rows`` the source re-delivers the whole snapshot —
-at-least-once under eviction, exactly-once while the buffer holds (the
-same contract a reference client polling DoGet gets).
+cap (stream/manager.go AddBatch): eviction removes rows from the FRONT,
+so positions are stable exactly while the first buffered row is unchanged.
+The head fingerprint detects that directly — a positional slice is taken
+ONLY when the head row still matches the checkpointed fingerprint; any
+mismatch (eviction, stream reset, total wipe) resets the mark and
+re-delivers the whole snapshot. A bare ``len < rows`` shrink check would
+MISS an eviction masked by concurrent appends (50 evicted + 60 appended
+keeps the count growing while positions shift — rows skipped silently;
+r8 review). Net contract: exactly-once while the buffer holds,
+at-least-once across evictions — the same guarantee a reference client
+polling DoGet gets. (Known residual: a head row whose full VALUE equals
+the evicted head's is indistinguishable — md5 of every column of row 0 —
+accepted and documented.)
 
 Scale path: ``SimpleDataSourceStreamReader`` polls on the driver — correct
 for the facade's single-endpoint servers and exactly the reference
@@ -47,18 +57,28 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _fetch_snapshot(location: str, topic: str) -> "pa.Table":
-    """GetFlightInfo → DoGet, the reference client's read path
-    (cmd/client.go:121-171). A fresh connection per poll: polls are
-    seconds apart and a cached gRPC channel would hold a socket open
-    across micro-batches for no measured gain."""
-    import pyarrow.flight as flight
+    """The reference client's read path, shared with the CLI client
+    (flight_facade.read_topic — one copy of the GetFlightInfo → DoGet
+    sequence so the two cannot drift; r8 review). Fresh connection per
+    poll: polls are seconds apart and a cached gRPC channel would hold a
+    socket open across micro-batches for no measured gain."""
+    from roar_spark.streaming.flight_facade import read_topic
 
-    client = flight.connect(location)
-    try:
-        info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
-        return client.do_get(info.endpoints[0].ticket).read_all()
-    finally:
-        client.close()
+    return read_topic(location, topic)
+
+
+def _head_fingerprint(table: "pa.Table") -> str | None:
+    """md5 over every column value of the snapshot's FIRST row (None for
+    an empty snapshot) — the positional-stability witness of the offset
+    model (module doc): drop-oldest eviction always changes the head."""
+    if table.num_rows == 0:
+        return None
+    import hashlib
+    import json
+
+    head = table.slice(0, 1).to_pylist()[0]
+    blob = json.dumps(head, sort_keys=True, default=str).encode()
+    return hashlib.md5(blob).hexdigest()
 
 
 def remote_spark_schema(location: str, topic: str) -> StructType:
@@ -97,8 +117,9 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         if self._starting == "latest":
             # one bootstrap poll pins the mark at the current buffer end —
             # Kafka's startingOffsets=latest semantics
-            return {"rows": _fetch_snapshot(self._location, self._topic).num_rows}
-        return {"rows": 0}
+            table = _fetch_snapshot(self._location, self._topic)
+            return {"rows": table.num_rows, "head": _head_fingerprint(table)}
+        return {"rows": 0, "head": None}
 
     def _rows(self, table: "pa.Table") -> Iterator[Tuple]:
         # a LIST iterator, not a generator: the engine copy.copy()s the
@@ -110,20 +131,29 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         table = _fetch_snapshot(self._location, self._topic)
+        head = _head_fingerprint(table)
         mark = start["rows"]
-        if table.num_rows < mark:
-            mark = 0  # buffer evicted/reset past our mark: re-deliver (see module doc)
+        # positions are trustworthy ONLY while the head row is the one the
+        # checkpoint saw (drop-oldest evicts from the front — module doc);
+        # on any mismatch or shrink, reset and re-deliver (at-least-once)
+        if mark > 0 and (table.num_rows < mark or head != start.get("head")):
+            mark = 0
         sliced = table.slice(mark)
         if self._max_rows is not None and sliced.num_rows > self._max_rows:
             sliced = sliced.slice(0, self._max_rows)
-        return self._rows(sliced), {"rows": mark + sliced.num_rows}
+        return self._rows(sliced), {"rows": mark + sliced.num_rows, "head": head}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        # failure replay: re-poll and re-slice the checkpointed range.
-        # Exact while the buffer still holds those rows; under eviction the
-        # replay is best-effort (at-least-once, same as the live path).
+        # failure replay of a checkpointed batch: re-poll and re-slice. If
+        # the batch was a post-eviction reset (its end head differs from
+        # its start head, or the range inverted), the live read delivered
+        # snapshot[0:end.rows] — replay that, not the inverted positional
+        # slice (which returned EMPTY and lost the batch; r8 review).
+        # Exact while the buffer still holds those rows; under further
+        # eviction the replay is best-effort, same as the live path.
         table = _fetch_snapshot(self._location, self._topic)
-        lo = min(start["rows"], table.num_rows)
+        reset = end["rows"] < start["rows"] or end.get("head") != start.get("head")
+        lo = 0 if reset else min(start["rows"], table.num_rows)
         hi = min(end["rows"], table.num_rows)
         return self._rows(table.slice(lo, max(hi - lo, 0)))
 
@@ -147,15 +177,22 @@ class FlightStreamDataSource(DataSource):
         return FlightSimpleStreamReader(schema, self.options)
 
 
-def flight_envelope_stream(spark, location: str, topic: str, **options: str):
+def flight_envelope_stream(
+    spark, location: str, topic: str, schema: StructType | None = None, **options: str
+):
     """Streaming DataFrame of the remote stream's TYPED rows (registers the
-    data source on this session idempotently)."""
+    data source on this session idempotently). Pass ``schema`` when the
+    caller already fetched it — a user-provided schema skips the data
+    source's own GetSchema round-trip (r8 review: ingest_from_flight paid
+    2 RPCs per topic at startup)."""
     spark.dataSource.register(FlightStreamDataSource)
     reader = (
         spark.readStream.format("roar_flight")
         .option("location", location)
         .option("topic", topic)
     )
+    if schema is not None:
+        reader = reader.schema(schema)
     for key, value in options.items():
         reader = reader.option(key, value)
     return reader.load()
@@ -179,6 +216,8 @@ def ingest_from_flight(
         topic, lambda env, s=schema: env.select(*s.fieldNames()), schema
     )
     engine.register_stream(topic, [])  # converter schema; sample ignored
-    envelope = flight_envelope_stream(engine._spark, location, remote_topic, **options)
+    envelope = flight_envelope_stream(
+        engine._spark, location, remote_topic, schema=schema, **options
+    )
     engine.ingest(topic, envelope)
     return engine._handle(topic)

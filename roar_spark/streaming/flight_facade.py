@@ -124,12 +124,21 @@ def list_topics(location: str) -> list[str]:
     return [info.descriptor.path[0].decode() for info in client.list_flights()]
 
 
-def fetch_topic(location: str, topic: str, limit: int = 10) -> pa.Table:
-    """GetFlightInfo → DoGet → client-side row limit — the reference
-    client's exact read path (cmd/client.go:121-171; limit is applied
-    client-side there too, cmd/client.go:193)."""
+def read_topic(location: str, topic: str) -> pa.Table:
+    """GetFlightInfo → DoGet → read_all, connection closed — the reference
+    client's exact read path (cmd/client.go:121-171), shared by the CLI
+    client below and the streaming source (sources/flight.py) so the two
+    copies cannot drift (r8 review: the facade copy leaked the channel)."""
     client = flight.connect(location)
-    info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
-    reader = client.do_get(info.endpoints[0].ticket)
-    table = reader.read_all()
+    try:
+        info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
+        return client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def fetch_topic(location: str, topic: str, limit: int = 10) -> pa.Table:
+    """read_topic + client-side row limit (the reference applies the limit
+    client-side too, cmd/client.go:193)."""
+    table = read_topic(location, topic)
     return table.slice(0, limit) if limit is not None and limit >= 0 else table

@@ -137,7 +137,16 @@ def parse_envelope(envelope: DataFrame, schema: T.StructType) -> DataFrame:
     )
     cols = [*_metadata_cols(), *coerce_to_schema("_payload", base)]
     if rescue:
-        known = F.array(*[F.lit(f.name) for f in base.fields])
+        # known = PAYLOAD fields only: the frozen schema also carries the
+        # four kafka_* metadata columns, but those come from the envelope,
+        # never from the payload — a post-freeze payload field that happens
+        # to be NAMED kafka_offset cannot parse into the metadata column
+        # (carrier_schema excludes it), so it must be rescued, not silently
+        # excluded by a name collision with metadata (r8 review)
+        meta_names = {name for name, _, _ in KAFKA_METADATA_FIELDS}
+        known = F.array(
+            *[F.lit(f.name) for f in base.fields if f.name not in meta_names]
+        )
         raw = F.from_json(F.col("value").cast("string"), "map<string,string>")
         dropped = F.map_filter(raw, lambda k, _v: ~F.array_contains(known, k))
         # NULL when nothing was dropped (size(NULL map) is NULL too — an

@@ -179,3 +179,82 @@ def test_flight_streaming_source_engine_to_engine(served_engine, spark, tmp_path
         if handle.query is not None:
             handle.query.stop()
         engine_b.stop()
+
+
+def _snap(lo: int, hi: int):
+    import pyarrow as pa
+
+    return pa.table({"n": pa.array(list(range(lo, hi)), pa.int64())})
+
+
+def test_flight_source_offset_survives_masked_eviction(monkeypatch):
+    """Drop-oldest eviction MASKED by concurrent appends (count grows while
+    positions shift) must trigger the head-fingerprint reset and re-deliver
+    — the bare shrink check silently skipped the rows that moved into the
+    evicted positions (r8 review)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import roar_spark.sources.flight as fl
+
+    schema = StructType([StructField("n", LongType(), True)])
+    reader = fl.FlightSimpleStreamReader(schema, {"location": "x", "topic": "t"})
+
+    snaps = {"cur": _snap(0, 10)}
+    monkeypatch.setattr(fl, "_fetch_snapshot", lambda loc, top: snaps["cur"])
+
+    rows1, off1 = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows1] == list(range(10))
+    assert off1["rows"] == 10 and off1["head"] is not None
+
+    # evict rows 0-4, append 10-19: num_rows=15 >= mark=10, head CHANGED
+    snaps["cur"] = _snap(5, 20)
+    rows2, off2 = reader.read(off1)
+    got = [r[0] for r in rows2]
+    # reset → whole snapshot re-delivered: rows 10-14 are NOT skipped
+    assert got == list(range(5, 20))
+    assert off2 == {"rows": 15, "head": fl._head_fingerprint(snaps["cur"])}
+
+    # steady state (no eviction): pure positional delta, no re-delivery
+    snaps["cur"] = _snap(5, 25)
+    rows3, off3 = reader.read(off2)
+    assert [r[0] for r in rows3] == list(range(20, 25))
+    assert off3["rows"] == 20  # 15 old positions + 5 new
+
+
+def test_flight_source_replays_reset_batches(monkeypatch):
+    """Checkpoint replay of a post-eviction reset batch must re-deliver
+    snapshot[0:end.rows], not the inverted/shifted positional slice that
+    returned empty and lost the batch (r8 review)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import roar_spark.sources.flight as fl
+
+    schema = StructType([StructField("n", LongType(), True)])
+    reader = fl.FlightSimpleStreamReader(schema, {"location": "x", "topic": "t"})
+    table = _snap(40, 100)  # 60 rows after a wipe
+    monkeypatch.setattr(fl, "_fetch_snapshot", lambda loc, top: table)
+    h_now = fl._head_fingerprint(table)
+
+    # inverted range (100 → 60 after total eviction): replay [0:60]
+    replay = list(
+        reader.readBetweenOffsets(
+            {"rows": 100, "head": "stale"}, {"rows": 60, "head": h_now}
+        )
+    )
+    assert [r[0] for r in replay] == list(range(40, 100))
+
+    # masked-eviction reset (range grew but head changed): replay [0:end]
+    replay2 = list(
+        reader.readBetweenOffsets(
+            {"rows": 10, "head": "stale"}, {"rows": 15, "head": h_now}
+        )
+    )
+    assert [r[0] for r in replay2] == list(range(40, 55))
+
+    # non-reset replay: plain positional slice
+    replay3 = list(
+        reader.readBetweenOffsets(
+            {"rows": 10, "head": h_now}, {"rows": 15, "head": h_now}
+        )
+    )
+    assert [r[0] for r in replay3] == list(range(50, 55))

@@ -857,3 +857,25 @@ def test_rescued_name_collision_keeps_user_field(spark):
     row = parse_envelope(env, with_rescued_column(schema)).collect()[0]
     assert row[RESCUED_COL] == "yours"  # user data, not a rescue sink
     assert row.n == 2 and "extra" not in row.asDict()  # parity drop intact
+
+
+def test_rescued_captures_metadata_named_payload_fields(spark):
+    """A post-freeze payload field NAMED like a kafka metadata column
+    (kafka_offset etc.) can never parse into the metadata column — it must
+    be rescued, not silently excluded by the name collision (r8 review)."""
+    from roar_spark.streaming.ingest import (
+        RESCUED_COL,
+        bootstrap_schema,
+        parse_envelope,
+        with_rescued_column,
+    )
+
+    schema = with_rescued_column(bootstrap_schema([json.dumps({"n": 1})]))
+    env = spark.createDataFrame(
+        [("k", json.dumps({"n": 2, "kafka_offset": 42, "late": "x"}),
+          "2026-08-13T09:00:00Z", 7, 0)],
+        "key string, value string, timestamp string, offset long, partition int",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    row = parse_envelope(env, schema).collect()[0]
+    assert row.kafka_offset == 7  # envelope metadata, untouched
+    assert json.loads(row[RESCUED_COL]) == {"kafka_offset": "42", "late": "x"}

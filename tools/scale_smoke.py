@@ -192,6 +192,9 @@ def main() -> None:
     from roar_spark.registry import QUERIES
     from roar_spark.session import get_spark, warm_python_workers
 
+    bad = [kv for kv in args.conf if "=" not in kv]
+    if bad:
+        ap.error(f"--conf expects K=V, got: {', '.join(bad)}")
     extra = dict(kv.split("=", 1) for kv in args.conf)
     spark = get_spark(app_name="roar_scale_smoke", extra_conf=extra or None)
     warm_python_workers(spark)
