@@ -110,6 +110,8 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         self._location = options["location"]
         self._topic = options["topic"]
         self._fields = schema.fieldNames()
+        self._schema = schema
+        self._pa_schema = None  # to_arrow_schema(schema), built on first use
         self._max_rows = int(options.get("maxrowsperbatch", 0)) or None
         self._starting = options.get("startingoffsets", "earliest").lower()
 
@@ -121,13 +123,28 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
             return {"rows": table.num_rows, "head": _head_fingerprint(table)}
         return {"rows": 0, "head": None}
 
-    def _rows(self, table: "pa.Table") -> Iterator[Tuple]:
-        # a LIST iterator, not a generator: the engine copy.copy()s the
+    def _rows(self, table: "pa.Table") -> Iterator:
+        # Arrow RecordBatches, not per-row tuples: the worker read path
+        # accepts either (plan_data_source_read.records_to_arrow_batches)
+        # and the batch form skips the per-row Python materialization —
+        # measured 23.2 s → (see SCALE.md) for a 1M-row replication. A
+        # LIST iterator, not a generator: the engine copy.copy()s the
         # prefetched iterator when serving the cached batch and pickles it
         # to ship driver→executor — list iterators support both, generators
-        # neither (datasource_internal.py getCache)
-        fields = self._fields
-        return iter([tuple(rec[name] for name in fields) for rec in table.to_pylist()])
+        # neither (datasource_internal.py getCache). Columns are re-selected
+        # in schema field order, then cast to the EXACT expected arrow
+        # schema — the JVM runner asserts batch schema equality, and the
+        # remote's timestamp tz / nullability metadata need not match the
+        # session's (cast is metadata-only for tz'd timestamps: arrow
+        # stores UTC-epoch instants, so no values change).
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if self._pa_schema is None:
+            self._pa_schema = to_arrow_schema(self._schema)
+        tbl = table.select(self._fields)
+        if tbl.schema != self._pa_schema:
+            tbl = tbl.cast(self._pa_schema)
+        return iter(tbl.to_batches())
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         table = _fetch_snapshot(self._location, self._topic)

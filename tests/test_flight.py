@@ -187,6 +187,14 @@ def _snap(lo: int, hi: int):
     return pa.table({"n": pa.array(list(range(lo, hi)), pa.int64())})
 
 
+def _vals(batches):
+    """Flatten the reader's RecordBatch iterator to the n-column values."""
+    out = []
+    for b in batches:
+        out.extend(b.column(0).to_pylist())
+    return out
+
+
 def test_flight_source_offset_survives_masked_eviction(monkeypatch):
     """Drop-oldest eviction MASKED by concurrent appends (count grows while
     positions shift) must trigger the head-fingerprint reset and re-deliver
@@ -203,21 +211,20 @@ def test_flight_source_offset_survives_masked_eviction(monkeypatch):
     monkeypatch.setattr(fl, "_fetch_snapshot", lambda loc, top: snaps["cur"])
 
     rows1, off1 = reader.read(reader.initialOffset())
-    assert [r[0] for r in rows1] == list(range(10))
+    assert _vals(rows1) == list(range(10))
     assert off1["rows"] == 10 and off1["head"] is not None
 
     # evict rows 0-4, append 10-19: num_rows=15 >= mark=10, head CHANGED
     snaps["cur"] = _snap(5, 20)
     rows2, off2 = reader.read(off1)
-    got = [r[0] for r in rows2]
     # reset → whole snapshot re-delivered: rows 10-14 are NOT skipped
-    assert got == list(range(5, 20))
+    assert _vals(rows2) == list(range(5, 20))
     assert off2 == {"rows": 15, "head": fl._head_fingerprint(snaps["cur"])}
 
     # steady state (no eviction): pure positional delta, no re-delivery
     snaps["cur"] = _snap(5, 25)
     rows3, off3 = reader.read(off2)
-    assert [r[0] for r in rows3] == list(range(20, 25))
+    assert _vals(rows3) == list(range(20, 25))
     assert off3["rows"] == 20  # 15 old positions + 5 new
 
 
@@ -236,25 +243,25 @@ def test_flight_source_replays_reset_batches(monkeypatch):
     h_now = fl._head_fingerprint(table)
 
     # inverted range (100 → 60 after total eviction): replay [0:60]
-    replay = list(
+    replay = _vals(
         reader.readBetweenOffsets(
             {"rows": 100, "head": "stale"}, {"rows": 60, "head": h_now}
         )
     )
-    assert [r[0] for r in replay] == list(range(40, 100))
+    assert replay == list(range(40, 100))
 
     # masked-eviction reset (range grew but head changed): replay [0:end]
-    replay2 = list(
+    replay2 = _vals(
         reader.readBetweenOffsets(
             {"rows": 10, "head": "stale"}, {"rows": 15, "head": h_now}
         )
     )
-    assert [r[0] for r in replay2] == list(range(40, 55))
+    assert replay2 == list(range(40, 55))
 
     # non-reset replay: plain positional slice
-    replay3 = list(
+    replay3 = _vals(
         reader.readBetweenOffsets(
             {"rows": 10, "head": h_now}, {"rows": 15, "head": h_now}
         )
     )
-    assert [r[0] for r in replay3] == list(range(50, 55))
+    assert replay3 == list(range(50, 55))
