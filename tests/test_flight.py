@@ -265,3 +265,57 @@ def test_flight_source_replays_reset_batches(monkeypatch):
         )
     )
     assert replay3 == list(range(50, 55))
+
+
+def test_flight_source_at_least_once_property(monkeypatch):
+    """Property: across ANY interleaving of front-evictions and appends
+    between polls (the drop-oldest buffer's full behavior space), every
+    row present in a polled snapshot has been delivered at least once by
+    the end of that poll round — the at-least-once contract the module
+    doc promises. Rows are unique monotone ints, so set containment is
+    exact. Rate limiting is exercised by draining each poll round the way
+    the engine does (repeat read() until the offset stops advancing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import roar_spark.sources.flight as fl
+
+    schema = StructType([StructField("n", LongType(), True)])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        steps=st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=12
+        ),
+        cap=st.one_of(st.none(), st.integers(1, 5)),
+    )
+    def run(steps, cap):
+        opts = {"location": "x", "topic": "t"}
+        if cap is not None:
+            opts["maxrowsperbatch"] = str(cap)
+        reader = fl.FlightSimpleStreamReader(schema, opts)
+        buf: list[int] = []
+        next_id = 0
+        state = {"cur": _snap(0, 0)}
+        monkeypatch.setattr(fl, "_fetch_snapshot", lambda loc, top: state["cur"])
+        delivered: set[int] = set()
+        offset = reader.initialOffset()
+        for evict, append in steps:
+            buf = buf[min(evict, len(buf)):]
+            buf = buf + list(range(next_id, next_id + append))
+            next_id += append
+            import pyarrow as pa
+
+            state["cur"] = pa.table({"n": pa.array(buf, pa.int64())})
+            # drain this poll round like the micro-batch engine: read until
+            # the offset stops advancing
+            while True:
+                rows, new_offset = reader.read(offset)
+                delivered.update(_vals(rows))
+                if new_offset == offset:
+                    break
+                offset = new_offset
+            assert delivered >= set(buf), (buf, sorted(delivered))
+
+    run()
