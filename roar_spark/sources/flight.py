@@ -127,7 +127,7 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         # Arrow RecordBatches, not per-row tuples: the worker read path
         # accepts either (plan_data_source_read.records_to_arrow_batches)
         # and the batch form skips the per-row Python materialization —
-        # measured 23.2 s → (see SCALE.md) for a 1M-row replication. A
+        # measured 23.2 s → 10.6 s for a 1M-row replication (SCALE.md). A
         # LIST iterator, not a generator: the engine copy.copy()s the
         # prefetched iterator when serving the cached batch and pickles it
         # to ship driver→executor — list iterators support both, generators
