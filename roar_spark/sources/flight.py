@@ -109,11 +109,18 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._location = options["location"]
         self._topic = options["topic"]
-        self._fields = schema.fieldNames()
         self._schema = schema
         self._pa_schema = None  # to_arrow_schema(schema), built on first use
         self._max_rows = int(options.get("maxrowsperbatch", 0)) or None
         self._starting = options.get("startingoffsets", "earliest").lower()
+        # contract for remotes serving TZ-LESS timestamps (the roar facade
+        # always serves tz'd ones): naive wall-clock values are interpreted
+        # in this zone before the cast to the expected tz'd arrow type.
+        # Default UTC — explicit and documented, where a bare cast would
+        # make the same choice silently (r8 review: the tuple path had
+        # interpreted naive values in the PROCESS-local zone, so a non-UTC
+        # box would shift values by its UTC offset without any error).
+        self._naive_tz = options.get("naivetimestamptimezone", "UTC")
 
     def initialOffset(self) -> dict:
         if self._starting == "latest":
@@ -137,14 +144,42 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         # remote's timestamp tz / nullability metadata need not match the
         # session's (cast is metadata-only for tz'd timestamps: arrow
         # stores UTC-epoch instants, so no values change).
+        import numpy as np
+        import pyarrow as pa
+
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if self._pa_schema is None:
             self._pa_schema = to_arrow_schema(self._schema)
-        tbl = table.select(self._fields)
+        tbl = table.select(self._schema.fieldNames())
         if tbl.schema != self._pa_schema:
+            if self._naive_tz != "UTC":
+                # naive → tz'd cast reinterprets values as UTC; apply the
+                # configured interpretation zone first (see __init__)
+                import pyarrow.compute as pc
+
+                for i, field in enumerate(tbl.schema):
+                    target = self._pa_schema.field(i).type
+                    if (
+                        pa.types.is_timestamp(field.type)
+                        and field.type.tz is None
+                        and pa.types.is_timestamp(target)
+                        and target.tz is not None
+                    ):
+                        col = pc.assume_timezone(tbl.column(i), self._naive_tz)
+                        tbl = tbl.set_column(i, field.name, col)
             tbl = tbl.cast(self._pa_schema)
-        return iter(tbl.to_batches())
+        if tbl.num_rows:
+            # COMPACT the slice: zero-copy sliced batches keep the whole
+            # parent snapshot's buffers alive inside the driver's prefetch
+            # cache until commit (a 10-row delta pinned the full 8 MB
+            # column buffer — r8 review). take() gathers into fresh
+            # delta-sized arrays.
+            tbl = tbl.take(np.arange(tbl.num_rows))
+        # bounded batches: a post-eviction reset re-delivers the WHOLE
+        # snapshot — without max_chunksize that is one giant RecordBatch
+        # into the JVM instead of the ~10k-row chunks the tuple path got
+        return iter(tbl.to_batches(max_chunksize=10_000))
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         table = _fetch_snapshot(self._location, self._topic)
@@ -181,7 +216,9 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
 class FlightStreamDataSource(DataSource):
     """``format("roar_flight")`` — options: ``location`` (grpc://host:port),
     ``topic`` (served stream name), ``maxRowsPerBatch`` (rate limit),
-    ``startingOffsets`` (earliest|latest, default earliest)."""
+    ``startingOffsets`` (earliest|latest, default earliest),
+    ``naiveTimestampTimezone`` (zone for interpreting TZ-LESS remote
+    timestamps, default UTC — the roar facade always serves tz'd ones)."""
 
     @classmethod
     def name(cls) -> str:

@@ -319,3 +319,36 @@ def test_flight_source_at_least_once_property(monkeypatch):
             assert delivered >= set(buf), (buf, sorted(delivered))
 
     run()
+
+
+def test_flight_source_naive_timestamp_contract(monkeypatch):
+    """TZ-LESS remote timestamps are interpreted per naiveTimestampTimezone
+    (default UTC) — an explicit, configurable contract where a bare arrow
+    cast would silently reinterpret as UTC and a per-row conversion would
+    silently use the process-local zone (r8 review: 7-hour shifts on a
+    non-UTC box)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    import roar_spark.sources.flight as fl
+
+    naive = dt.datetime(2026, 8, 15, 12, 0, 0)
+    table = pa.table({"ts": pa.array([naive], pa.timestamp("us"))})
+    monkeypatch.setattr(fl, "_fetch_snapshot", lambda loc, top: table)
+    schema = StructType([StructField("ts", TimestampType(), True)])
+
+    def instant(opts):
+        reader = fl.FlightSimpleStreamReader(schema, {"location": "x", "topic": "t", **opts})
+        batches, _ = reader.read(reader.initialOffset())
+        (batch,) = list(batches)
+        col = batch.column(0)
+        assert col.type.tz is not None  # cast to the expected tz'd type
+        return col[0].as_py().astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+    # default: naive 12:00 IS 12:00 UTC
+    assert instant({}) == naive
+    # configured zone: naive 12:00 in LA = 19:00 UTC (PDT, Aug)
+    shifted = instant({"naivetimestamptimezone": "America/Los_Angeles"})
+    assert shifted == naive + dt.timedelta(hours=7)
