@@ -251,15 +251,29 @@ def embedding_dim(directory: str | None = None, name: str = "embeddings") -> int
     directory = directory or sf_dir()
     path = f"{directory}/{name}.parquet"
     if os.path.isdir(path):
-        # first file in deterministic walk order — recurses for
-        # hive-partitioned layouts (part=x/*.parquet)
+        # deterministic walk order — recurses for hive-partitioned
+        # layouts (part=x/*.parquet)
         files = sorted(
             os.path.join(root, f)
             for root, _dirs, fs in os.walk(path)
             for f in fs
             if f.endswith(".parquet")
         )
-        path = files[0]
-    pf = pq.ParquetFile(path)
-    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    return len(first.column("embedding")[0])
+    else:
+        files = [path]
+    # scan until a NON-NULL embedding: Spark routinely writes empty
+    # part-00000 files, a dir may hold only _SUCCESS, and the first row's
+    # embedding can be NULL — each crashed the bare files[0]/next()/len()
+    # chain instead of falling through (r8 review)
+    for f in files:
+        for batch in pq.ParquetFile(f).iter_batches(
+            batch_size=64, columns=["embedding"]
+        ):
+            col = batch.column("embedding")
+            for value in col:
+                if value.is_valid:
+                    return len(value)
+    raise ValueError(
+        f"{path}: no non-null 'embedding' value in any parquet file — "
+        "cannot determine the vector width"
+    )

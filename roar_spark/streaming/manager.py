@@ -282,6 +282,10 @@ class StreamEngine:
         self._streams: dict[str, StreamHandle] = {}
         self._pending_queries: dict[str, object] = {}  # deferred-bootstrap topics
         self._converters: dict[str, object] = {}  # topic → converter (A13)
+        # last-known schema of janitor-expired topics: lets append_batch
+        # revive an expired topic without re-inference (the streaming path
+        # re-samples; a batch backfill has nothing to sample from)
+        self._expired_schemas: dict[str, T.StructType] = {}
         # store dirs whose deletion is deferred one janitor tick (close
         # grace for in-flight lazy snapshots — see ParquetStore.close)
         self._graveyard: list[str] = []
@@ -413,16 +417,25 @@ class StreamEngine:
             with self._lock:
                 handle = self._streams.get(topic)
             if handle is None:
-                sample = [
-                    r.value
-                    for r in batch_df.select("value")
-                    .limit(self.config.schema_sample_size)
-                    .collect()
-                    if r.value is not None
-                ]
-                if not sample:
-                    return  # nothing arrived yet; bootstrap stays pending
-                handle = self.register_stream(topic, sample)
+                if topic in self._converters:
+                    # converter topics own their schema — re-attach with it
+                    # directly: the sampling below reads a `value` column
+                    # the typed converter envelope may not even have, and
+                    # an AnalysisException inside foreachBatch kills the
+                    # query permanently (r8 review — the --source-flight
+                    # replica after one idle TTL)
+                    handle = self._attach(topic, self._converters[topic][1])
+                else:
+                    sample = [
+                        r.value
+                        for r in batch_df.select("value")
+                        .limit(self.config.schema_sample_size)
+                        .collect()
+                        if r.value is not None
+                    ]
+                    if not sample:
+                        return  # nothing arrived yet; bootstrap stays pending
+                    handle = self.register_stream(topic, sample)
             # ONE action on batch_df past bootstrap: the store computes the
             # row count from its own materialization (a separate count()
             # would re-scan the micro-batch source and double every source
@@ -459,8 +472,24 @@ class StreamEngine:
 
     def append_batch(self, topic: str, envelope_batch: DataFrame) -> int:
         """Batch-mode append (tests / backfill): same parse + retention +
-        bookkeeping path as streaming, without a StreamingQuery."""
-        handle = self._streams[topic]
+        bookkeeping path as streaming, without a StreamingQuery. A topic
+        the janitor expired is revived with its remembered schema — the
+        same create-on-next-message contract the streaming path has (r8
+        review: the bare dict lookup raised KeyError on the common race
+        ordering, reaching the StoreClosedError revive only in the narrow
+        window where the handle was grabbed before the janitor's del). A
+        topic that was NEVER registered still raises KeyError — there is
+        no schema to revive with."""
+        with self._lock:
+            handle = self._streams.get(topic)
+        if handle is None:
+            if topic in self._converters:
+                schema = self._converters[topic][1]
+            else:
+                schema = self._expired_schemas.get(topic)
+            if schema is None:
+                raise KeyError(topic)
+            handle = self._attach(topic, schema)
         try:
             return self._apply_append(
                 topic, handle, self._parse(topic, envelope_batch, handle.schema)
@@ -480,7 +509,12 @@ class StreamEngine:
     # --- TTL janitor (A18) ------------------------------------------------
 
     def _ensure_janitor(self) -> None:
-        if self._janitor is None or not self._janitor.is_alive():
+        # under the lock: a bare check-then-act let two concurrent ingest()
+        # calls start TWO janitors, halving the deferred-deletion grace a
+        # lazy snapshot relies on (r8 review)
+        with self._lock:
+            if self._janitor is not None and self._janitor.is_alive():
+                return
             self._stop.clear()
             self._janitor = threading.Thread(target=self._cleanup_loop, daemon=True)
             self._janitor.start()
@@ -518,6 +552,7 @@ class StreamEngine:
                 if now - handle.last_updated > self.config.ttl_seconds:
                     expired.append(handle)
                     del self._streams[topic]
+                    self._expired_schemas[topic] = handle.schema
                     if handle.query is not None:
                         self._pending_queries[topic] = handle.query
         for path in doomed_now:
@@ -577,6 +612,14 @@ class StreamEngine:
 
     def stop(self) -> None:
         self._stop.set()
+        # join the janitor BEFORE the final graveyard drain: a tick that is
+        # already past its wait can close expired stores with deferred=True
+        # and extend _graveyard after a premature drain — those gen-* dirs
+        # would never be rmtree'd (r8 review). The loop re-checks _stop
+        # every tick, so the join is bounded by one tick.
+        janitor = self._janitor
+        if janitor is not None and janitor.is_alive():
+            janitor.join(timeout=max(self.config.ttl_seconds, 1.0))
         with self._lock:
             handles = list(self._streams.values())
             self._streams.clear()

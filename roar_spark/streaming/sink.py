@@ -100,13 +100,22 @@ def _sink_run_id(checkpoint_dir: str) -> str:
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "_roar_run_id")
+    claim = marker + ".claim"  # atomic takeover target for empty legacy markers
     try:
         with open(marker, encoding="ascii") as fh:
             existing = fh.read().strip()
         if existing:
             return existing
         # empty marker = a crash between create and write (pre-atomic
-        # layout); fall through and replace it
+        # layout); the authoritative id then lives in the claim file, if
+        # any taker already won it
+        try:
+            with open(claim, encoding="ascii") as fh:
+                claimed = fh.read().strip()
+            if claimed:
+                return claimed
+        except FileNotFoundError:
+            pass
     except FileNotFoundError:
         pass
     # publish atomically: the id is fully durable in a temp file BEFORE the
@@ -127,7 +136,19 @@ def _sink_run_id(checkpoint_dir: str) -> str:
         if claimed:  # lost the race to a writer whose link carried its id
             os.remove(tmp)
             return claimed
-        os.replace(tmp, marker)  # empty legacy marker: take it over
+        # empty legacy marker: take it over through a SECOND
+        # first-writer-wins link — an os.replace here could race another
+        # taker (both read empty, both replace, two run ids live and the
+        # loser's committed files escape replay cleanup; r8 review). The
+        # link carries the fully-fsynced id, so a reader never sees an
+        # empty claim.
+        try:
+            os.link(tmp, claim)
+        except FileExistsError:
+            os.remove(tmp)
+            with open(claim, encoding="ascii") as fh:
+                return fh.read().strip()
+        os.remove(tmp)
         _fsync_dir(checkpoint_dir)
         return run_id
     os.remove(tmp)
@@ -144,9 +165,11 @@ def _sink_run_id(checkpoint_dir: str) -> str:
 def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint_base: str):
     """Exactly-once-per-micro-batch append to a per-topic parquet table.
     The checkpoint skips committed batches across restarts, and the
-    run+batch-id-prefixed file commit below makes a replayed uncommitted
-    batch idempotent — the fix for §2.3.1. The rename-based commit assumes
-    a posix path; on object storage use Delta/Iceberg (atomic append +
+    per-batch b{run_id}-{batch_id}/ commit directory below makes a
+    replayed uncommitted batch idempotent — the fix for §2.3.1. Read the
+    table with recursiveFileLookup (the CLI store views do) or ATTACH the
+    directory in the warehouse. The rename-based commit assumes a posix
+    path; on object storage use Delta/Iceberg (atomic append +
     compaction) with the same foreachBatch body."""
     path = os.path.join(base_path, topic)
     checkpoint_dir = os.path.join(checkpoint_base, f"sink-{topic}")
@@ -173,24 +196,23 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
         staging = os.path.join(path, f"_staging-{run_id}-{batch_id}")
         shutil.rmtree(staging, ignore_errors=True)  # leftover failed attempt
         batch_df.write.mode("overwrite").parquet(staging)
-        staged = sorted(
-            f for f in os.listdir(staging) if f.endswith(".parquet")
-        )
         n = sum(
             pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
-            for f in staged
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
         )
-        # listdir + startswith, not glob: a topic/base path containing
-        # glob metacharacters ([, *, ?) must not silently skip cleanup
-        prefix = f"b{run_id}-{batch_id}-"
-        replayed = False
-        for stale in os.listdir(path):
-            if stale.startswith(prefix) and stale.endswith(".parquet"):
-                os.remove(os.path.join(path, stale))  # prior attempt's rows
-                replayed = True
-        for f in staged:
-            os.replace(os.path.join(staging, f), os.path.join(path, prefix + f))
-        shutil.rmtree(staging, ignore_errors=True)
+        # commit = ONE atomic directory rename into b{run}-{batch}/ (the
+        # leading "_" of staging kept it reader-invisible until now).
+        # Replay cleanup is a single rmtree of THIS batch's dir — the old
+        # flat prefix-file layout string-scanned the entire topic listing
+        # on EVERY micro-batch, O(total committed files) driver work that
+        # grows forever at a 5 s trigger (r8 review). Readers are
+        # unaffected: the store views use recursiveFileLookup, which reads
+        # both layouts.
+        commit_dir = os.path.join(path, f"b{run_id}-{batch_id}")
+        replayed = os.path.isdir(commit_dir)
+        shutil.rmtree(commit_dir, ignore_errors=True)  # prior attempt's rows
+        os.replace(staging, commit_dir)
         if not replayed:
             # a replay REPLACES the prior attempt's rows — incrementing
             # again would drift the counter above actual table rows
@@ -219,7 +241,9 @@ def insert_batch_exactly_once(con, table: str, topic: str, batch_id: int, pdf) -
     duplicating poll loop (duckdb/sink.go:89-125 re-inserts every buffered
     batch each tick; §2.3.1). The data insert and the batch-id record
     commit atomically, so a foreachBatch retry of an already-landed batch
-    is a no-op. Returns rows inserted (0 on replay)."""
+    is a no-op. ``pdf`` is anything duckdb can register — the production
+    path passes an Arrow table (type-preserving; see start_duckdb_sink).
+    Returns rows inserted (0 on replay)."""
     con.execute(_HWM_DDL)
     seen = con.execute(
         "SELECT 1 FROM _roar_sink_batches WHERE topic = ? AND batch_id = ?",
@@ -262,11 +286,16 @@ def start_duckdb_sink(parsed: DataFrame, topic: str, db_path: str, checkpoint_ba
     schema = parsed.schema
 
     def _persist(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
+        # toArrow, NOT toPandas: pandas degrades a nullable int64 column to
+        # float64 (one NULL in the batch → every id >= 2^53 silently
+        # rounded before the INSERT; r8 review). Arrow keeps int64+nulls
+        # losslessly and duckdb registers it directly — the same
+        # type-preserving collect MemoryStore.append uses.
+        batch = batch_df.toArrow()
         con = duckdb.connect(db_path)
         try:
             con.execute(create_table_ddl(topic, schema))
-            n = insert_batch_exactly_once(con, topic, topic, batch_id, pdf)
+            n = insert_batch_exactly_once(con, topic, topic, batch_id, batch)
         finally:
             con.close()
         if n:

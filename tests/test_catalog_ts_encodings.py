@@ -51,3 +51,39 @@ def test_nanos_and_micros_encodings_agree(spark, tmp_path):
         ]
     assert got["us"] == US
     assert got["ns"] == US
+
+
+def test_embedding_dim_skips_empty_parts_and_null_rows(tmp_path):
+    """r8 review: an empty first part file (Spark writes them routinely), a
+    dir with no parquet at all, or a NULL first embedding each crashed
+    embedding_dim; it must scan to the first non-null value and raise a
+    clear error when none exists."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from roar_spark.catalog import embedding_dim
+
+    d = tmp_path / "embeddings.parquet"
+    os.makedirs(d)
+    schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    # part-00000: zero rows; part-00001: NULL first row, real second row
+    pq.write_table(schema.empty_table(), str(d / "part-00000.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array([None, [1.0, 2.0, 3.0]], pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "part-00001.parquet"),
+    )
+    assert embedding_dim(str(tmp_path)) == 3
+
+    # all-null / no-files dirs fail loudly, not with IndexError/StopIteration
+    empty = tmp_path / "e2" / "embeddings.parquet"
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no non-null"):
+        embedding_dim(str(tmp_path / "e2"))

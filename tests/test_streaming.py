@@ -434,10 +434,11 @@ def test_duckdb_sink_end_to_end(spark, tmp_path):
 
 def test_parquet_sink_counts_own_batch_and_is_replay_idempotent(spark, tmp_path):
     """The parquet sink stages each micro-batch in its own dir and commits
-    with batch-id-prefixed file names: the row-count metric reflects ONLY
-    this batch (a foreign concurrent file in the topic dir is not
-    attributed), and a replayed batch id replaces its prior files instead
-    of duplicating rows."""
+    it as one atomic b{run_id}-{batch_id}/ directory rename: the row-count
+    metric reflects ONLY this batch (a foreign concurrent file in the
+    topic dir is not attributed), and a replayed batch id replaces its
+    prior commit dir instead of duplicating rows — with O(1) replay
+    cleanup instead of a full topic-dir scan per batch (r8 review)."""
     import json as _json
     import os
 
@@ -475,13 +476,20 @@ def test_parquet_sink_counts_own_batch_and_is_replay_idempotent(spark, tmp_path)
     from roar_spark.streaming.sink import _sink_run_id
 
     run_id = _sink_run_id(str(tmp_path / "ckpt" / "sink-t1"))
-    committed = [
-        f for f in os.listdir(topic_dir) if f.startswith(f"b{run_id}-0-")
-    ]
-    assert committed, "batch files must carry the b<run_id>-<batch_id>- prefix"
-    # no staging residue, and the table reads back clean
+    commit_dir = os.path.join(topic_dir, f"b{run_id}-0")
+    assert os.path.isdir(commit_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(commit_dir)
+    ), "batch must commit as its own b<run_id>-<batch_id>/ directory"
+    # no staging residue, and the table reads back clean (recursive
+    # lookup — the store views' read mode)
     assert not [f for f in os.listdir(topic_dir) if f.startswith("_staging")]
-    ids = {r.event_id for r in spark.read.parquet(topic_dir).select("event_id").collect()}
+    ids = {
+        r.event_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(topic_dir)
+        .select("event_id")
+        .collect()
+    }
     assert ids == {1, 99}
     # a FRESH checkpoint restarts batch ids at 0 but rotates the run id:
     # the new query's batch 0 must NOT delete the first run's batch-0 rows
@@ -493,11 +501,17 @@ def test_parquet_sink_counts_own_batch_and_is_replay_idempotent(spark, tmp_path)
         q2.stop()
     run_id2 = _sink_run_id(str(tmp_path / "ckpt2" / "sink-t1"))
     assert run_id2 != run_id
-    assert [f for f in os.listdir(topic_dir) if f.startswith(f"b{run_id}-0-")], (
+    assert os.path.isdir(commit_dir), (
         "fresh-checkpoint replay of batch id 0 deleted the prior run's commit"
     )
     assert REGISTRY.get("roar_duckdb_insert_rows_total", topic="t1") - before2 == 1
-    ids2 = [r.event_id for r in spark.read.parquet(topic_dir).select("event_id").collect()]
+    ids2 = [
+        r.event_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(topic_dir)
+        .select("event_id")
+        .collect()
+    ]
     assert sorted(ids2) == [1, 1, 99]
 
 
@@ -583,14 +597,16 @@ def test_sink_run_id_atomic_marker(tmp_path):
     assert os.listdir(ckpt) == ["_roar_run_id"]
 
     # legacy truncated marker (crash between open('x') and write): a fresh
-    # non-empty id is generated, persisted, and stable afterwards
+    # non-empty id is generated, persisted, and stable afterwards. It lives
+    # in the .claim file (first-writer-wins link) — overwriting the marker
+    # in place could race another taker into two live ids (r8 review)
     ckpt2 = str(tmp_path / "ckpt2" / "sink-t")
     os.makedirs(ckpt2)
     open(os.path.join(ckpt2, "_roar_run_id"), "w").close()
     rid2 = _sink_run_id(ckpt2)
     assert rid2
     assert _sink_run_id(ckpt2) == rid2
-    assert open(os.path.join(ckpt2, "_roar_run_id")).read().strip() == rid2
+    assert open(os.path.join(ckpt2, "_roar_run_id.claim")).read().strip() == rid2
 
 
 def test_append_racing_ttl_close_revives_stream(spark, tmp_path):
@@ -879,3 +895,94 @@ def test_rescued_captures_metadata_named_payload_fields(spark):
     row = parse_envelope(env, schema).collect()[0]
     assert row.kafka_offset == 7  # envelope metadata, untouched
     assert json.loads(row[RESCUED_COL]) == {"kafka_offset": "42", "late": "x"}
+
+
+def test_converter_topic_survives_ttl_expiry(spark, tmp_path):
+    """r8 review: the deferred re-bootstrap in _append sampled a `value`
+    column unconditionally — a converter topic (typed envelope, e.g. the
+    --source-flight replica) whose handle the janitor expired would kill
+    its own query with an AnalysisException on the next batch. The
+    converter path must re-attach with the converter's schema instead."""
+    import pyspark.sql.types as T
+
+    clock = {"t": 0.0}
+    engine = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, ttl_seconds=5,
+                     checkpoint_path=str(tmp_path / "ckpt")),
+        time_fn=lambda: clock["t"],
+    )
+    schema = T.StructType([T.StructField("n", T.LongType(), True)])
+    engine.register_converter("typed", lambda env, s=schema: env.select("n"), schema)
+    engine.register_stream("typed", [])
+    # typed envelope: NO `value` column at all
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,)], "n long").write.json(src)
+    env = (
+        spark.readStream.schema("n long").json(src)
+    )
+    handle = engine.ingest("typed", env)
+    try:
+        handle.query.processAllAvailable()
+        assert engine.fetch("typed", -1).count() == 2
+        clock["t"] += 100  # idle past ttl
+        assert engine.cleanup_expired() == ["typed"]
+        spark.createDataFrame([(3,)], "n long").write.mode("append").json(src)
+        handle.query.processAllAvailable()  # would have died pre-fix
+        assert {r.n for r in engine.fetch("typed", -1).collect()} == {3}
+        assert handle.query.isActive
+    finally:
+        if handle.query is not None:
+            handle.query.stop()
+        engine.stop()
+
+
+def test_append_batch_revives_expired_topic(spark, tmp_path):
+    """r8 review: append_batch raised KeyError when the janitor had already
+    deleted the topic (the common race ordering) — it must revive with the
+    remembered schema like the streaming path's create-on-next-message."""
+    clock = {"t": 0.0}
+    engine = StreamEngine(
+        spark, EngineConfig(ttl_seconds=5), time_fn=lambda: clock["t"]
+    )
+    engine.register_stream("bf", [json.dumps({"n": 1})])
+    src = str(tmp_path / "d1")
+    write_envelope_file(src, [{"key": "a", "value": json.dumps({"n": 1}),
+                               "timestamp": "2026-08-13T09:00:00Z",
+                               "offset": 0, "partition": 0}])
+    from roar_spark.sources.files import read_envelope_batch
+
+    engine.append_batch("bf", read_envelope_batch(spark, src))
+    clock["t"] += 100
+    assert engine.cleanup_expired() == ["bf"]
+    assert "bf" not in engine.list_streams()
+    # revived with the remembered schema; rows land in a fresh store
+    engine.append_batch("bf", read_envelope_batch(spark, src))
+    assert engine.fetch("bf", -1).count() == 1
+    # a topic that never existed still raises
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        engine.append_batch("ghost", read_envelope_batch(spark, src))
+    engine.stop()
+
+
+def test_sink_run_id_empty_marker_claim_is_first_writer_wins(tmp_path):
+    """r8 review: taking over an empty legacy marker via os.replace could
+    race another taker into two live run ids; the claim-file link makes it
+    first-writer-wins and every later call converges on the claimed id."""
+    import os
+
+    from roar_spark.streaming.sink import _sink_run_id
+
+    ckpt = str(tmp_path / "sink-t")
+    os.makedirs(ckpt)
+    marker = os.path.join(ckpt, "_roar_run_id")
+    open(marker, "w").close()  # legacy empty marker (pre-atomic crash)
+    first = _sink_run_id(ckpt)
+    assert first  # non-empty id claimed
+    assert _sink_run_id(ckpt) == first  # converges, marker still empty
+    with open(marker) as fh:
+        assert fh.read() == ""  # legacy marker untouched; claim file owns it
+    with open(marker + ".claim") as fh:
+        assert fh.read().strip() == first
