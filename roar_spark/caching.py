@@ -1,0 +1,37 @@
+"""Scoped persist-cache: ONE bounded set of persisted tables per operator
+family, released on the family's next invocation.
+
+The contract every site shares (text_tfidf's original comment): the
+returned plans are lazy, so an operator cannot unpersist its own cache
+before the caller consumes it — draining the PREVIOUS invocation's cache
+on entry bounds the leak to one table set per family across sweep-length
+sessions. Factored out in r8: the three persisted-DataFrame copies
+(dedup, text, similarity) had drifted in lock scope — a concurrency-
+sensitive pattern belongs in one place. serve_compose keeps its own
+tag-keyed TEMPDIR variant (rmtree, not unpersist; a dict, not a list) —
+structurally different enough that sharing would obscure both.
+"""
+
+from __future__ import annotations
+
+import threading
+
+
+def register_scoped(cache: list, lock: threading.Lock, items: list) -> None:
+    """Swap the family's cache to ``items`` and release the previous set.
+
+    The swap happens under the family's lock (a concurrent drain+register
+    must not release a set another thread just registered); the release
+    itself runs OUTSIDE it — unpersist is a JVM round-trip and nothing it
+    touches is guarded by the lock. ``items`` may be persisted DataFrames
+    or anything else with the release hook (``unpersist`` or ``cleanup``,
+    e.g. serve_compose's tempdir handles).
+    """
+    with lock:
+        prev = cache[:]
+        cache.clear()
+        cache.extend(items)
+    for item in prev:
+        release = getattr(item, "unpersist", None) or getattr(item, "cleanup", None)
+        if release is not None:
+            release()

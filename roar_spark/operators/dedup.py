@@ -69,14 +69,10 @@ _DEDUP_CACHE_LOCK = threading.Lock()
 
 def _register_scoped(dfs: list[DataFrame]) -> None:
     """Own this invocation's persisted tables; unpersist the previous
-    invocation's. Locked like the sibling caches: a concurrent drain+
-    register must not release a set another thread just registered."""
-    with _DEDUP_CACHE_LOCK:
-        prev = _DEDUP_CACHE[:]
-        _DEDUP_CACHE.clear()
-        _DEDUP_CACHE.extend(dfs)
-    for df in prev:
-        df.unpersist()
+    invocation's (shared contract: roar_spark.caching)."""
+    from roar_spark.caching import register_scoped
+
+    register_scoped(_DEDUP_CACHE, _DEDUP_CACHE_LOCK, dfs)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,8 +187,15 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
             W.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
         ),
     )
+    # ceil over a 1e-9-nudged product: IEEE can overshoot an exact-integer
+    # t·n (0.8·5 = 4.000000000000000222 → ceil 5), which SHRINKS the prefix
+    # below the lossless bound n − ⌈t·n⌉ + 1 and silently drops qualifying
+    # pairs. The nudge only corrects representation error — a genuinely
+    # fractional t·n is ≫ 1e-9 away from the integer below it (r8 review;
+    # latent at the sole t=0.5 call site, which is exact in binary).
     prefix = x.filter(
-        F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ).select("shingle", F.struct("doc_id", "rk", "n").alias("e"))
     min_frac = threshold / (1.0 + threshold)
     entries = F.sort_array(F.collect_list("e"))
@@ -635,31 +638,52 @@ def min_label_propagation(docs: DataFrame, pairs: DataFrame, max_iters: int = 20
         .unionAll(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+    converged = False
+    try:
+        labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel"))
             )
-            .localCheckpoint()
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            improved = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+                .filter(F.col("label") < F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if improved == 0:
+                converged = True
+                break
+    finally:
+        # unpersist on EVERY exit: an exception mid-round (executor loss
+        # invalidating a checkpoint, an ANSI error) must not pin the
+        # doubled edge table in storage memory for the rest of the session
+        # (r8 review)
+        edges.unpersist()
+    if not converged:
+        # labels still moving when the budget ran out = some component's
+        # min label hasn't reached every member — returning would SILENTLY
+        # split clusters (the min travels one hop per round, so any chain
+        # longer than max_iters hits this). Same loud contract as
+        # star_components (r8 review).
+        raise RuntimeError(
+            f"min_label_propagation did not converge in {max_iters} rounds; "
+            "the pair graph has a longer chain than the round budget — "
+            "raise max_iters or use star_components (O(log n) rounds)"
         )
-        improved = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if improved == 0:
-            break
-    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -828,7 +852,12 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count_distinct("eval_doc_id").alias("n_eval_docs_hit"),
-            F.count(F.lit(1)).alias("n_shared_shingles"),
+            # DISTINCT shingles: a bare COUNT(*) counted (shingle, eval_doc)
+            # JOIN rows, so one hot 3-gram appearing in 5 eval docs read as
+            # "5 shared shingles" — a contamination threshold like
+            # "drop if ≥ 3 shared n-grams" then fires on a single n-gram
+            # (r8 review; oracle updated in lockstep)
+            F.count_distinct("shingle").alias("n_shared_shingles"),
         )
         .orderBy("doc_id")
     )

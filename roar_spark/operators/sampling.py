@@ -75,7 +75,13 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     reprocessing AND any partitioning. Per-stratum math is a broadcast of
     a few rows; the corpus-side work is one scan + hash filter."""
     docs = load_table(spark, "documents", sf_dir)
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # NULL-lang docs are a REAL stratum, keyed by a reserved sentinel: a
+    # bare groupBy("lang") summed their sq into the normalizer z while the
+    # null-unsafe equi-join below made them unsampleable — every real
+    # stratum's rate deflated and the NULL docs silently vanished from the
+    # sample (r8 review; oracle mirrors the sentinel)
+    docs = docs.withColumn("_lang_key", F.coalesce(F.col("lang"), F.lit("__null__")))
+    counts = docs.groupBy("_lang_key").agg(F.count(F.lit(1)).alias("n_docs"))
     sq = F.floor(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_SCALE).cast("long")
     scaled = counts.withColumn("sq", sq)
     z = scaled.agg(F.sum("sq").alias("z"))
@@ -92,10 +98,10 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("cutoff", F.floor(F.col("sample_frac") * 0x10000).cast("long"))
-        .select("lang", "n_docs", "sample_frac", "cutoff")
+        .select("_lang_key", "n_docs", "sample_frac", "cutoff")
     )
     return (
-        docs.join(F.broadcast(frac), "lang")
+        docs.join(F.broadcast(frac), "_lang_key")
         .filter(_hash16(F.col("doc_id")) < F.col("cutoff"))
         .select("lang", F.round(F.col("sample_frac"), 6).alias("sample_frac"), "doc_id")
         .orderBy("lang", "doc_id")

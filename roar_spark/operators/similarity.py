@@ -41,12 +41,10 @@ _WB_CACHE_LOCK = threading.Lock()
 
 
 def _persist_bounded(df: "DataFrame") -> "DataFrame":
-    with _WB_CACHE_LOCK:  # concurrent sweeps: drain+append must be atomic
-        while _WB_CACHE:
-            _WB_CACHE.pop().unpersist()
-        out = df.persist()
-        _WB_CACHE.append(out)
-        return out
+    from roar_spark.caching import register_scoped
+
+    register_scoped(_WB_CACHE, _WB_CACHE_LOCK, [df.persist()])
+    return df
 
 
 # Row floor for the embeddings consumers' spread opt-in (catalog.load_table):

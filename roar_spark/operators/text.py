@@ -170,6 +170,8 @@ import threading
 
 _TF_CACHE: list[DataFrame] = []
 _TF_CACHE_LOCK = threading.Lock()
+_GOPHER_CACHE: list = []  # gopher's tokenized projection (same contract)
+_GOPHER_CACHE_LOCK = threading.Lock()
 
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,15 +195,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale as text_hashing_features; tuned BEFORE any table builds so
     # every branch (tf, df_tab, n_docs) lives on the one tuned session
     spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
-    # release the previous invocation's cache first: the returned plan is
-    # lazy, so this function cannot unpersist its own tf before the caller
-    # consumes it — bounding the leak to ONE cached TF table per session
-    # is the practical contract (sweeps call this dozens of times)
-    with _TF_CACHE_LOCK:  # concurrent sweeps: drain+append must be atomic
-        while _TF_CACHE:
-            _TF_CACHE.pop().unpersist()
-        tf = _hashed_tf(spark, sf_dir).persist()
-        _TF_CACHE.append(tf)
+    # release the previous invocation's cache first (shared contract:
+    # roar_spark.caching — bounding the leak to ONE cached TF table per
+    # session; sweeps call this dozens of times)
+    from roar_spark.caching import register_scoped
+
+    tf = _hashed_tf(spark, sf_dir).persist()
+    register_scoped(_TF_CACHE, _TF_CACHE_LOCK, [tf])
     # Materialize before the plan branches (the dedup-family lesson):
     # tf feeds BOTH the broadcast df side and the probe side, and Spark
     # plans the tokenize+explode+agg subtree once PER BRANCH (no static
@@ -209,20 +209,21 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formatted plan). The cached table is the bounded sparse TF matrix
     # (≤ docs × 64 rows), far smaller than re-tokenizing the corpus.
     tf.count()
-    n_docs = (
-        load_table(spark, "documents", sf_dir)
-        .agg(F.count(F.lit(1)).alias("n_corpus_docs"))
-    )
+    # footer read, not a scan: an agg(count) branch here re-ran a Spark
+    # scan job over the documents table on EVERY action against the
+    # returned plan (inside the broadcast build) — table_row_count is the
+    # repo's stated convention for corpus-size scalars (r8 review), and a
+    # literal also removes the crossJoin the 1-row aggregate needed
+    n_corpus_docs = table_row_count("documents", sf_dir)
     df_tab = (
         tf.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(n_docs)
         .select(
             "bucket",
             "df",
             F.round(
                 F.log(
-                    (F.lit(1.0) + F.col("n_corpus_docs").cast("double"))
+                    F.lit(1.0 + float(n_corpus_docs))
                     / (F.lit(1.0) + F.col("df").cast("double"))
                 )
                 + F.lit(1.0),
@@ -341,14 +342,13 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no map-side reduction — the same ~SHINGLE_FANOUT rows/doc volume
     # whose 4M-doc spill motivated per-query width tuning (ADVICE r5)
     spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
-    docs = load_table(spark, "documents", sf_dir, spread=True)
-    toks = tokens(F.col("text"))
-    from roar_spark.functions.text_fns import word_shingles
+    # the dedup family's shingle builder, not an inline re-implementation:
+    # the two copies had already duplicated the <3-token backwards-sequence
+    # guard and the map-side array_distinct placement — shared logic that
+    # must not drift (r8 review)
+    from roar_spark.operators.dedup import _doc_shingles
 
-    sh = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(word_shingles(toks))).alias("shingle"))
-    )
+    sh = _doc_shingles(spark, sf_dir, spread=True)
     per = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
     return (
         per.groupBy("doc_id")
@@ -388,11 +388,15 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag here so the flag's semantics stay exactly the repetition rules
     the constants name).
 
-    Shape: one token explode feeds two n-gram aggregations (each keyed by
-    (doc_id, gram) then re-aggregated by doc_id — partial aggregation
-    collapses repeats map-side) joined back to the per-doc projection on
-    doc_id. Every shuffle is keyed by doc_id or (doc_id, gram); nothing is
-    quadratic and no Python runs.
+    Shape: the corpus is TOKENIZED ONCE into a scoped-cached (doc_id,
+    tokens) projection; the per-doc stats and both n-gram aggregations
+    (each keyed by (doc_id, gram) then re-aggregated by doc_id — partial
+    aggregation collapses repeats map-side) all derive from it and join
+    back on doc_id. Before r8 the three branches each re-scanned and
+    re-tokenized the corpus (no exchange reuse applies across differing
+    branch shapes) — 3× the map work the docstring claimed. Every shuffle
+    is keyed by doc_id or (doc_id, gram); nothing is quadratic and no
+    Python runs in the per-row path.
 
     ``spread=True``: the n-gram explode+count is the heaviest pre-shuffle
     map stage in the corpus (measured 8.5 s single-task vs 3.9 s spread
@@ -404,9 +408,14 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeats are rare, so partial agg collapses little) — tune width from
     # the explode fan-out like the dedup shingle family (ADVICE r5)
     spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
+    from roar_spark.caching import register_scoped
+
     docs = load_table(spark, "documents", sf_dir, spread=True)
-    toks = tokens(F.col("text"))
-    base = docs.select(
+    tok_df = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+    register_scoped(_GOPHER_CACHE, _GOPHER_CACHE_LOCK, [tok_df])
+    tok_df.count()  # materialize BEFORE the plan branches (the TF lesson)
+    toks = F.col("toks")
+    base = tok_df.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(
@@ -418,7 +427,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gram_counts(n: int) -> DataFrame:
         return (
-            docs.filter(F.size(toks) >= n)
+            tok_df.filter(F.size(toks) >= n)
             .select("doc_id", F.explode(word_shingles(toks, n)).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count(F.lit(1)).alias("c"))

@@ -1082,19 +1082,20 @@ _register(
     "sample_temperature",
     SM.sample_temperature,
     """
-    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    WITH counts AS (SELECT COALESCE(lang, '__null__') AS lang_key, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1),
     scaled AS (
-      SELECT lang, n_docs,
+      SELECT lang_key, n_docs,
              CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq
       FROM counts),
     z AS (SELECT SUM(sq) AS z FROM scaled),
     frac AS (
-      SELECT lang,
+      SELECT lang_key,
              LEAST(1.0, 250.0 * CAST(sq AS DOUBLE) / CAST(z.z AS DOUBLE)
                         / CAST(n_docs AS DOUBLE)) AS sample_frac
       FROM scaled CROSS JOIN z)
     SELECT d.lang, round(f.sample_frac, 6) AS sample_frac, d.doc_id
-    FROM documents d JOIN frac f ON d.lang = f.lang
+    FROM documents d JOIN frac f ON COALESCE(d.lang, '__null__') = f.lang_key
     WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
           < CAST(floor(f.sample_frac * 65536) AS BIGINT)
     ORDER BY d.lang, d.doc_id

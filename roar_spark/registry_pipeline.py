@@ -424,7 +424,7 @@ PIPELINE_ORACLES["dedup_decontaminate"] = f"""
     ev AS (SELECT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 100 = 0)
     SELECT train.doc_id,
            COUNT(DISTINCT eval_doc_id) AS n_eval_docs_hit,
-           COUNT(*) AS n_shared_shingles
+           COUNT(DISTINCT s) AS n_shared_shingles
     FROM train JOIN ev USING (s)
     GROUP BY train.doc_id
     ORDER BY train.doc_id
