@@ -46,9 +46,28 @@ def asof_join(
 ) -> DataFrame:
     """Generic as-of join (see module doc). ``value_cols`` are the right
     columns carried onto matching left rows; ``tiebreak`` must be a right
-    column made part of ``value_cols`` ordering for equal timestamps."""
+    column made part of ``value_cols`` ordering for equal timestamps.
+
+    NULL semantics match the SQL LATERAL oracle: a right row with a NULL
+    key or NULL time can never satisfy ``right_time <= left_time`` /
+    ``key = key`` under three-valued logic, so it is dropped up front —
+    without the filter, NULL times sorted NULLS FIRST in the window and
+    were carried onto otherwise-matchless left rows, and NULL keys
+    matched EACH OTHER through the hash partition (r8 review). Left rows
+    keep left-outer semantics: NULL-key/time left rows simply carry NULL
+    value columns."""
+    reserved = {"_t", "_is_left", "_asof_row"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        # same contract as ranks.bucketed_global_rank: a caller column
+        # with an internal name would be silently clobbered then dropped
+        raise ValueError(f"asof_join: column names {sorted(clash)} are reserved")
     l_tag = left.withColumn("_t", F.col(left_time)).withColumn("_is_left", F.lit(1))
-    r_tag = right.withColumn("_t", F.col(right_time)).withColumn("_is_left", F.lit(0))
+    r_tag = (
+        right.filter(F.col(right_time).isNotNull() & F.col(key).isNotNull())
+        .withColumn("_t", F.col(right_time))
+        .withColumn("_is_left", F.lit(0))
+    )
     for c in l_tag.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None))

@@ -81,9 +81,23 @@ def charge_expr() -> F.Column:
     return revenue_expr() * _scaled(1 + F.col("l_tax"))
 
 
-def decsum(col: F.Column, scale_digits: int = 4) -> F.Column:
-    """Exact sum of a scaled-integer money product, surfaced as double."""
-    return F.sum(col) / F.lit(float(10**scale_digits))
+# Row count beyond which scaled-int64 money sums switch to decimal(38)
+# accumulators: charge's 1e6-scaled product is ~1.2e11 per row, so a single
+# (returnflag, linestatus) group overflows int64 past ~7.6e7 rows — real at
+# the 100 TB posture, where each of Q1's ~6 groups holds ~1e11 rows and a
+# non-ANSI long sum would wrap SILENTLY (r8 review). Decimal(38) sums are
+# exact to 38 digits (≫ any corpus); below the cutoff the long-sum fast
+# path keeps the headline cost. The 1e4-scaled dsum/davg measures are
+# ~1e7/row → int64 holds to ~9e11 rows PER GROUP (≈ 700 TB of lineitem),
+# so only the 1e6-scaled charge needs the dispatch today.
+_WIDE_SUM_ROWS = 50_000_000
+
+
+def decsum(col: F.Column, scale_digits: int = 4, wide: bool = False) -> F.Column:
+    """Exact sum of a scaled-integer money product, surfaced as double.
+    ``wide=True`` accumulates in decimal(38,0) — see _WIDE_SUM_ROWS."""
+    acc = F.sum(col.cast("decimal(38,0)")) if wide else F.sum(col)
+    return acc / F.lit(float(10**scale_digits))
 
 
 # --------------------------------------------------------------------------
@@ -97,14 +111,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = revenue_expr()
     charge = charge_expr()
+    from roar_spark.catalog import table_row_count
+
+    wide = table_row_count("lineitem", sf_dir) > _WIDE_SUM_ROWS
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            decsum(disc_price).alias("sum_disc_price"),
-            decsum(charge, scale_digits=6).alias("sum_charge"),
+            decsum(disc_price, wide=wide).alias("sum_disc_price"),
+            decsum(charge, scale_digits=6, wide=wide).alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
             davg(F.col("l_discount")).alias("avg_disc"),
@@ -587,14 +604,18 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority-class counts per return flag."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # CASE semantics, not NULL-propagating arithmetic: sum(1 - high) skips
+    # a NULL o_orderpriority row entirely, while the oracle's CASE ... ELSE
+    # counts it as low priority — when/otherwise mirrors the ELSE branch
+    # (r8 review; latent on the non-null fixture)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum(high).alias("high_priority"),
-            F.sum(1 - high).alias("low_priority"),
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_priority"),
         )
         .orderBy("l_returnflag")
     )

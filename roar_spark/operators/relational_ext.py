@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from roar_spark.catalog import load_table
-from roar_spark.operators.relational import _scaled
+from roar_spark.operators.relational import _scaled, davg, dsum
 
 
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +184,10 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             ).alias("line_numbers"),
-            F.size(F.collect_list("l_linenumber")).cast("long").alias("n_lines"),
+            # count, not size(collect_list): the latter materialized a full
+            # duplicate per-group array buffer just to measure it (r8
+            # review); l_linenumber is non-null so the values are identical
+            F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("l_orderkey")
     )
@@ -227,7 +230,15 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             _scaled(F.col("c_acctbal")).alias("bal_c"),
             "c_custkey",
-        ).withColumn("neg_bal", -F.col("bal_c")),  # ASC rank = DESC balance
+        ).withColumn(
+            # ASC rank = DESC balance; NULL balances map to a sentinel ABOVE
+            # every real negated value so they rank LAST — matching native
+            # ntile's DESC NULLS LAST default (a bare -bal_c left NULL as
+            # NULL, which bucketed_global_rank ranks FIRST; r8 review).
+            # bal_c is a ×100 long ≤ ~1e8, so 2^61 clears any real value.
+            "neg_bal",
+            F.coalesce(-F.col("bal_c"), F.lit(1 << 61)),
+        ),
         ["c_mktsegment"],
         "neg_bal",
         "c_custkey",
@@ -298,17 +309,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic correlated-aggregate-subquery, declared as the decorrelated
     join Catalyst would produce."""
     li = load_table(spark, "lineitem", sf_dir)
-    part_avg = (
-        li.groupBy("l_partkey")
-        .agg((F.sum(_scaled(F.col("l_quantity"))) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"))
-    )
+    # the canonical exact-sum helpers, not inline re-spellings (identical
+    # value and division order on these non-null columns; r8 review)
+    part_avg = li.groupBy("l_partkey").agg(davg(F.col("l_quantity")).alias("avg_qty"))
     return (
         li.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            (F.sum(_scaled(F.col("l_extendedprice"))) / F.lit(100.0) / F.lit(7.0)).alias(
-                "avg_yearly"
-            ),
+            (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -392,7 +400,10 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    days = du.select(F.col("day").alias("anchor")).distinct()
+    # the day dimension comes from the ALREADY-AGGREGATED dau table (~|days|
+    # rows), not a third distinct over the corpus-sized du — exchange reuse
+    # rarely dedupes these diamonds (r8 review / memory note)
+    days = dau.select(F.col("day").alias("anchor"))
     fanned = du.select(
         "user_id",
         F.explode(

@@ -550,8 +550,10 @@ def test_salted_topk_equals_plain_window(spark):
 def test_distributed_ntile_equals_plain_ntile(spark, tmp_path):
     """window_ntile's two-level rank + NTile arithmetic must equal
     ntile(4) OVER the single segment window on every group-size regime:
-    n % 4 == 0, n % 4 != 0, n < 4, and heavy balance ties (rank buckets
-    collapse onto few values)."""
+    n % 4 == 0, n % 4 != 0, n < 4, heavy balance ties (rank buckets
+    collapse onto few values), and NULL balances (must rank LAST like the
+    native window's DESC NULLS LAST — r8 review: the bare negation left
+    NULL as NULL, which the bucketed rank placed FIRST)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -565,8 +567,10 @@ def test_distributed_ntile_equals_plain_ntile(spark, tmp_path):
     for seg, n in (("A", 16), ("B", 13), ("C", 3), ("D", 1), ("E", 7)):
         for i in range(n):
             ck += 1
-            # ties: only 3 distinct balances per segment, incl. negatives
-            rows.append((ck, seg, float([-55.25, 0.0, 9999.99][i % 3])))
+            # ties: only 3 distinct balances per segment, incl. negatives;
+            # every 5th row has a NULL balance (DESC NULLS LAST regime)
+            bal = None if i % 5 == 4 else float([-55.25, 0.0, 9999.99][i % 3])
+            rows.append((ck, seg, bal))
     d = tmp_path / "cust"
     d.mkdir()
     pq.write_table(
