@@ -12,7 +12,9 @@ kafka/consumer.go:801-825). The rules, per target type:
 - boolean  : JSON bool only; anything else → null               (go:788-793)
 - timestamp: RFC3339 string / epoch-ns number → timestamp; else null
              (go:801-825 — int64/float64 interpreted as NANOSECONDS)
-- binary   : bytes/string → bytes; else null                    (go:795-798)
+- binary   : bytes/string → raw bytes (string carrier + binary cast);
+             a JSON number's text becomes its bytes — documented residual
+             divergence (reference nulls non-strings)        (go:795-798)
 - JSON null / missing field → null                              (go:700-703, 630-634)
 
 Spark design: we parse payloads ONCE with `from_json` against a "carrier"
@@ -87,7 +89,14 @@ def carrier_type(target: T.DataType) -> T.DataType:
     if isinstance(target, T.TimestampType):
         return T.StringType()
     if isinstance(target, T.BinaryType):
-        return T.BinaryType()
+        # STRING carrier, cast to binary in coerce_expr (raw UTF-8 bytes =
+        # the Go rule). A BinaryType carrier made from_json BASE64-decode
+        # the value — and an invalid-base64 string marked the whole record
+        # malformed, nulling every OTHER field of the row too (r8 review).
+        # Residual divergence (same class as the timestamp-number note): a
+        # JSON number in a binary field arrives as its text and stores as
+        # those bytes, where the reference nulls a non-string value.
+        return T.StringType()
     return T.StringType()
 
 
@@ -113,7 +122,17 @@ def coerce_expr(col: Column, target: T.DataType) -> Column:
         # wraps (Go conversion) — documented divergence, null is saner.
         return col.try_cast(target)
     if isinstance(target, (T.FloatType, T.DoubleType)):
-        return col.try_cast(target)
+        # NaN/±Inf → NULL: valid JSON numbers can never produce them, so
+        # any that appear came from the non-standard NaN/Infinity literals
+        # or their quoted forms (Jackson special-cases both on a double
+        # carrier) or from overflow like 1e999 — the reference nulls a
+        # non-number float value (go:768-786) and its parser rejects the
+        # bare literals outright (r8 review; we null the FIELD where Go's
+        # parse error nulls the whole row — the closer reachable shape).
+        v = col.try_cast(target)
+        return F.when(
+            F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(None).cast(target)
+        ).otherwise(v)
     if isinstance(target, T.BooleanType):
         return col.try_cast(T.BooleanType())
     if isinstance(target, T.TimestampType):

@@ -77,8 +77,21 @@ _FLOAT_ORDER = {T.FloatType(): 0, T.DoubleType(): 1}
 # '.fraction', zone 'Z'/'z' or ±hh:mm (Go's parse accepts lowercase z for the
 # zone but not lowercase t for the separator).
 _RFC3339_RE = re.compile(
-    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(\.\d+)?(?:[Zz]|[+-]\d{2}:\d{2})$"
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(\.\d+)?"
+    r"(?:[Zz]|[+-](\d{2}):(\d{2}))$"
 )
+
+
+def _reject_json_constant(_s: str) -> float:
+    """Go's encoding/json rejects NaN/Infinity/-Infinity literals; Python's
+    json.loads accepts them by default, which would classify a payload Go
+    calls INVALID as JSON and freeze the wrong pipeline for the stream's
+    lifetime (r8 review)."""
+    raise ValueError("non-standard JSON constant")
+
+
+def _loads_strict(data):
+    return json.loads(data, parse_constant=_reject_json_constant)
 
 
 @dataclass(frozen=True)
@@ -104,7 +117,7 @@ def detect_format(data: bytes | str) -> str:
         data = data.encode("utf-8")
     if data and data[:1] in (b"{", b"["):
         try:
-            json.loads(data)
+            _loads_strict(data)  # Go-strict: NaN/Infinity literals = invalid
             return "json"
         except (ValueError, UnicodeDecodeError):
             pass
@@ -120,8 +133,17 @@ def is_rfc3339(value: str) -> bool:
     year, month, day, hour, minute, sec = (int(m.group(i)) for i in range(1, 7))
     if not (1 <= month <= 12 and 0 <= hour <= 23 and 0 <= minute <= 59 and 0 <= sec <= 59):
         return False
+    # the UTC offset is range-checked too: Go's parseRFC3339 caps it at
+    # 23:59, so '+99:99' must type as STRING (the old regex-only check
+    # typed it timestamp and the coercion layer then nulled every value —
+    # whole-column loss; r8 review)
+    if m.group(8) is not None and not (int(m.group(8)) <= 23 and int(m.group(9)) <= 59):
+        return False
     try:
-        datetime(year, month, day)
+        # Go accepts year 0000 (proleptic, a leap year); Python datetime
+        # starts at year 1 — validate the calendar against 2000, which has
+        # identical month/day lengths (also a leap year)
+        datetime(year if year > 0 else 2000, month, day)
     except ValueError:
         return False
     return True
@@ -247,7 +269,7 @@ def infer_json_fields(
     order: list[str] = []
     for payload in payloads:
         try:
-            data = json.loads(payload)
+            data = _loads_strict(payload)  # Go skips invalid JSON (NaN incl.)
         except (ValueError, UnicodeDecodeError):
             continue
         if not isinstance(data, dict):
@@ -277,23 +299,75 @@ def infer_schema(
     fields = [T.StructField(n, t, nullable) for n, t, nullable in KAFKA_METADATA_FIELDS]
     if detect_format(sample[0]) == "json":
         inferred = infer_json_fields(sample, infer_nested=infer_nested)
-        fields.extend(T.StructField(f.name, f.dtype, f.nullable) for f in inferred)
+        # payload fields SHADOWED by the four kafka_* metadata names are
+        # dropped from the frozen schema: keeping them froze a
+        # duplicate-name StructType that parse_envelope could never emit
+        # and ParquetStore could never read back (r8 review). The parse
+        # layer filters them by the same names; with rescue_columns on
+        # they land in _rescued instead of vanishing.
+        meta_names = {n for n, _, _ in KAFKA_METADATA_FIELDS}
+        fields.extend(
+            T.StructField(f.name, f.dtype, f.nullable)
+            for f in inferred
+            if f.name not in meta_names
+        )
     else:
         fields.append(T.StructField("value", T.BinaryType(), True))
     return T.StructType(fields)
 
 
+def _go_float_str(v: float) -> str:
+    """Go's ``fmt.Sprintf("%v", float64)`` = strconv 'g' with shortest
+    digits: exponent form when the decimal exponent is < -4 or >= 6 (the
+    shortest-'g' eprec), plain decimal otherwise. Python's repr shares the
+    lower threshold but stays plain until 1e16 — so "1000000.0" rendered
+    "1000000" where Go says "1e+06" (r8 review; this function exists FOR
+    byte-level Go parity, see coerce.py module doc)."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return {float("inf"): "+Inf", float("-inf"): "-Inf"}.get(v, "NaN")
+    if v == 0:
+        return "-0" if str(v).startswith("-") else "0"
+    neg = v < 0
+    r = repr(abs(v))  # shortest round-trip digits
+    if "e" in r:
+        mant, e = r.split("e")
+        exp = int(e) + (len(mant.split(".")[0]) - 1)
+        digits = mant.replace(".", "")
+    else:
+        int_part, _, frac = r.partition(".")
+        alld = int_part + frac
+        stripped = alld.lstrip("0")
+        exp = len(int_part) - 1 - (len(alld) - len(stripped))
+        digits = stripped
+    digits = digits.rstrip("0") or "0"
+    sign = "-" if neg else ""
+    if exp < -4 or exp >= 6:
+        mant = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+        return f"{sign}{mant}e{'+' if exp >= 0 else '-'}{abs(exp):02d}"
+    if exp >= len(digits) - 1:
+        return sign + digits + "0" * (exp - len(digits) + 1)
+    if exp >= 0:
+        return f"{sign}{digits[: exp + 1]}.{digits[exp + 1:]}"
+    return f"{sign}0.{'0' * (-exp - 1)}{digits}"
+
+
 def stringify_json_value(value: object) -> str | None:
-    """Render a JSON value for a string-typed column. Scalars render
-    naturally; nested values render as canonical JSON (divergence from Go's
-    ``fmt.Sprintf("%v")``, documented above). Integral floats render without
-    a trailing ``.0`` to match Go's ``%v`` of float64 (``1.0`` → ``"1"``)."""
+    """Render a JSON value for a string-typed column. Scalars render as
+    Go's ``%v`` of the json.Unmarshal value — NUMBERS through float64
+    shortest-'g' (_go_float_str: "1.0" → "1", "1000000.0" → "1e+06",
+    matching Go's exponent threshold; r8 review fixed the ≥1e6 range);
+    nested values render as canonical JSON (divergence from Go's map %v,
+    documented above). Ints too large for float64 (Go's parser errors on
+    them — the whole message is invalid there) fall back to full digits."""
     if value is None:
         return None
     if isinstance(value, bool):
         return "true" if value else "false"
-    if isinstance(value, float) and _is_integral_number(value):
-        return str(int(value))
+    if isinstance(value, (int, float)):
+        try:
+            return _go_float_str(float(value))
+        except OverflowError:
+            return str(value)
     if isinstance(value, (dict, list)):
         return json.dumps(value, separators=(",", ":"), ensure_ascii=False)
     return str(value)

@@ -270,12 +270,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN decorrelates to an aggregate-and-rejoin on p_partkey; nation and
     region legs broadcast."""
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_scaled(F.col("l_extendedprice"))).alias("cost_s")
-    )
     part = load_table(spark, "part", sf_dir).filter(
         (F.col("p_size") == 3) & (F.col("p_type") == "ECONOMY")
     ).select("p_partkey")
+    # semi-join the highly selective part filter BELOW the aggregate:
+    # Catalyst cannot push a join under a groupBy, so aggregating the full
+    # lineitem table first wasted the whole shuffle on parts the next join
+    # discards (~1-in-hundreds qualify). The group key includes the join
+    # key, so the result is identical (r8 review).
+    li = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "semi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_scaled(F.col("l_extendedprice"))).alias("cost_s")
+    )
     supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
     nation = F.broadcast(load_table(spark, "nation", sf_dir))
     region = F.broadcast(

@@ -319,9 +319,10 @@ def test_nested_schema_end_to_end():
 
 
 def test_inference_survives_nonfinite_and_huge_numbers():
-    """Python's json.loads admits Infinity/NaN literals and arbitrary-
-    precision ints (Go's encoding/json does not) — a hostile sample must
-    type, not crash schema inference mid-stream."""
+    """Non-finite values reaching the type lattice directly must type, not
+    crash; stringification renders them as Go's %v would. (The PARSE layer
+    never produces them any more — see the strict-JSON test below — but a
+    converter or the nested extension could.)"""
     from roar_spark.inference import infer_json_field_type, stringify_json_value
 
     import pyspark.sql.types as T
@@ -329,13 +330,48 @@ def test_inference_survives_nonfinite_and_huge_numbers():
     assert infer_json_field_type(float("inf")) == (T.DoubleType(), False)
     assert infer_json_field_type(float("nan")) == (T.DoubleType(), False)
     assert infer_json_field_type(10**400) == (T.DoubleType(), False)
-    assert stringify_json_value(float("inf")) == "inf"
+    assert stringify_json_value(float("inf")) == "+Inf"  # Go %v
 
 
 def test_infer_schema_with_nonfinite_sample():
+    """Go's encoding/json REJECTS Infinity/NaN literals, so a first payload
+    carrying one is invalid JSON → the stream classifies BINARY (r8 review:
+    Python's lax json.loads previously classified it JSON and froze the
+    wrong pipeline for the stream's lifetime)."""
     import json
 
     from roar_spark.inference import infer_schema
 
     schema = infer_schema([json.dumps({"a": 1}).replace('1', 'Infinity')])
-    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["a"] == "double"
+    names = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert "a" not in names
+    assert names["value"] == "binary"
+
+
+def test_infer_schema_drops_metadata_shadowed_payload_fields():
+    """A payload field named kafka_offset cannot coexist with the metadata
+    column: the frozen schema must not carry duplicate names (r8 review —
+    ParquetStore could never read a duplicate-name schema back)."""
+    import json
+
+    from roar_spark.inference import infer_schema
+
+    schema = infer_schema([json.dumps({"kafka_offset": 1, "x": 2})])
+    names = [f.name for f in schema.fields]
+    assert names.count("kafka_offset") == 1 and "x" in names
+
+
+def test_go_float_formatting_thresholds():
+    """stringify_json_value renders numbers as Go %v of float64: exponent
+    form at decimal exponent >= 6 or < -4 (strconv shortest-'g'), plain
+    decimal between (r8 review: Python stayed plain until 1e16)."""
+    from roar_spark.inference import stringify_json_value as sv
+
+    assert sv(1000000.0) == "1e+06"
+    assert sv(1234567.5) == "1.2345675e+06"
+    assert sv(123456.5) == "123456.5"
+    assert sv(100000.0) == "100000"
+    assert sv(0.0001) == "0.0001"
+    assert sv(0.00001) == "1e-05"
+    assert sv(123456789) == "1.23456789e+08"  # JSON ints ride float64 in Go
+    assert sv(7) == "7" and sv(-55.25) == "-55.25"
