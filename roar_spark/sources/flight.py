@@ -205,6 +205,15 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         # eviction the replay is best-effort, same as the live path.
         table = _fetch_snapshot(self._location, self._topic)
         reset = end["rows"] < start["rows"] or end.get("head") != start.get("head")
+        # positions in the NEW snapshot are trustworthy only while its head
+        # row is still the one the checkpointed batch saw — the same rule
+        # the live read applies. If eviction happened between the live read
+        # and this replay, a positional slice would silently substitute
+        # DIFFERENT rows (worse than re-delivering); fall back to
+        # slice(0, end.rows) — best-effort re-delivery from the front,
+        # mirroring the live path's reset behavior (r8 advice).
+        if _head_fingerprint(table) != end.get("head"):
+            reset = True
         lo = 0 if reset else min(start["rows"], table.num_rows)
         hi = min(end["rows"], table.num_rows)
         return self._rows(table.slice(lo, max(hi - lo, 0)))

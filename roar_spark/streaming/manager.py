@@ -355,6 +355,11 @@ class StreamEngine:
             existing = self._streams.get(topic)
             if existing is not None and not getattr(existing.store, "_closed", False):
                 return existing
+            # the stream is live again — drop the remembered expired schema
+            # so revive/re-registration cycles don't grow the dict without
+            # bound (and a later re-registration with a NEW schema isn't
+            # shadowed by a stale memory on the next expiry cycle)
+            self._expired_schemas.pop(topic, None)
             handle = StreamHandle(topic, schema, self._make_store(topic, schema), self._time())
             if existing is not None and existing.query is not None:
                 handle.query = existing.query
@@ -625,6 +630,7 @@ class StreamEngine:
             self._streams.clear()
             pending = list(self._pending_queries.values())
             self._pending_queries.clear()
+            self._expired_schemas.clear()  # engine stop: nothing left to revive
         for q in pending:  # deferred-bootstrap queries that never saw data
             try:
                 q.stop()

@@ -174,6 +174,7 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
     path = os.path.join(base_path, topic)
     checkpoint_dir = os.path.join(checkpoint_base, f"sink-{topic}")
     run_id = _sink_run_id(checkpoint_dir)
+    first_batch = {None: True}  # popped by the first _persist (legacy sweep)
 
     def _persist(batch_df: DataFrame, batch_id: int) -> None:
         # ONE action per micro-batch: a separate count() would re-scan the
@@ -212,6 +213,21 @@ def start_parquet_sink(parsed: DataFrame, topic: str, base_path: str, checkpoint
         commit_dir = os.path.join(path, f"b{run_id}-{batch_id}")
         replayed = os.path.isdir(commit_dir)
         shutil.rmtree(commit_dir, ignore_errors=True)  # prior attempt's rows
+        if first_batch.pop(None, None) is not None:
+            # ONE-TIME legacy sweep (first batch of this process only — the
+            # sole batch that can replay across a code upgrade): a prior
+            # attempt committed under the pre-r8 FLAT layout
+            # (b{run}-{batch}-*.parquet files directly in path) is invisible
+            # to the commit-dir check above and would duplicate this batch's
+            # rows once. Same run_id (checkpoint-persistent), so the prefix
+            # identifies exactly this batch's legacy files. Not per-batch:
+            # that would reintroduce the O(total committed files) listing
+            # the r8 review removed.
+            legacy_prefix = f"b{run_id}-{batch_id}-"
+            for f in os.listdir(path):
+                if f.startswith(legacy_prefix) and f.endswith(".parquet"):
+                    os.remove(os.path.join(path, f))
+                    replayed = True
         os.replace(staging, commit_dir)
         if not replayed:
             # a replay REPLACES the prior attempt's rows — incrementing

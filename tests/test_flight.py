@@ -266,6 +266,18 @@ def test_flight_source_replays_reset_batches(monkeypatch):
     )
     assert replay3 == list(range(50, 55))
 
+    # eviction BETWEEN the live read and the replay: the checkpointed end
+    # head no longer matches the new snapshot's head, so positions are
+    # untrustworthy — a positional slice would silently substitute
+    # DIFFERENT rows. Must fall back to [0:end.rows] (r8 advice).
+    h_stale = "batch-time-head-now-evicted"
+    replay4 = _vals(
+        reader.readBetweenOffsets(
+            {"rows": 10, "head": h_stale}, {"rows": 15, "head": h_stale}
+        )
+    )
+    assert replay4 == list(range(40, 55))
+
 
 def test_flight_source_at_least_once_property(monkeypatch):
     """Property: across ANY interleaving of front-evictions and appends

@@ -515,6 +515,60 @@ def test_parquet_sink_counts_own_batch_and_is_replay_idempotent(spark, tmp_path)
     assert sorted(ids2) == [1, 1, 99]
 
 
+def test_parquet_sink_sweeps_legacy_flat_layout_on_replay(spark, tmp_path):
+    """A batch whose prior attempt committed under the pre-r8 FLAT layout
+    (b{run}-{batch}-*.parquet files directly in the topic dir — crash
+    between commit and checkpoint write, then a code upgrade) must be
+    swept on replay, not duplicated (r8 advice). The sweep is one-time
+    (first batch of the process), which is exactly the only batch that
+    can replay across an upgrade."""
+    import json as _json
+    import os
+
+    from roar_spark.sources.files import file_envelope_stream, write_envelope_file
+    from roar_spark.streaming.ingest import bootstrap_schema, parse_envelope
+    from roar_spark.streaming.sink import _sink_run_id, start_parquet_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    topic_dir = os.path.join(out, "t1")
+    payload = {"event_id": 1, "name": "a"}
+    write_envelope_file(
+        src,
+        [{"key": "k0", "value": _json.dumps(payload),
+          "timestamp": "2026-08-13T09:00:00Z", "offset": 0, "partition": 0}],
+        file_name="a.json",
+    )
+    # mint the run id FIRST (checkpoint-persistent), then plant the legacy
+    # flat-layout file a pre-upgrade attempt of batch 0 would have left
+    ckpt = str(tmp_path / "ckpt")
+    run_id = _sink_run_id(os.path.join(ckpt, "sink-t1"))
+    os.makedirs(topic_dir, exist_ok=True)
+    legacy = os.path.join(topic_dir, f"b{run_id}-0-part-00000.parquet")
+    spark.createDataFrame([(1, "a")], "event_id long, name string") \
+        .coalesce(1).toPandas().to_parquet(legacy)
+    # a DIFFERENT run's legacy file must survive (not this run's replay)
+    foreign = os.path.join(topic_dir, "bffffffff-0-part-00000.parquet")
+    spark.createDataFrame([(99, "z")], "event_id long, name string") \
+        .coalesce(1).toPandas().to_parquet(foreign)
+
+    schema = bootstrap_schema([_json.dumps(payload)])
+    parsed = parse_envelope(file_envelope_stream(spark, src), schema)
+    q = start_parquet_sink(parsed, "t1", out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(legacy), "this run's legacy attempt must be swept"
+    assert os.path.exists(foreign), "another run's file must survive"
+    ids = sorted(
+        r.event_id
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(topic_dir).select("event_id").collect()
+    )
+    assert ids == [1, 99], f"batch 0 duplicated across the upgrade: {ids}"
+
+
 def test_coercion_ansi_safe_on_bad_timestamps(spark):
     """Under Spark 4's default ANSI mode a regex-passing-but-invalid
     timestamp ('2024-13-01…', lowercase 'z') or an overflowing epoch
