@@ -34,20 +34,33 @@ polling DoGet gets. (Known residual: a head row whose full VALUE equals
 the evicted head's is indistinguishable — md5 of every column of row 0 —
 accepted and documented.)
 
-Scale path: ``SimpleDataSourceStreamReader`` polls on the driver — correct
-for the facade's single-endpoint servers and exactly the reference
-client's single-connection behavior. A sharded Flight service advertises
-one endpoint per shard in FlightInfo; the 1000-executor variant of this
-source is the full ``DataSourceStreamReader`` with one InputPartition per
-endpoint (each executor DoGets its own shard) — same offset model per
-endpoint, no other change. Not needed against the single-endpoint facade.
+Scale path: TWO readers behind one format. The default
+``SimpleDataSourceStreamReader`` polls on the driver — correct for the
+facade's single-endpoint servers and exactly the reference client's
+single-connection behavior, but every replicated row funnels through the
+driver prefetch (~94k rows/s measured, SCALE.md). ``.option("sharded",
+"true")`` selects ``FlightShardedStreamReader`` — the full
+``DataSourceStreamReader`` with one InputPartition per endpoint of the
+server's multi-endpoint FlightInfo: the driver exchanges only offsets
+(the ``hwm`` DoAction + GetFlightInfo), and each EXECUTOR DoGets its own
+shard's slice of the batch range in parallel. Same offset model
+({rows, head} global high-water mark), server-side head re-validation per
+DoGet, at-least-once under eviction. This is the 1000-executor leg of the
+north-star design: against a real sharded Flight service (one endpoint
+per shard host) the aggregate ingest rate scales with endpoints, not with
+one driver socket.
 """
 
 from __future__ import annotations
 
 from typing import TYPE_CHECKING, Iterator, Tuple  # noqa: F401
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructField, StructType
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -61,10 +74,13 @@ def _fetch_snapshot(location: str, topic: str) -> "pa.Table":
     (flight_facade.read_topic — one copy of the GetFlightInfo → DoGet
     sequence so the two cannot drift; r8 review). Fresh connection per
     poll: polls are seconds apart and a cached gRPC channel would hold a
-    socket open across micro-batches for no measured gain."""
+    socket open across micro-batches for no measured gain.
+    max_endpoints=1: the positional offset model is only valid against a
+    single-endpoint (unsharded) server — a multi-shard concat interleaves
+    appends mid-snapshot; read_topic raises with the sharded-reader fix."""
     from roar_spark.streaming.flight_facade import read_topic
 
-    return read_topic(location, topic)
+    return read_topic(location, topic, max_endpoints=1)
 
 
 def _head_fingerprint(table: "pa.Table") -> str | None:
@@ -105,6 +121,55 @@ def remote_spark_schema(location: str, topic: str) -> StructType:
     )
 
 
+def _arrow_batches(table: "pa.Table", schema: StructType, pa_schema, naive_tz: str):
+    # Arrow RecordBatches, not per-row tuples: the worker read path
+    # accepts either (plan_data_source_read.records_to_arrow_batches)
+    # and the batch form skips the per-row Python materialization —
+    # measured 23.2 s → 10.6 s for a 1M-row replication (SCALE.md). A
+    # LIST iterator, not a generator: the engine copy.copy()s the
+    # prefetched iterator when serving the cached batch and pickles it
+    # to ship driver→executor — list iterators support both, generators
+    # neither (datasource_internal.py getCache). Columns are re-selected
+    # in schema field order, then cast to the EXACT expected arrow
+    # schema — the JVM runner asserts batch schema equality, and the
+    # remote's timestamp tz / nullability metadata need not match the
+    # session's (cast is metadata-only for tz'd timestamps: arrow
+    # stores UTC-epoch instants, so no values change). Shared by the
+    # simple (driver-prefetch) and sharded (executor DoGet) readers.
+    import numpy as np
+    import pyarrow as pa
+
+    tbl = table.select(schema.fieldNames())
+    if tbl.schema != pa_schema:
+        if naive_tz != "UTC":
+            # naive → tz'd cast reinterprets values as UTC; apply the
+            # configured interpretation zone first (see __init__)
+            import pyarrow.compute as pc
+
+            for i, field in enumerate(tbl.schema):
+                target = pa_schema.field(i).type
+                if (
+                    pa.types.is_timestamp(field.type)
+                    and field.type.tz is None
+                    and pa.types.is_timestamp(target)
+                    and target.tz is not None
+                ):
+                    col = pc.assume_timezone(tbl.column(i), naive_tz)
+                    tbl = tbl.set_column(i, field.name, col)
+        tbl = tbl.cast(pa_schema)
+    if tbl.num_rows:
+        # COMPACT the slice: zero-copy sliced batches keep the whole
+        # parent snapshot's buffers alive inside the driver's prefetch
+        # cache until commit (a 10-row delta pinned the full 8 MB
+        # column buffer — r8 review). take() gathers into fresh
+        # delta-sized arrays.
+        tbl = tbl.take(np.arange(tbl.num_rows))
+    # bounded batches: a post-eviction reset re-delivers the WHOLE
+    # snapshot — without max_chunksize that is one giant RecordBatch
+    # into the JVM instead of the ~10k-row chunks the tuple path got
+    return iter(tbl.to_batches(max_chunksize=10_000))
+
+
 class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._location = options["location"]
@@ -131,55 +196,11 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"rows": 0, "head": None}
 
     def _rows(self, table: "pa.Table") -> Iterator:
-        # Arrow RecordBatches, not per-row tuples: the worker read path
-        # accepts either (plan_data_source_read.records_to_arrow_batches)
-        # and the batch form skips the per-row Python materialization —
-        # measured 23.2 s → 10.6 s for a 1M-row replication (SCALE.md). A
-        # LIST iterator, not a generator: the engine copy.copy()s the
-        # prefetched iterator when serving the cached batch and pickles it
-        # to ship driver→executor — list iterators support both, generators
-        # neither (datasource_internal.py getCache). Columns are re-selected
-        # in schema field order, then cast to the EXACT expected arrow
-        # schema — the JVM runner asserts batch schema equality, and the
-        # remote's timestamp tz / nullability metadata need not match the
-        # session's (cast is metadata-only for tz'd timestamps: arrow
-        # stores UTC-epoch instants, so no values change).
-        import numpy as np
-        import pyarrow as pa
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         if self._pa_schema is None:
-            self._pa_schema = to_arrow_schema(self._schema)
-        tbl = table.select(self._schema.fieldNames())
-        if tbl.schema != self._pa_schema:
-            if self._naive_tz != "UTC":
-                # naive → tz'd cast reinterprets values as UTC; apply the
-                # configured interpretation zone first (see __init__)
-                import pyarrow.compute as pc
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-                for i, field in enumerate(tbl.schema):
-                    target = self._pa_schema.field(i).type
-                    if (
-                        pa.types.is_timestamp(field.type)
-                        and field.type.tz is None
-                        and pa.types.is_timestamp(target)
-                        and target.tz is not None
-                    ):
-                        col = pc.assume_timezone(tbl.column(i), self._naive_tz)
-                        tbl = tbl.set_column(i, field.name, col)
-            tbl = tbl.cast(self._pa_schema)
-        if tbl.num_rows:
-            # COMPACT the slice: zero-copy sliced batches keep the whole
-            # parent snapshot's buffers alive inside the driver's prefetch
-            # cache until commit (a 10-row delta pinned the full 8 MB
-            # column buffer — r8 review). take() gathers into fresh
-            # delta-sized arrays.
-            tbl = tbl.take(np.arange(tbl.num_rows))
-        # bounded batches: a post-eviction reset re-delivers the WHOLE
-        # snapshot — without max_chunksize that is one giant RecordBatch
-        # into the JVM instead of the ~10k-row chunks the tuple path got
-        return iter(tbl.to_batches(max_chunksize=10_000))
+            self._pa_schema = to_arrow_schema(self._schema)
+        return _arrow_batches(table, self._schema, self._pa_schema, self._naive_tz)
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         table = _fetch_snapshot(self._location, self._topic)
@@ -222,12 +243,146 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing to release server-side: DoGet is a stateless snapshot
 
 
+class FlightShardPartition(InputPartition):
+    """One Flight endpoint's ranged shard read — what a single Spark task
+    DoGets. Picklable by construction (two strings)."""
+
+    def __init__(self, location: str, ticket: str) -> None:
+        self.location = location
+        self.ticket = ticket
+
+
+class FlightShardedStreamReader(DataSourceStreamReader):
+    """The 1000-executor variant of the Flight source (module doc): a full
+    ``DataSourceStreamReader`` with one InputPartition per advertised
+    Flight endpoint — EXECUTORS DoGet their shards in parallel, nothing
+    row-shaped crosses the driver. Per trigger the driver makes exactly
+    two metadata RPCs: the ``hwm`` DoAction (global row high-water mark +
+    head fingerprint — the same offset model as the simple reader) and
+    GetFlightInfo (the live endpoint list, re-polled per batch so a
+    service that re-shards is picked up without restart).
+
+    Each InputPartition's ticket embeds the batch's global row range
+    [start, end) plus the start head fingerprint; the SERVER slices its
+    snapshot to the range (re-validating the head against its own state —
+    eviction between the driver's poll and an executor's DoGet resets
+    that shard to the front, at-least-once) and filters to the shard by a
+    stable content hash, so a row keeps its shard across snapshots and
+    drop-oldest eviction still removes a prefix of every shard's
+    subsequence (flight_facade.RoarFlightServer doc).
+
+    ``maxRowsPerBatch`` caps steady-state triggers from driver-side state;
+    the first trigger after a RESTART is uncapped (the checkpointed start
+    is not visible to latestOffset) — documented divergence from Kafka's
+    maxOffsetsPerTrigger."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._location = options["location"]
+        self._topic = options["topic"]
+        self._schema = schema
+        self._pa_schema = None
+        self._max_rows = int(options.get("maxrowsperbatch", 0)) or None
+        self._starting = options.get("startingoffsets", "earliest").lower()
+        self._naive_tz = options.get("naivetimestamptimezone", "UTC")
+        self._last_end: dict | None = None
+
+    def _hwm(self) -> dict:
+        import json
+
+        import pyarrow.flight as flight
+
+        client = flight.connect(self._location)
+        try:
+            results = list(client.do_action(flight.Action("hwm", self._topic.encode())))
+            return json.loads(results[0].body.to_pybytes().decode())
+        finally:
+            client.close()
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            return self._hwm()
+        return {"rows": 0, "head": None}
+
+    def latestOffset(self) -> dict:
+        off = self._hwm()
+        last = self._last_end
+        if (
+            self._max_rows is not None
+            and last is not None
+            and off.get("head") == last.get("head")  # capping positions is
+            # only meaningful while they share the head's frame of reference
+            and off["rows"] > last["rows"] + self._max_rows
+        ):
+            off = {"rows": last["rows"] + self._max_rows, "head": off["head"]}
+        self._last_end = off
+        return off
+
+    def partitions(self, start: dict, end: dict) -> list:
+        import json
+
+        import pyarrow.flight as flight
+
+        # the reset decision is the simple reader's live rule, made once
+        # here; each server-side DoGet re-validates against ITS snapshot
+        reset = end["rows"] < start["rows"] or end.get("head") != start.get("head")
+        lo = 0 if reset else start["rows"]
+        if end["rows"] <= lo:
+            return []  # empty range (start == end trigger)
+        client = flight.connect(self._location)
+        try:
+            info = client.get_flight_info(flight.FlightDescriptor.for_path(self._topic))
+        finally:
+            client.close()
+        parts = []
+        for ep in info.endpoints:
+            try:
+                spec = json.loads(ep.ticket.ticket.decode())
+            except (UnicodeDecodeError, ValueError):
+                spec = None
+            if not isinstance(spec, dict) or "topic" not in spec:
+                # unsharded server: one plain-topic endpoint — still serve
+                # it through the ranged path (shard filter is a no-op)
+                spec = {"topic": self._topic}
+            spec.update(
+                {"start": lo, "start_head": start.get("head"), "end": end["rows"]}
+            )
+            locations = [loc.uri.decode() for loc in ep.locations]
+            parts.append(
+                FlightShardPartition(
+                    locations[0] if locations else self._location, json.dumps(spec)
+                )
+            )
+        return parts
+
+    def read(self, partition: FlightShardPartition) -> Iterator:
+        # EXECUTOR-side: fresh connection per (task, trigger), DoGet of
+        # exactly this shard's delta, Arrow RecordBatch pass-through
+        import pyarrow.flight as flight
+
+        client = flight.connect(partition.location)
+        try:
+            table = client.do_get(flight.Ticket(partition.ticket.encode())).read_all()
+        finally:
+            client.close()
+        if self._pa_schema is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self._pa_schema = to_arrow_schema(self._schema)
+        return _arrow_batches(table, self._schema, self._pa_schema, self._naive_tz)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release server-side: DoGet is a stateless snapshot
+
+
 class FlightStreamDataSource(DataSource):
     """``format("roar_flight")`` — options: ``location`` (grpc://host:port),
     ``topic`` (served stream name), ``maxRowsPerBatch`` (rate limit),
     ``startingOffsets`` (earliest|latest, default earliest),
     ``naiveTimestampTimezone`` (zone for interpreting TZ-LESS remote
-    timestamps, default UTC — the roar facade always serves tz'd ones)."""
+    timestamps, default UTC — the roar facade always serves tz'd ones),
+    ``sharded`` (true|false, default false — partition-per-endpoint
+    executor reads against a multi-endpoint/sharded server; the default
+    driver-prefetch reader refuses such servers with the fix)."""
 
     @classmethod
     def name(cls) -> str:
@@ -235,6 +390,13 @@ class FlightStreamDataSource(DataSource):
 
     def schema(self) -> StructType:
         return remote_spark_schema(self.options["location"], self.options["topic"])
+
+    def streamReader(self, schema: StructType) -> "FlightShardedStreamReader":
+        if self.options.get("sharded", "false").lower() == "true":
+            return FlightShardedStreamReader(schema, self.options)
+        # PySparkNotImplementedError → Spark falls back to simpleStreamReader
+        # (datasource_internal._streamReader)
+        return super().streamReader(schema)
 
     def simpleStreamReader(self, schema: StructType) -> FlightSimpleStreamReader:
         return FlightSimpleStreamReader(schema, self.options)

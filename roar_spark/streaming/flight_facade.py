@@ -38,10 +38,31 @@ from roar_spark.streaming.manager import StreamEngine
 
 
 class RoarFlightServer(flight.FlightServerBase):
-    def __init__(self, engine: StreamEngine, location: str = "grpc://0.0.0.0:0") -> None:
+    """``shards > 1`` turns on the SHARDED serving surface — the
+    reference's FlightInfo endpoint list used as the extension point it
+    is (flight/server.go:95-122): GetFlightInfo advertises one endpoint
+    per shard (JSON ticket ``{"topic", "shard", "of"}``), DoGet of a
+    shard ticket serves only that shard's rows (stable content-hash
+    row→shard assignment — a row keeps its shard across snapshots, so
+    drop-oldest eviction still removes a PREFIX of every shard's
+    subsequence and the per-range offset model stays valid), and the
+    ``hwm`` DoAction serves the O(1) global high-water mark the sharded
+    streaming source polls per trigger (sources/flight.py). Shard DoGets
+    are served from ONE cached Arrow materialization per store version —
+    N executors reading in parallel cost one snapshot, not N."""
+
+    def __init__(
+        self, engine: StreamEngine, location: str = "grpc://0.0.0.0:0", shards: int = 1
+    ) -> None:
         super().__init__(location)
         self._engine = engine
         self._location = location
+        self._shards = max(int(shards), 1)
+        # topic → (store identity, store.version, arrow table): one
+        # materialization serves the hwm poll + all shard DoGets of a
+        # trigger. Keyed on the store OBJECT too — a TTL-revived stream's
+        # fresh store restarts version at 0 and must not hit stale cache.
+        self._snap_cache: dict = {}
 
     # -- helpers -----------------------------------------------------------
 
@@ -56,9 +77,28 @@ class RoarFlightServer(flight.FlightServerBase):
 
     def _info(self, topic: str) -> flight.FlightInfo:
         descriptor = flight.FlightDescriptor.for_path(topic)
-        endpoint = flight.FlightEndpoint(topic.encode(), [f"grpc://localhost:{self.port}"])
+        location = f"grpc://localhost:{self.port}"
+        if self._shards > 1:
+            # one endpoint per shard: a partition-aware client (the
+            # sharded streaming source) DoGets each in parallel; the
+            # locations all point at this server — a multi-node service
+            # would list each shard's own host here, with no client change
+            import json
+
+            endpoints = [
+                flight.FlightEndpoint(
+                    json.dumps(
+                        {"topic": topic, "shard": i, "of": self._shards}
+                    ).encode(),
+                    [location],
+                )
+                for i in range(self._shards)
+            ]
+        else:
+            # reference wire parity: plain-topic ticket (server.go:118)
+            endpoints = [flight.FlightEndpoint(topic.encode(), [location])]
         return flight.FlightInfo(
-            self._arrow_schema(topic), descriptor, [endpoint],
+            self._arrow_schema(topic), descriptor, endpoints,
             total_records=-1, total_bytes=-1,  # unbounded (server.go:120-121)
         )
 
@@ -95,22 +135,152 @@ class RoarFlightServer(flight.FlightServerBase):
     def get_schema(self, context, descriptor):  # A24
         return flight.SchemaResult(self._arrow_schema(self._path_topic(descriptor)))
 
+    # -- sharded serving (see class doc) ------------------------------------
+
+    def _snapshot_entry(self, topic: str) -> dict:
+        """One Arrow materialization per store version (Spark-free —
+        MemoryStore concat / ParquetStore pyarrow read), shared by the
+        hwm action and every shard DoGet of a trigger. Counts as a data
+        read: TTL refresh + request counter via engine.touch. The entry
+        also lazily carries the row-hash vector for shard filtering —
+        computed ONCE per version, not once per DoGet (8 shards × a 2.2 s
+        GIL-bound hash of a 1M-row delta made the sharded path SLOWER
+        than the driver-prefetch one it exists to beat; measured r9)."""
+        try:
+            handle = self._engine.touch(topic)
+        except KeyError:
+            self._snap_cache.pop(topic, None)  # expired: drop the pinned table
+            raise
+        store = handle.store
+        version = store.version  # read BEFORE the snapshot: a concurrent
+        # append during materialization caches newer data under the older
+        # version, so the next call conservatively re-materializes
+        cached = self._snap_cache.get(topic)
+        if cached is not None and cached["store"] is store and cached["version"] == version:
+            return cached
+        entry = {"store": store, "version": version,
+                 "table": store.snapshot_arrow(), "hashes": None,
+                 "hash_lock": threading.Lock()}
+        self._snap_cache[topic] = entry
+        return entry
+
+    def _snapshot_table(self, topic: str) -> pa.Table:
+        return self._snapshot_entry(topic)["table"]
+
+    def _hwm(self, topic: str) -> dict:
+        from roar_spark.sources.flight import _head_fingerprint
+
+        table = self._snapshot_table(topic)
+        return {"rows": table.num_rows, "head": _head_fingerprint(table)}
+
+    @staticmethod
+    def _row_hashes(table: pa.Table):
+        """Stable row→shard hash basis: vectorized pandas row hash over
+        the SCALAR columns (value-based, so a row keeps its shard across
+        snapshots — the property the per-range offset model needs; rows
+        equal on their scalar projection sharing a shard is harmless).
+        All-nested schemas fall back to a per-row JSON hash. Shard i of n
+        keeps rows where ``hash % n == i``."""
+        import numpy as np
+
+        scalar = [
+            f.name for f in table.schema if not pa.types.is_nested(f.type)
+        ]
+        if scalar:
+            import pandas as pd
+
+            h = pd.util.hash_pandas_object(
+                table.select(scalar).to_pandas(), index=False
+            ).to_numpy()
+        else:
+            import hashlib
+            import json
+
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(
+                            json.dumps(r, sort_keys=True, default=str).encode()
+                        ).digest()[:8],
+                        "big",
+                    )
+                    for r in table.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=table.num_rows,
+            )
+        return h.astype(np.uint64, copy=False)
+
     def do_get(self, context, ticket):  # A25
-        table = self._engine.fetch(ticket.ticket.decode(), limit=-1).toArrow()
-        return flight.RecordBatchStream(table)
+        raw = ticket.ticket
+        spec = None
+        if raw[:1] == b"{":  # sharded JSON ticket (a literal topic named
+            # like a JSON object is pathological and unsupported)
+            import json
+
+            try:
+                spec = json.loads(raw.decode())
+            except (UnicodeDecodeError, ValueError):
+                spec = None
+        if not isinstance(spec, dict) or "topic" not in spec:
+            # plain-topic ticket — the reference parity path, byte-for-byte
+            table = self._engine.fetch(raw.decode(), limit=-1).toArrow()
+            return flight.RecordBatchStream(table)
+        entry = self._snapshot_entry(spec["topic"])
+        table = entry["table"]
+        lo, hi = 0, table.num_rows
+        if "end" in spec:
+            # ranged read: the sharded source's per-batch delta. Positions
+            # are trusted only while the snapshot's head row is the one
+            # the start offset saw (drop-oldest evicts from the front) —
+            # the same rule as the simple source's live read; on mismatch
+            # reset to the front (at-least-once re-delivery).
+            from roar_spark.sources.flight import _head_fingerprint
+
+            lo = int(spec.get("start", 0))
+            if lo > 0 and (
+                table.num_rows < lo
+                or _head_fingerprint(table) != spec.get("start_head")
+            ):
+                lo = 0
+            hi = min(int(spec["end"]), table.num_rows)
+        delta = table.slice(lo, max(hi - lo, 0))
+        of = int(spec.get("of", 1))
+        if of > 1 and delta.num_rows:
+            import numpy as np
+
+            if entry["hashes"] is None:
+                # once per store version, UNDER A LOCK: a trigger's N shard
+                # DoGets arrive together, and without the double-checked
+                # lock all N computed the GIL-bound row hash concurrently —
+                # 8 × ~9 s at 4M rows made the first trigger 83 s (r9 bench)
+                with entry["hash_lock"]:
+                    if entry["hashes"] is None:
+                        entry["hashes"] = self._row_hashes(table)
+            h = entry["hashes"][lo:hi]
+            keep = np.nonzero(h % np.uint64(of) == int(spec["shard"]))[0]
+            delta = delta.take(keep)
+        return flight.RecordBatchStream(delta)
 
     def do_action(self, context, action):  # A26
         if action.type == "health":
             return [b"OK"]
         if action.type == "listTopics":
             return [",".join(self._engine.list_streams()).encode()]
+        if action.type == "hwm":
+            # O(1)-amortized global high-water mark for the sharded source's
+            # latestOffset poll: {"rows": snapshot rows, "head": fingerprint}
+            import json
+
+            return [json.dumps(self._hwm(action.body.to_pybytes().decode())).encode()]
         raise NotImplementedError(f"action {action.type!r}")
 
 
-def serve_in_thread(engine: StreamEngine, port: int = 0) -> RoarFlightServer:
+def serve_in_thread(engine: StreamEngine, port: int = 0, shards: int = 1) -> RoarFlightServer:
     """Start the facade on a daemon thread; returns the running server
-    (``server.port`` carries the bound port)."""
-    server = RoarFlightServer(engine, f"grpc://0.0.0.0:{port}")
+    (``server.port`` carries the bound port). ``shards > 1`` advertises
+    the multi-endpoint FlightInfo the sharded streaming source consumes."""
+    server = RoarFlightServer(engine, f"grpc://0.0.0.0:{port}", shards=shards)
     thread = threading.Thread(target=server.serve, daemon=True)
     thread.start()
     return server
@@ -124,15 +294,35 @@ def list_topics(location: str) -> list[str]:
     return [info.descriptor.path[0].decode() for info in client.list_flights()]
 
 
-def read_topic(location: str, topic: str) -> pa.Table:
+def read_topic(location: str, topic: str, max_endpoints: int | None = None) -> pa.Table:
     """GetFlightInfo → DoGet → read_all, connection closed — the reference
     client's exact read path (cmd/client.go:121-171), shared by the CLI
     client below and the streaming source (sources/flight.py) so the two
-    copies cannot drift (r8 review: the facade copy leaked the channel)."""
+    copies cannot drift (r8 review: the facade copy leaked the channel).
+    Every advertised endpoint is read (Flight's contract: the full stream
+    is the union of the endpoints) — identical to the reference's single
+    DoGet against its one-endpoint server, and correct against a sharded
+    server where endpoints[0] alone would silently serve 1/N of the rows.
+
+    ``max_endpoints`` lets positional consumers refuse sharded servers:
+    the simple streaming source's row-count offset model needs appends to
+    land at the END of the snapshot, and a multi-shard concat interleaves
+    new rows mid-snapshot (each shard appends to its own tail) — it passes
+    1 and raises with the fix (``sharded=true``) instead of silently
+    dropping rows."""
     client = flight.connect(location)
     try:
         info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
-        return client.do_get(info.endpoints[0].ticket).read_all()
+        if max_endpoints is not None and len(info.endpoints) > max_endpoints:
+            raise ValueError(
+                f"topic {topic!r} at {location} advertises "
+                f"{len(info.endpoints)} endpoints; this consumer's "
+                "positional offset model supports only "
+                f"{max_endpoints} — use the sharded reader "
+                "(.option('sharded', 'true'))"
+            )
+        parts = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     finally:
         client.close()
 

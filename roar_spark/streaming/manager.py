@@ -82,6 +82,10 @@ class MemoryStore:
         self.records_dropped = 0
         self._closed = False
         self._lock = threading.Lock()
+        # monotone mutation counter (append/evict/close): lets the Flight
+        # facade cache one snapshot materialization per buffer state and
+        # serve N shard DoGets + the hwm action from it (flight_facade)
+        self.version = 0
 
     def append(self, batch_df: DataFrame) -> int:
         table = batch_df.toArrow()
@@ -102,6 +106,7 @@ class MemoryStore:
             # evicts it. Never silently discard the newest data.
             self._batches.append((table, size))
             self._bytes += size
+            self.version += 1
         return table.num_rows
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
@@ -112,6 +117,21 @@ class MemoryStore:
         if not tables:
             return spark.createDataFrame([], self._schema)
         return spark.createDataFrame(pa.concat_tables(tables))
+
+    def snapshot_arrow(self) -> "object":
+        """Snapshot as an Arrow table WITHOUT a Spark round-trip — the
+        Flight facade's sharded-serving path (one materialization per
+        store version, N shard DoGets sliced from it). Zero-copy: the
+        buffered tables are already Arrow."""
+        import pyarrow as pa
+
+        with self._lock:
+            tables = [t for t, _ in self._batches]
+        if not tables:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            return to_arrow_schema(self._schema).empty_table()
+        return pa.concat_tables(tables)
 
     @property
     def current_bytes(self) -> int:
@@ -129,6 +149,7 @@ class MemoryStore:
             self._closed = True
             self._batches.clear()
             self._bytes = 0
+            self.version += 1
         return []
 
 
@@ -158,6 +179,8 @@ class ParquetStore:
         self.records_dropped = 0
         self._closed = False
         self._lock = threading.Lock()
+        # monotone mutation counter — see MemoryStore.version
+        self.version = 0
         # dirs evicted from the batch list but not yet deleted: physical
         # deletion is DEFERRED one append generation so an in-flight
         # snapshot scan (lazy — file listing resolves at action time)
@@ -218,6 +241,7 @@ class ParquetStore:
             # always append the new batch (reference parity — see MemoryStore)
             self._batches.append((path, size, rows))
             self._bytes += size
+            self.version += 1
         for old_path in doomed_now:
             shutil.rmtree(old_path, ignore_errors=True)
         return rows
@@ -228,6 +252,27 @@ class ParquetStore:
         if not paths:
             return spark.createDataFrame([], self._schema)
         return spark.read.schema(self._schema).parquet(*paths)
+
+    def snapshot_arrow(self) -> "object":
+        """Snapshot as an Arrow table WITHOUT a Spark job — the Flight
+        facade's sharded-serving path. Reads the batch dirs with pyarrow
+        in append order (deterministic: sorted file listing per dir) and
+        casts to the stream's frozen schema so both stores serve
+        identical types. Single-process read by design: the facade is a
+        single-node serving veneer; the cluster-scale read of this store
+        is the snapshot() parquet scan."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        with self._lock:
+            paths = [p for p, _, _ in self._batches]
+        if not paths:
+            return target.empty_table()
+        tables = [pq.read_table(p).cast(target) for p in paths]
+        return pa.concat_tables(tables)
 
     @property
     def current_bytes(self) -> int:
@@ -249,6 +294,7 @@ class ParquetStore:
             self._batches.clear()
             self._doomed.clear()
             self._bytes = 0
+            self.version += 1
         if deferred:
             return [self._root]
         shutil.rmtree(self._root, ignore_errors=True)
@@ -591,15 +637,24 @@ class StreamEngine:
             "total_records": -1,  # unbounded stream (flight/server.go:120-121)
         }
 
-    def fetch(self, topic: str, limit: int = 10) -> DataFrame:
-        """Snapshot read with the client's default limit of 10
-        (cmd/client.go:65). Refreshes the TTL — §2.3.4 parity."""
+    def touch(self, topic: str) -> StreamHandle:
+        """Data-read bookkeeping without the snapshot: TTL refresh +
+        request counter + per-topic gauges (§2.3.4 — the retention clock
+        is last activity). Shared by fetch() and the Flight facade's
+        cached sharded reads, which serve Arrow directly from the store
+        and must still count as activity."""
         handle = self._handle(topic)
         handle.last_updated = self._time()
         REGISTRY.inc("roar_flight_stream_requests_total", topic=topic)
         # O(1) per request: only this topic's gauges; the janitor tick
         # owns the full refresh + stale-series sweep
         update_engine_gauges(self, topics=[topic])
+        return handle
+
+    def fetch(self, topic: str, limit: int = 10) -> DataFrame:
+        """Snapshot read with the client's default limit of 10
+        (cmd/client.go:65). Refreshes the TTL — §2.3.4 parity."""
+        handle = self.touch(topic)
         df = handle.store.snapshot(self._spark)
         return df.limit(limit) if limit is not None and limit >= 0 else df
 
