@@ -178,15 +178,21 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan + one partial-agg shuffle keyed by (source, lang);
     token counts are map-side array sizes (no explode — nothing
-    per-token crosses the wire). The share column's unpartitioned window
-    runs over the AGGREGATED table, whose row count is the stratum
-    cardinality (sources × langs) — bounded at any corpus size, so the
-    single-partition window is on a few dozen rows, never the corpus.
-    Shares are double divisions of exact int64 sums, round(…, 6) →
-    engine-exact. spread=True: the tokenize-and-count projection is the
-    heavy-map-work-before-first-shuffle case (single-row-group smoke
-    corpora serialize it through one task otherwise; a no-op on real
-    multi-file corpora)."""
+    per-token crosses the wire). The share column's single-partition
+    window runs over the AGGREGATED table, whose row count is the
+    stratum cardinality (sources × langs) — bounded at any corpus size,
+    so the one-partition window is on a few dozen rows, never the
+    corpus. That bound is deliberate and safe here, so the window
+    partitions by ``_all`` = pmod(n_docs, 1) — a constant-0 column the
+    optimizer can't fold away (lit(0)/n*0 both fold back to an empty
+    partition spec) — to keep the WindowExec "No Partition Defined"
+    warning MEANINGFUL: the day that warning appears in a check run, it
+    is a real unbounded single-partition window, not this sanctioned
+    one (r8 verdict). Shares are double divisions of exact int64 sums,
+    round(…, 6) → engine-exact. spread=True: the tokenize-and-count
+    projection is the heavy-map-work-before-first-shuffle case
+    (single-row-group smoke corpora serialize it through one task
+    otherwise; a no-op on real multi-file corpora)."""
     docs = load_table(spark, "documents", sf_dir, spread=True)
     from pyspark.sql import Window as W
 
@@ -205,8 +211,10 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("n_tokens"),
             F.sum("n_chars").alias("n_chars"),
         )
+        # constant-0 partition key the optimizer can't fold (docstring)
+        .withColumn("_all", F.pmod(F.col("n_docs"), F.lit(1)))
     )
-    wall = W.partitionBy()
+    wall = W.partitionBy("_all")
     return agg.select(
         "source",
         "lang",

@@ -166,6 +166,68 @@ def served_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def served_rescued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rescued-column extension (config.rescue_columns, SURVEY §2.3.5)
+    composed end-to-end through the store: the schema FREEZES on a
+    pre-drift sample carrying only {event_id, event_type}, then every
+    envelope arrives POST-DRIFT with two extra payload fields (user_id,
+    value) — the reference silently drops them forever
+    (kafka/consumer.go inferSchema freezes on the first batch); with
+    rescue on they land in the reserved ``_rescued`` JSON column, flow
+    through the ParquetStore and the snapshot, and are extracted BACK OUT
+    relationally. The oracle is the flat aggregation on the original
+    events table — a hash match proves the freeze→drift→rescue→serve→
+    extract roundtrip loses nothing (shortest-repr double text survives
+    the string map exactly).
+
+    Scale shape: rescue is one extra from_json(map) + map_filter
+    projection per envelope (codegen, no shuffle); extraction is
+    get_json_object; the one shuffle is the final aggregation."""
+    import json
+
+    ev = load_table(spark, "events", sf_dir)
+    payload = F.to_json(  # to_json omits NULL fields — a row with null
+        # user_id/value rescues nothing for them, matching the oracle's
+        # NULL semantics (sum/max/min ignore NULLs on both sides)
+        F.struct("event_id", "event_type", "user_id", "value")
+    )
+    env = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").alias("offset"),
+        F.lit(0).alias("partition"),
+        payload.alias("value"),
+    )
+    topic = "events_drifted_feed"
+    engine = StreamEngine(
+        spark,
+        EngineConfig(rescue_columns=True, buffer_limit_bytes=_NO_EVICT_BYTES),
+        store_base=_fresh_store_base("rescued"),
+    )
+    # freeze BEFORE the drift: the bootstrap sample has only the two
+    # original fields, so user_id/value are post-freeze by construction
+    engine.register_stream(
+        topic, [json.dumps({"event_id": 0, "event_type": "click"})]
+    )
+    engine.append_batch(topic, env)
+    served = engine.fetch(topic, limit=-1)
+    return (
+        served.select(
+            "event_type",
+            F.get_json_object("_rescued", "$.user_id").cast("long").alias("uid"),
+            F.get_json_object("_rescued", "$.value").cast("double").alias("score"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("uid").alias("sum_uid"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.round(F.min("score"), 6).alias("min_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def served_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-cap drop-oldest RETENTION (A16's distributed ParquetStore
     path, stream/manager.go:288-310 eviction loop) end-to-end under the

@@ -1131,6 +1131,7 @@ _register(
 # --- serve→query composition (streaming store feeds the relational surface)
 from roar_spark.operators.serve_compose import (  # noqa: E402
     served_nested,
+    served_rescued,
     served_retention,
     served_rollup,
 )
@@ -1162,6 +1163,26 @@ _register(
            CAST(SUM(user_id) AS BIGINT) AS sum_uid,
            round(MAX(value), 6) AS max_score,
            MIN(upper(event_type)) AS tag_upper
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+# Oracle = the flat aggregation the RESCUED fields must reproduce: the
+# schema froze before user_id/value existed, every envelope carries them
+# post-freeze, and they come back out of the reserved _rescued JSON column
+# through the store — a hash match proves the freeze→drift→rescue→serve→
+# extract roundtrip loses nothing (serve_compose.served_rescued).
+_register(
+    "served_rescued",
+    served_rescued,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           round(MAX(value), 6) AS max_score,
+           round(MIN(value), 6) AS min_score
     FROM events
     GROUP BY event_type
     ORDER BY event_type
