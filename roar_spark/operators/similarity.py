@@ -525,6 +525,7 @@ def _entries_from_buckets(
     n_planes: int,
     probe: bool | str,
     n_tables: int = N_TABLES,
+    tables=None,
 ) -> DataFrame:
     """Explode precomputed per-table bucket ids into (vec_id, tbl, bkt)
     hash-table entries. With ``probe=True`` each row additionally fans out
@@ -536,12 +537,19 @@ def _entries_from_buckets(
     is covered once via the B-side vector's upward flip, instead of twice
     (each side probing the other), which halves the probe fan-out (avg
     1 + planes/2 copies vs 1 + planes) with an identical covered pair
-    set. The explode fans out only key tuples, never embeddings."""
+    set. The explode fans out only key tuples, never embeddings.
+
+    ``tables`` restricts the emitted entries to a subset of the hash
+    tables (default: all) — the staged per-table screen's lever: one
+    table's entries at a time bounds the LIVE shuffle to 1/n_tables of
+    the full fan-out (SCALE.md r8: the all-tables 16M shuffle exceeded
+    the box's disk)."""
+    tables = range(n_tables) if tables is None else tables
     if probe == "higher":
         # flip bit p only when it is 0 in the bucket (XOR then increases
         # the id); emit NULL otherwise and compact it away
         entries = []
-        for t in range(n_tables):
+        for t in tables:
             per_t = [
                 F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
             ] + [
@@ -562,7 +570,7 @@ def _entries_from_buckets(
     flips = [F.lit(0)] + ([F.lit(1 << p) for p in range(n_planes)] if probe else [])
     entries = [
         F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").bitwiseXOR(flip).alias("bkt"))
-        for t in range(n_tables)
+        for t in tables
         for flip in flips
     ]
     return with_buckets.select(
@@ -929,6 +937,8 @@ def _lsh_screened_pairs(
     dim: int,
     threshold: float,
     n_tables: int = DEDUP_EMB_TABLES,
+    tables=None,
+    _wb: DataFrame | None = None,
 ) -> DataFrame:
     """The production pair stage: bucket-grouped matmul screen over the
     same candidate space as _lsh_candidate_pairs, emitting only pairs with
@@ -950,16 +960,20 @@ def _lsh_screened_pairs(
     import numpy as np
     import pandas as pd
 
-    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
-    plain = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables).select(
-        "vec_id", "tbl", "bkt", F.lit(0).alias("side")
+    wb = (
+        _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
+        if _wb is None
+        else _wb  # staged caller shares ONE persisted bucket table
     )
+    plain = _entries_from_buckets(
+        wb, n_planes, probe=False, n_tables=n_tables, tables=tables
+    ).select("vec_id", "tbl", "bkt", F.lit(0).alias("side"))
     # "higher" probing: symmetric pair space — every Hamming-1 bucket pair
     # screened once (the lower side's upward flip), not twice; halves the
     # replicated payload with an identical covered pair set
-    probe = _entries_from_buckets(wb, n_planes, probe="higher", n_tables=n_tables).select(
-        "vec_id", "tbl", "bkt", F.lit(1).alias("side")
-    )
+    probe = _entries_from_buckets(
+        wb, n_planes, probe="higher", n_tables=n_tables, tables=tables
+    ).select("vec_id", "tbl", "bkt", F.lit(1).alias("side"))
     # screen payload = the int8-quantized unit vector _bucket_ids already
     # computed (~3.3× smaller than array<float> on the wire): the probe
     # replication is tables·(1+planes/2)·n rows of payload, and at 4M docs
@@ -1009,11 +1023,79 @@ def _lsh_screened_pairs(
     )
 
 
+def _release_stage_shuffles(spark: SparkSession) -> None:
+    """Best-effort release of a finished stage's shuffle files between the
+    sequential per-table jobs of the STAGED screen: the stage's survivor
+    pairs were localCheckpoint()ed (lineage truncated), so its
+    ShuffleDependency objects are unreachable once the Python plan proxies
+    drop — a Python GC detaches the py4j refs and a JVM GC lets
+    ContextCleaner's weak-ref queue unregister the shuffles and delete
+    their files before the next stage writes its own. Asynchronous by
+    nature (the cleaner is a daemon thread), hence best-effort — the
+    16M probe verifies the disk ceiling empirically (SCALE.md r9)."""
+    import gc as _gc
+
+    _gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — cleanup must never fail the operator
+        pass
+
+
+def _lsh_screened_pairs_staged(
+    emb: DataFrame,
+    n_planes: int,
+    dim: int,
+    threshold: float,
+    n_tables: int = DEDUP_EMB_TABLES,
+) -> DataFrame:
+    """The screen executed ONE HASH TABLE AT A TIME: identical pair space
+    and survivors as _lsh_screened_pairs (equivalence pinned), but the
+    live shuffle is one table's fan-out — n·(2 + planes/2) entry copies —
+    instead of all tables' at once. This is the disk lever the r8 verdict
+    demanded: the single-job screen at 16M rows writes
+    tables·(2+planes/2)·n ≈ 92 entry copies/vector of shuffle and died on
+    this box's disk (SCALE.md r8); staging divides the PEAK by n_tables
+    and releases each stage's files before the next starts
+    (_release_stage_shuffles). Cost: n_tables sequential jobs over the
+    one persisted bucket table (the hash matmul runs once — wb is shared)
+    plus a tiny cross-stage distinct; on a cluster the same operator runs
+    single-job (the shuffle service owns the disk), so staging engages
+    only above the measured single-box frontier (dedup_embedding_lsh).
+
+    Each stage's survivors are actual near-dup pairs (screen output, not
+    candidates) — localCheckpoint materializes kilobytes-to-megabytes,
+    never the pair space."""
+    from functools import reduce
+
+    spark = emb.sparkSession
+    wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
+    parts = []
+    for t in range(n_tables):
+        stage = _lsh_screened_pairs(
+            emb, n_planes, dim, threshold, n_tables=n_tables, tables=[t], _wb=wb
+        )
+        # eager: runs THIS table's job now; truncates lineage so the
+        # stage's shuffles become reclaimable before the next stage
+        parts.append(stage.localCheckpoint(eager=True))
+        _release_stage_shuffles(spark)
+    return reduce(DataFrame.unionAll, parts).distinct()
+
+
+DEDUP_EMB_STAGED_MIN_ROWS = 4_000_000  # the measured single-JOB frontier on
+# this box (SCALE.md r8: 4M completes, 16M dies in the screen-entry
+# shuffle); above it the screen runs staged per-table (peak shuffle ÷
+# tables, files released between stages). On a cluster with a shuffle
+# service the single-job form is fine at any n — this is a single-box
+# disk guard, not a semantics change (equivalence pinned).
+
+
 def dedup_embedding_lsh(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = COSINE_THRESHOLD,
     force_lsh: bool | None = None,
+    force_staged: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup dedup with an LSH candidate stage: keep-first
     semantics identical to dedup_embedding, but candidate pairs come from
@@ -1033,29 +1115,36 @@ def dedup_embedding_lsh(
     the shared exact ordered fold, so every emitted decision is exact —
     only the candidate set is approximate. Shuffle: bucket keys + candidate
     id pairs, O(n·tables·planes·occupancy) — sub-quadratic growth pinned by
-    the same test and the scale_smoke table."""
+    the same test and the scale_smoke table.
+
+    Above DEDUP_EMB_STAGED_MIN_ROWS the screen runs STAGED per hash table
+    (_lsh_screened_pairs_staged): identical pair space and survivors, but
+    the live shuffle is one table's fan-out instead of all eight — the
+    single-box disk lever for the 16M+ regime (SCALE.md r8/r9)."""
     from roar_spark.catalog import embedding_dim, table_row_count
 
     n = table_row_count("embeddings", sf_dir)
     use_lsh = force_lsh if force_lsh is not None else n > DEDUP_EMB_ALLPAIRS_MAX_ROWS
+    staged = force_staged if force_staged is not None else n > DEDUP_EMB_STAGED_MIN_ROWS
     # spread on the LSH path: the first stage is the dense hash matmul
     # (heavy per-row work, no early shuffle) — exactly the documented
     # opt-in case; a single-row-group file would serialize it in one task
     if use_lsh:
         # heaviest shuffle: the screen's replicated payload —
-        # tables·(2+planes/2)·n rows through the (tbl,bkt) groupBy; width
-        # travels with this plan via the (possibly cloned) session
+        # tables·(2+planes/2)·n rows through the (tbl,bkt) groupBy (ONE
+        # table's worth when staged); width travels with this plan via
+        # the (possibly cloned) session
         from roar_spark.session import tuned_session
 
         n_planes = n_planes_for(n)
+        stage_tables = 1 if staged else DEDUP_EMB_TABLES
         spark = tuned_session(
-            spark, n * DEDUP_EMB_TABLES * (2 + n_planes // 2)
+            spark, n * stage_tables * (2 + n_planes // 2)
         )
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=use_lsh))
     if use_lsh:
-        cand = _lsh_screened_pairs(
-            emb, n_planes, embedding_dim(sf_dir), threshold
-        )
+        screen = _lsh_screened_pairs_staged if staged else _lsh_screened_pairs
+        cand = screen(emb, n_planes, embedding_dim(sf_dir), threshold)
         pairs = _exact_pair_recheck(emb, cand, threshold)
     else:
         pairs = _exact_cosine_pairs(spark, sf_dir, threshold)

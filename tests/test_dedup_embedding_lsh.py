@@ -69,6 +69,22 @@ def test_lsh_path_equals_exact_path_at_tight_threshold(spark, tmp_path_factory):
     assert len(kept) == 2000 - N_PLANTED
 
 
+def test_staged_screen_equals_single_job_screen(spark, tmp_path_factory):
+    """The per-table STAGED screen (the 16M+ single-box disk lever) must
+    produce exactly the single-job screen's survivors — same pair space,
+    same keep-set; only the peak live shuffle differs."""
+    d = _planted_dir(tmp_path_factory, 2000)
+    single = dedup_embedding_lsh(
+        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True, force_staged=False
+    ).collect()
+    staged = dedup_embedding_lsh(
+        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True, force_staged=True
+    ).collect()
+    assert [r.vec_id for r in single] == [r.vec_id for r in staged]
+    kept = {r.vec_id for r in staged}
+    assert {i + 1 for i in range(0, N_PLANTED * 20, 20)}.isdisjoint(kept)
+
+
 def test_candidate_volume_grows_subquadratically(spark, tmp_path_factory):
     counts = {}
     for n in (1000, 4000):
