@@ -95,8 +95,11 @@ def cmd_serve(args: argparse.Namespace) -> int:
         if not topics:
             print("serve: upstream serves no topics", file=sys.stderr)
             return 2
+        # sharded=true → partition-per-endpoint executor DoGets against an
+        # upstream serving multi-endpoint FlightInfo (--shards on ITS serve)
+        opts = {"sharded": "true"} if args.source_flight_sharded else {}
         for topic in topics:
-            ingest_from_flight(engine, topic, args.source_flight)
+            ingest_from_flight(engine, topic, args.source_flight, **opts)
     elif args.source_dir:
         from roar_spark.sources.files import file_envelope_stream, read_envelope_batch
 
@@ -120,7 +123,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         print("serve: need --source-flight, --source-dir or --topics", file=sys.stderr)
         return 2
 
-    server = serve_in_thread(engine, args.port)
+    server = serve_in_thread(engine, args.port, shards=args.shards)
     print(f"flight: grpc://localhost:{server.port}")
 
     if args.metrics_port:
@@ -388,6 +391,16 @@ def main(argv: list[str] | None = None) -> int:
     serve.add_argument(
         "--source-flight", default="",
         help="upstream Flight server (grpc://host:port) to replicate from",
+    )
+    serve.add_argument(
+        "--source-flight-sharded", action="store_true",
+        help="replicate through the partition-per-endpoint sharded reader "
+        "(upstream must serve multi-endpoint FlightInfo, i.e. --shards > 1)",
+    )
+    serve.add_argument(
+        "--shards", type=int, default=1,
+        help="endpoints per topic in this server's FlightInfo (>1 lets a "
+        "sharded consumer DoGet shards in parallel; 1 = reference parity)",
     )
     serve.add_argument("--store-dir", default="", help="parquet retention store dir")
     serve.set_defaults(fn=cmd_serve)

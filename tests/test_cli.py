@@ -293,6 +293,55 @@ def test_serve_requires_some_source(capsys):
     assert "--source-flight" in capsys.readouterr().err
 
 
+def test_serve_sharded_flags_wire_through(spark, tmp_path):
+    """`serve --shards N` serves multi-endpoint FlightInfo and
+    `--source-flight-sharded` replicates through the partitioned reader —
+    the CLI face of the sharded path (wiring level, like the test below;
+    the full sharded e2e lives in test_flight_sharded.py)."""
+    import json as _json
+
+    import pyarrow.flight as flight
+
+    from roar_spark.config import EngineConfig
+    from roar_spark.sources.files import read_envelope_batch, write_envelope_file
+    from roar_spark.sources.flight import ingest_from_flight
+    from roar_spark.streaming.flight_facade import serve_in_thread
+    from roar_spark.streaming.manager import StreamEngine
+
+    up = StreamEngine(spark, EngineConfig())
+    up.register_stream("clicks", [_json.dumps({"n": 1})])
+    src = str(tmp_path / "data")
+    write_envelope_file(
+        src,
+        [{"key": f"k{i}", "value": _json.dumps({"n": i}),
+          "timestamp": "2026-08-13T10:00:00Z", "offset": i, "partition": 0}
+         for i in range(8)],
+    )
+    up.append_batch("clicks", read_envelope_batch(spark, src))
+    server = serve_in_thread(up, shards=3)  # cmd_serve(shards=args.shards)
+    loc = f"grpc://localhost:{server.port}"
+    client = flight.connect(loc)
+    info = client.get_flight_info(flight.FlightDescriptor.for_path("clicks"))
+    assert len(info.endpoints) == 3
+
+    down = StreamEngine(
+        spark, EngineConfig(flush_interval_seconds=1,
+                            checkpoint_path=str(tmp_path / "ckpt"))
+    )
+    handle = None
+    try:
+        # the --source-flight-sharded branch: opts = {"sharded": "true"}
+        handle = ingest_from_flight(down, "clicks", loc, sharded="true")
+        handle.query.processAllAvailable()
+        assert sorted(r.n for r in down.fetch("clicks", -1).collect()) == list(range(8))
+    finally:
+        if handle is not None and handle.query is not None:
+            handle.query.stop()
+        down.stop()
+        server.shutdown()
+        up.stop()
+
+
 def test_serve_source_flight_replicates_upstream(spark, tmp_path):
     """`serve --source-flight` consumes an upstream engine's served streams
     through the Flight source (the CLI face of ingest_from_flight). Tested
