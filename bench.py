@@ -67,7 +67,14 @@ BUDGETS_SF01 = {
     "agg_distinct": 1.200,
     "events_hourly": 0.420,
     "events_sessionize": 1.270,
-    "asof_latest_order": 1.030,
+    # re-based r9 after the two-round drift watch closed: the r8
+    # NULL-contract fix (asof.py right-side isNotNull filter — correctness,
+    # the old form matched NULL keys to each other) costs a measured ~7%
+    # (interleaved bisect: pre-r8 form 1.082 vs current 1.153 in one
+    # session, control 33% under budget), and the residual vs the old
+    # 1.030 is inside the session band. Budget = the corrected operator's
+    # interleaved best (SCALE.md r9 adjudication).
+    "asof_latest_order": 1.153,
     "scalar_json_extract": 0.470,
     "dedup_exact": 0.260,
     "dedup_dataset": 0.334,
