@@ -90,6 +90,21 @@ EXTRA_OPS = {
     "embedding_knn_classify_bulk": _knn_bulk,
 }
 
+# Ops that read ONLY the embeddings table: at 16M+ these run against the
+# chunked embeddings-only corpus (tools/gen_embeddings.py → n{N}emb/),
+# because gen_corpus's in-driver text generation doesn't reach those sizes.
+EMB_ONLY_OPS = {
+    "sim_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_quantize",
+    "embedding_label_centroids",
+    "embedding_knn_classify",
+    "embedding_knn_classify_bulk",
+    "dedup_embedding_lsh@0.9",
+    "sim_cosine_pairs",
+}
+
 
 def gen_corpus(n: int) -> str:
     """Deterministic synthetic corpus: zipf-ish token draws, 0.5% planted
@@ -199,7 +214,17 @@ def main() -> None:
     spark = get_spark(app_name="roar_scale_smoke", extra_conf=extra or None)
     warm_python_workers(spark)
 
-    dirs = {n: gen_corpus(n) for n in sizes}
+    def _resolve(n: int) -> str:
+        # prefer a pre-built embeddings-only corpus when every requested op
+        # can run on it — the full gen_corpus is driver-bound above ~4M
+        emb_dir = f"{BASE}/n{n}emb"
+        if all(op in EMB_ONLY_OPS for op in ops) and os.path.exists(
+            f"{emb_dir}/_meta.json"
+        ):
+            return emb_dir
+        return gen_corpus(n)
+
+    dirs = {n: _resolve(n) for n in sizes}
     print(f"{'op':28s}" + "".join(f"{f'n={n}':>14s}" for n in sizes))
     digest = hashlib.md5()
     for op in ops:
