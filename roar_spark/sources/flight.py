@@ -121,7 +121,9 @@ def remote_spark_schema(location: str, topic: str) -> StructType:
     )
 
 
-def _arrow_batches(table: "pa.Table", schema: StructType, pa_schema, naive_tz: str):
+def _arrow_batches(
+    table: "pa.Table", schema: StructType, pa_schema, naive_tz: str, compact: bool = True
+):
     # Arrow RecordBatches, not per-row tuples: the worker read path
     # accepts either (plan_data_source_read.records_to_arrow_batches)
     # and the batch form skips the per-row Python materialization —
@@ -157,17 +159,31 @@ def _arrow_batches(table: "pa.Table", schema: StructType, pa_schema, naive_tz: s
                     col = pc.assume_timezone(tbl.column(i), naive_tz)
                     tbl = tbl.set_column(i, field.name, col)
         tbl = tbl.cast(pa_schema)
-    if tbl.num_rows:
+    if compact and tbl.num_rows:
         # COMPACT the slice: zero-copy sliced batches keep the whole
         # parent snapshot's buffers alive inside the driver's prefetch
         # cache until commit (a 10-row delta pinned the full 8 MB
         # column buffer — r8 review). take() gathers into fresh
-        # delta-sized arrays.
+        # delta-sized arrays. The sharded executor path passes
+        # compact=False: its table arrives fresh off the wire (read_all
+        # of an already server-side-compacted shard delta), so the
+        # gather would be a second full O(rows) copy for nothing.
         tbl = tbl.take(np.arange(tbl.num_rows))
     # bounded batches: a post-eviction reset re-delivers the WHOLE
     # snapshot — without max_chunksize that is one giant RecordBatch
     # into the JVM instead of the ~10k-row chunks the tuple path got
     return iter(tbl.to_batches(max_chunksize=10_000))
+
+
+def _pa_schema_of(reader) -> "pa.Schema":
+    """Lazy per-reader cache of to_arrow_schema(reader._schema) — built on
+    first use so the conversion runs where the rows are read (driver for
+    the simple reader, executor for the sharded one), shared by both."""
+    if reader._pa_schema is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        reader._pa_schema = to_arrow_schema(reader._schema)
+    return reader._pa_schema
 
 
 class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -196,11 +212,9 @@ class FlightSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"rows": 0, "head": None}
 
     def _rows(self, table: "pa.Table") -> Iterator:
-        if self._pa_schema is None:
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            self._pa_schema = to_arrow_schema(self._schema)
-        return _arrow_batches(table, self._schema, self._pa_schema, self._naive_tz)
+        return _arrow_batches(
+            table, self._schema, _pa_schema_of(self), self._naive_tz
+        )
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         table = _fetch_snapshot(self._location, self._topic)
@@ -364,11 +378,11 @@ class FlightShardedStreamReader(DataSourceStreamReader):
             table = client.do_get(flight.Ticket(partition.ticket.encode())).read_all()
         finally:
             client.close()
-        if self._pa_schema is None:
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            self._pa_schema = to_arrow_schema(self._schema)
-        return _arrow_batches(table, self._schema, self._pa_schema, self._naive_tz)
+        # compact=False: the table is fresh wire buffers of an already
+        # server-side-compacted shard delta — nothing larger is pinned
+        return _arrow_batches(
+            table, self._schema, _pa_schema_of(self), self._naive_tz, compact=False
+        )
 
     def commit(self, end: dict) -> None:
         pass  # nothing to release server-side: DoGet is a stateless snapshot

@@ -145,12 +145,24 @@ class RoarFlightServer(flight.FlightServerBase):
         also lazily carries the row-hash vector for shard filtering —
         computed ONCE per version, not once per DoGet (8 shards × a 2.2 s
         GIL-bound hash of a 1M-row delta made the sharded path SLOWER
-        than the driver-prefetch one it exists to beat; measured r9)."""
+        than the driver-prefetch one it exists to beat; measured r9), and
+        carried FORWARD across versions while the head row is unchanged
+        (append-only prefix property), so steady-state serving hashes
+        only each trigger's appended delta, not all retained rows."""
         try:
             handle = self._engine.touch(topic)
         except KeyError:
             self._snap_cache.pop(topic, None)  # expired: drop the pinned table
             raise
+        # prune entries whose topic died WITHOUT a later request for it —
+        # the janitor can expire a multi-GB replicated topic that no client
+        # ever asks about again, and the KeyError path above would then
+        # never fire, pinning its snapshot for the server's lifetime
+        # (r9 review). list_streams is a lock-guarded dict-keys read.
+        if len(self._snap_cache) > 1:
+            live = set(self._engine.list_streams())
+            for dead in [t for t in self._snap_cache if t != topic and t not in live]:
+                self._snap_cache.pop(dead, None)
         store = handle.store
         version = store.version  # read BEFORE the snapshot: a concurrent
         # append during materialization caches newer data under the older
@@ -158,9 +170,27 @@ class RoarFlightServer(flight.FlightServerBase):
         cached = self._snap_cache.get(topic)
         if cached is not None and cached["store"] is store and cached["version"] == version:
             return cached
-        entry = {"store": store, "version": version,
-                 "table": store.snapshot_arrow(), "hashes": None,
+        from roar_spark.sources.flight import _head_fingerprint
+
+        table = store.snapshot_arrow()
+        entry = {"store": store, "version": version, "table": table,
+                 "head": _head_fingerprint(table), "hashes": None,
                  "hash_lock": threading.Lock()}
+        if (
+            cached is not None
+            and cached["store"] is store
+            and cached["hashes"] is not None
+            and entry["head"] == cached["head"]
+            and entry["head"] is not None
+            and table.num_rows >= cached["table"].num_rows
+        ):
+            # append-only prefix property: the store only removes rows from
+            # the FRONT (drop-oldest), so an unchanged head row means the
+            # previous snapshot is a prefix of this one — its row hashes
+            # carry forward and only the appended delta gets hashed
+            # (steady-state sharded serving was re-hashing ALL retained
+            # rows per version bump, O(retention) not O(delta); r9 review)
+            entry["prev_hashes"] = cached["hashes"][: cached["table"].num_rows]
         self._snap_cache[topic] = entry
         return entry
 
@@ -168,10 +198,8 @@ class RoarFlightServer(flight.FlightServerBase):
         return self._snapshot_entry(topic)["table"]
 
     def _hwm(self, topic: str) -> dict:
-        from roar_spark.sources.flight import _head_fingerprint
-
-        table = self._snapshot_table(topic)
-        return {"rows": table.num_rows, "head": _head_fingerprint(table)}
+        entry = self._snapshot_entry(topic)
+        return {"rows": entry["table"].num_rows, "head": entry["head"]}
 
     @staticmethod
     def _row_hashes(table: pa.Table):
@@ -235,12 +263,9 @@ class RoarFlightServer(flight.FlightServerBase):
             # the start offset saw (drop-oldest evicts from the front) —
             # the same rule as the simple source's live read; on mismatch
             # reset to the front (at-least-once re-delivery).
-            from roar_spark.sources.flight import _head_fingerprint
-
             lo = int(spec.get("start", 0))
             if lo > 0 and (
-                table.num_rows < lo
-                or _head_fingerprint(table) != spec.get("start_head")
+                table.num_rows < lo or entry["head"] != spec.get("start_head")
             ):
                 lo = 0
             hi = min(int(spec["end"]), table.num_rows)
@@ -256,7 +281,19 @@ class RoarFlightServer(flight.FlightServerBase):
                 # 8 × ~9 s at 4M rows made the first trigger 83 s (r9 bench)
                 with entry["hash_lock"]:
                     if entry["hashes"] is None:
-                        entry["hashes"] = self._row_hashes(table)
+                        base = entry.pop("prev_hashes", None)
+                        if base is not None:
+                            # prefix carry-forward (see _snapshot_entry):
+                            # hash only the rows appended since the
+                            # previous snapshot
+                            delta_rows = table.slice(len(base))
+                            entry["hashes"] = (
+                                np.concatenate([base, self._row_hashes(delta_rows)])
+                                if delta_rows.num_rows
+                                else base
+                            )
+                        else:
+                            entry["hashes"] = self._row_hashes(table)
             h = entry["hashes"][lo:hi]
             keep = np.nonzero(h % np.uint64(of) == int(spec["shard"]))[0]
             delta = delta.take(keep)
@@ -321,7 +358,23 @@ def read_topic(location: str, topic: str, max_endpoints: int | None = None) -> p
                 f"{max_endpoints} — use the sharded reader "
                 "(.option('sharded', 'true'))"
             )
-        parts = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
+        parts = []
+        for ep in info.endpoints:
+            # honor each endpoint's advertised location (Flight's contract:
+            # the ticket is only redeemable where the endpoint says) — a
+            # multi-node sharded service lists each shard's own host, and
+            # sending every ticket to the GetFlightInfo node would DoGet
+            # shards that node doesn't hold (r9 review; the sharded
+            # streaming source already did this via locations[0])
+            ep_loc = ep.locations[0].uri.decode() if ep.locations else location
+            if ep_loc == location:
+                parts.append(client.do_get(ep.ticket).read_all())
+            else:
+                ep_client = flight.connect(ep_loc)
+                try:
+                    parts.append(ep_client.do_get(ep.ticket).read_all())
+                finally:
+                    ep_client.close()
         return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     finally:
         client.close()
@@ -329,6 +382,23 @@ def read_topic(location: str, topic: str, max_endpoints: int | None = None) -> p
 
 def fetch_topic(location: str, topic: str, limit: int = 10) -> pa.Table:
     """read_topic + client-side row limit (the reference applies the limit
-    client-side too, cmd/client.go:193)."""
+    client-side too, cmd/client.go:193).
+
+    Against a SHARDED server a limited fetch DoGets the PLAIN-TOPIC ticket
+    instead of the endpoint list: endpoint concat order is shard order, so
+    ``slice(0, limit)`` of it would return a content-hash-arbitrary subset
+    where the reference client returns the oldest buffered rows (r9
+    review). The facade keeps serving the plain ticket on a sharded server
+    (full buffer in append order, do_get's parity path) exactly for
+    head-of-buffer consumers like this one."""
+    if limit is not None and limit >= 0:
+        client = flight.connect(location)
+        try:
+            info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
+            if len(info.endpoints) > 1:
+                table = client.do_get(flight.Ticket(topic.encode())).read_all()
+                return table.slice(0, limit)
+        finally:
+            client.close()
     table = read_topic(location, topic)
     return table.slice(0, limit) if limit is not None and limit >= 0 else table

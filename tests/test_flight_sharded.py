@@ -262,6 +262,75 @@ def test_snapshot_cache_per_store_version(spark):
     engine.stop()
 
 
+def test_snapshot_cache_prunes_dead_topics(spark):
+    """A topic that expires and is never requested again must not pin its
+    snapshot in the server cache forever — the next request for ANY topic
+    sweeps entries whose topic left the engine (r9 review)."""
+    engine = StreamEngine(spark, EngineConfig())
+    engine.register_stream("a", [json.dumps({"n": 1})])
+    engine.register_stream("b", [json.dumps({"n": 1})])
+    _feed(spark, engine, "a", 0, 3)
+    _feed(spark, engine, "b", 0, 3)
+    server = RoarFlightServer(engine)  # not started: unit use
+    server._snapshot_table("a")
+    server._snapshot_table("b")
+    assert set(server._snap_cache) == {"a", "b"}
+    with engine._lock:  # simulate TTL expiry of "a" (janitor's removal)
+        del engine._streams["a"]
+    server._snapshot_table("b")  # a request for another topic sweeps
+    assert set(server._snap_cache) == {"b"}
+    engine.stop()
+
+
+def test_incremental_row_hash_carry_forward(spark):
+    """Steady-state appends reuse the previous snapshot's row hashes as a
+    prefix (head row unchanged ⇒ prefix property) — the carried-forward
+    vector must equal a from-scratch hash of the new snapshot, and shard
+    DoGets must return identical rows either way (r9 review)."""
+    import numpy as np
+
+    engine = StreamEngine(spark, EngineConfig())
+    engine.register_stream("t", [json.dumps({"n": 1, "kind": "view"})])
+    _feed(spark, engine, "t", 0, 12)
+    server = RoarFlightServer(engine, shards=2)
+    # populate hashes for version 1
+    entry1 = server._snapshot_entry("t")
+    with entry1["hash_lock"]:
+        entry1["hashes"] = server._row_hashes(entry1["table"])
+    _feed(spark, engine, "t", 12, 20)
+    entry2 = server._snapshot_entry("t")
+    assert entry2 is not entry1
+    assert "prev_hashes" in entry2, "append with unchanged head must carry forward"
+    # force the lazy computation exactly as do_get does
+    base = entry2.pop("prev_hashes")
+    delta = entry2["table"].slice(len(base))
+    carried = np.concatenate([base, server._row_hashes(delta)])
+    scratch = server._row_hashes(entry2["table"])
+    assert list(carried) == list(scratch)
+    # eviction (head change) must NOT carry forward
+    entry2["hashes"] = carried
+    handle = engine._handle("t")
+    handle.store._max_bytes = handle.store.current_bytes  # next append evicts
+    _feed(spark, engine, "t", 20, 24)
+    entry3 = server._snapshot_entry("t")
+    assert "prev_hashes" not in entry3
+    engine.stop()
+
+
+def test_fetch_topic_limit_is_head_of_buffer_on_sharded(sharded_engine):
+    """A limited fetch against a sharded server must return the OLDEST
+    buffered rows (reference client semantics, cmd/client.go:193), not a
+    hash-arbitrary subset of the shard-ordered endpoint concat."""
+    from roar_spark.streaming.flight_facade import fetch_topic
+
+    _, location = sharded_engine
+    t = fetch_topic(location, "clicks", limit=5)
+    assert t.column("kafka_offset").to_pylist() == list(range(5))
+    # unlimited fetch still unions the endpoints
+    t = fetch_topic(location, "clicks", limit=-1)
+    assert sorted(t.column("kafka_offset").to_pylist()) == list(range(40))
+
+
 def test_row_hashes_all_nested_fallback():
     """A schema with only nested columns falls back to the per-row JSON
     hash — still deterministic and value-stable."""
