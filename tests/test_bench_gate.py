@@ -76,3 +76,41 @@ def test_gate_calibrated_against_every_recorded_window():
 
 def test_budgets_cover_every_headline_query():
     assert set(bench.HEADLINE) == set(bench.BUDGETS_SF01)
+
+
+def test_host_drift_relief_is_suite_wide_not_per_query():
+    """A uniform suite-wide slowdown (re-allocated host) earns relief; an
+    ISOLATED regression on the same slow host still trips (r9: the gate
+    must separate 'box got slower' from 'this query regressed')."""
+    budgets = dict(bench.BUDGETS_SF01)
+    # uniform 1.3x: drift ratio is 1.3 and nothing trips
+    uniform = {n: b * 1.3 for n, b in budgets.items()}
+    drift = bench.host_drift_ratio(uniform, budgets)
+    assert abs(drift - 1.3) < 1e-9
+    assert bench.find_regressions(uniform, budgets, drift) == []
+    # same 1.3x suite, but the slowest query ALSO genuinely regressed 3x:
+    # the median barely moves and that one query trips alone
+    worst = max(budgets, key=budgets.get)
+    isolated = dict(uniform)
+    isolated[worst] = budgets[worst] * 3.0
+    drift = bench.host_drift_ratio(isolated, budgets)
+    assert drift < 1.35
+    hits = bench.find_regressions(isolated, budgets, drift)
+    assert len(hits) == 1 and hits[0].startswith(worst)
+
+
+def test_host_drift_relief_is_capped():
+    """Relief clamps at HOST_DRIFT_CAP: a suite 5x over budget stays red
+    even if the cause is environmental — that host cannot certify perf."""
+    budgets = dict(bench.BUDGETS_SF01)
+    awful = {n: b * 5.0 for n, b in budgets.items()}
+    drift = bench.host_drift_ratio(awful, budgets)
+    assert drift == bench.HOST_DRIFT_CAP
+    hits = bench.find_regressions(awful, budgets, drift)
+    # every multi-second-budget query is still flagged (sub-second ones
+    # may hide under the absolute arm, as designed)
+    big = [n for n, b in budgets.items() if b >= 1.5]
+    assert big and all(any(h.startswith(n) for h in hits) for n in big)
+    # drift never relieves BELOW the recorded budgets
+    fast = {n: b * 0.5 for n, b in budgets.items()}
+    assert bench.host_drift_ratio(fast, budgets) == 1.0
