@@ -755,8 +755,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("q_nrm"),
         )
     )
+    # Broadcast the candidate set into the rerank join while it is small
+    # enough (same reasoning as ann_lsh_topk's rerank: without the hint the
+    # above-threshold fallback is a sort-merge join that shuffle-writes the
+    # WHOLE embeddings table before AQE's runtime conversion can skip the
+    # read). IVF candidates grow with the corpus — ~N_QUERIES · nprobe ·
+    # n·assign/C rows once C hits _MAX_CENTROIDS — so unlike the LSH path
+    # (log-bounded) the hint is gated on the estimate: past ~20M candidate
+    # rows (~300 MB) a broadcast would strain executors more than the
+    # shuffle it avoids, and the plain join is the right plan.
+    est_cand = N_QUERIES * IVF_NPROBE * max(1, (n * IVF_ASSIGN) // n_cent)
+    cand_side = F.broadcast(cand) if est_cand < 20_000_000 else cand
     scored = (
-        cand.join(emb, "vec_id")
+        cand_side.join(emb, "vec_id")
         .join(q_emb, "query_id")
         .withColumn(
             "cos",
@@ -816,7 +827,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        cand.join(emb, "vec_id")
+        # BROADCAST the candidate set into the rerank join: candidates are
+        # bounded by probes x bucket occupancy per query — without the
+        # hint Catalyst broadcasts whichever side its STATS say is small,
+        # which above the 10 MB threshold is NEITHER, and the fallback
+        # sort-merge join shuffle-writes the entire embeddings table
+        # (16 GB at 64M rows; AQE converts the join back to broadcast at
+        # runtime but the map-side write has already hit disk — measured
+        # ~470 MB/s sustained writes and 2.9x-at-2x growth, r9 64M probe).
+        # With the hint the big side is only ever SCANNED.
+        F.broadcast(cand)
+        .join(emb, "vec_id")
         .join(q_emb, "query_id")
         .withColumn(
             "cos",

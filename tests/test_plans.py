@@ -504,6 +504,25 @@ def test_spread_row_floor_skips_small_embeddings(spark):
     assert "RoundRobinPartitioning" not in plan
 
 
+def test_ann_rerank_join_broadcasts_candidates(spark):
+    """The ANN rerank join's small side is the CANDIDATE set by
+    construction (probe fan x bucket occupancy), but table stats cannot
+    see that: above the auto-broadcast threshold the stats-based planner
+    fell back to a sort-merge join that shuffle-wrote the ENTIRE
+    embeddings table (16 GB at 64M rows — r9 probe, ~470 MB/s sustained
+    writes, 2.9x-at-2x growth). The explicit broadcast hint must
+    therefore carry the plan on its own: with stats-based broadcasting
+    disabled entirely, neither ANN plan may contain a SortMergeJoin."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("ann_lsh_topk", "ann_ivf_topk"):
+            plan = plan_of(spark, name)
+            assert "SortMergeJoin" not in plan, f"{name} rerank fell back to SMJ"
+            assert "BroadcastHashJoin" in plan, name
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_spread_zero_floor_means_always_spread(spark):
     """ADVICE r5: spread=0 is an int floor of 0 ('no row floor — always
     spread'), not falsy-False. A single-row-group table below every other
