@@ -504,6 +504,20 @@ def test_spread_row_floor_skips_small_embeddings(spark):
     assert "RoundRobinPartitioning" not in plan
 
 
+def test_funnel_shuffles_events_once(spark):
+    """events_funnel (r9 rewrite): three chained conditional window-mins
+    over ONE user_id hash partitioning instead of three event-table
+    self-joins — the plan must contain no join at all and exactly two
+    exchanges (the user_id hash + the output orderBy's range), with the
+    three Window operators stacked on the same partitioning."""
+    import re
+
+    plan = plan_of(spark, "events_funnel")
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 3
+
+
 def test_ann_rerank_join_broadcasts_candidates(spark):
     """The ANN rerank join's small side is the CANDIDATE set by
     construction (probe fan x bucket occupancy), but table stats cannot
