@@ -224,8 +224,18 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers whose lineitem shipped late (> 60 days
     after the order date) on a multi-supplier order where EVERY OTHER
     supplier shipped on time — EXISTS + NOT EXISTS over the same relation
-    with a different-key correlation, decorrelated to a semi- and an
-    anti-join on (orderkey, other-supplier) pairs."""
+    with a different-key correlation.
+
+    Decorrelation (r9): after the per-(order, supplier) lateness rollup,
+    both quantified predicates are functions of TWO per-order counters —
+    EXISTS another supplier ⟺ n_supp ≥ 2, and NOT EXISTS another LATE
+    supplier ⟺ n_late = 1 (the late pair itself accounts for the one) —
+    so a single per-order aggregate equi-joined back replaces the earlier
+    semi-join + anti-join pair whose `suppkey !=` correlation made each a
+    within-order pair enumeration (quadratic in suppliers-per-order, and
+    two more shuffles of the rollup at 100 TB). Values are identical by
+    the set identity above; the oracle (EXISTS/NOT EXISTS SQL) is
+    unchanged and green."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -235,25 +245,18 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one row per (order, supplier): did this supplier ship anything late?
     per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
-    l1 = per_supp.filter(F.col("late")).select("l_orderkey", "l_suppkey")
-    others = per_supp.select(
-        F.col("l_orderkey").alias("o_okey"),
-        F.col("l_suppkey").alias("o_skey"),
-        "late",
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
     )
-    exists = l1.join(
-        others,
-        (l1.l_orderkey == others.o_okey) & (l1.l_suppkey != others.o_skey),
-        "left_semi",
-    )
-    not_exists = exists.join(
-        others.filter(F.col("late")),
-        (exists.l_orderkey == F.col("o_okey")) & (exists.l_suppkey != F.col("o_skey")),
-        "left_anti",
+    waiting = (
+        per_supp.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     return (
-        not_exists.join(supp, not_exists.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
