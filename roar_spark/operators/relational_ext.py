@@ -441,12 +441,18 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("anchor"),
     )
     wau = (
-        fanned.join(days, "anchor", "left_semi")
+        # BROADCAST the day dimension into the semi-join (r9): `fanned` is
+        # corpus-scale (7x the (day, user) table) while `days` is bounded
+        # by the observed calendar (~|days| rows at any corpus size), but
+        # above the stats threshold the fallback SMJ would shuffle all of
+        # `fanned` on anchor just to drop out-of-range anchors; the hint
+        # keeps the only corpus-scale exchange the COUNT DISTINCT's own.
+        fanned.join(F.broadcast(days), "anchor", "left_semi")
         .groupBy("anchor")
         .agg(F.count_distinct(F.col("user_id")).alias("wau"))
     )
     return (
-        dau.join(wau, dau.day == wau.anchor)
+        dau.join(F.broadcast(wau), dau.day == wau.anchor)  # both |days|-sized
         .select("day", "dau", "wau")
         .orderBy("day")
     )

@@ -440,12 +440,18 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", F.round(F.col("l_quantity")).cast("long").alias("qty")
     )
     per_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))
-    per_part = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("qty").alias("total_qty")
-    )
-    dominant = per_ps.join(per_part, per_ps.l_partkey == per_part.t_partkey).filter(
-        F.col("supp_qty") * 2 > F.col("total_qty")
-    )
+    # per-part total as a window-sum OVER the per-(part, supplier)
+    # aggregate (r9): the earlier form aggregated `shipped` a second time
+    # and equi-joined the two results — a second full-width shuffle of the
+    # filtered lineitem rows plus a join exchange; summing the already-
+    # reduced per_ps partials partitioned by part is the same exact int64
+    # total with one narrow exchange and no join. The window input is the
+    # per-part supplier list — bounded by suppliers-per-part, not corpus.
+    from pyspark.sql import Window as W
+
+    dominant = per_ps.withColumn(
+        "total_qty", F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("supp_qty") * 2 > F.col("total_qty"))
     supp = load_table(spark, "supplier", sf_dir)
     nation = F.broadcast(
         load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
