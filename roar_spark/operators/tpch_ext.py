@@ -301,14 +301,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("p_partkey", "s_name", "s_acctbal", "n_name", "cost_s")
     )
-    best = elig.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
-        F.min("cost_s").alias("min_cost_s")
-    )
+    # groupwise-min as a window over `elig` (r9): the aggregate-and-rejoin
+    # form evaluated the whole 4-join elig pipeline TWICE — Catalyst does
+    # not dedupe diamond plans (same finding as events_dau_wau's day
+    # dimension, r8) — and shuffled it twice more for the agg + rejoin.
+    # The window computes the identical exact-int64 per-part minimum over
+    # one evaluation and one p_partkey exchange; equality on cost_s keeps
+    # ALL tied minimum suppliers, exactly as the rejoin did.
+    from pyspark.sql import Window as W
+
     return (
-        elig.join(
-            best,
-            (elig.p_partkey == best.b_partkey) & (elig.cost_s == best.min_cost_s),
+        elig.withColumn(
+            "min_cost_s", F.min("cost_s").over(W.partitionBy("p_partkey"))
         )
+        .filter(F.col("cost_s") == F.col("min_cost_s"))
         .select(
             "s_acctbal",
             "s_name",
