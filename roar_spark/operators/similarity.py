@@ -826,18 +826,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("q_nrm"),
         )
     )
+    # BROADCAST the candidate set into the rerank join: candidates are
+    # bounded by probes x bucket occupancy per query — without the
+    # hint Catalyst broadcasts whichever side its STATS say is small,
+    # which above the 10 MB threshold is NEITHER, and the fallback
+    # sort-merge join shuffle-writes the entire embeddings table
+    # (16 GB at 64M rows; AQE converts the join back to broadcast at
+    # runtime but the map-side write has already hit disk — measured
+    # ~470 MB/s sustained writes and 2.9x-at-2x growth, r9 64M probe).
+    # With the hint the big side is only ever SCANNED. Gated like the
+    # IVF rerank (r9 ADVICE): the O(queries·tables·probes·occupancy)
+    # bound is an AVERAGE — a skewed corpus with one hot LSH bucket
+    # makes cand O(n), and a MANDATORY broadcast would then collect it
+    # to the driver and OOM where the ungated plan degrades to a
+    # shuffle. Same ~20M-row (~300 MB) cutoff as the IVF gate. With the
+    # occupancy-targeted plane count the estimate is ~25k rows, so the
+    # cutoff leaves ~800x headroom for hot buckets before the hint
+    # disengages; a configuration that inflates even the AVERAGE bound
+    # past the cutoff (more queries/tables/probes or a fatter bucket
+    # target) gets the stats-driven plan instead of a forced collect.
+    est_cand = N_QUERIES * N_TABLES * (1 + n_planes) * TARGET_BUCKET_DOCS
+    cand_side = F.broadcast(cand) if est_cand < 20_000_000 else cand
     scored = (
-        # BROADCAST the candidate set into the rerank join: candidates are
-        # bounded by probes x bucket occupancy per query — without the
-        # hint Catalyst broadcasts whichever side its STATS say is small,
-        # which above the 10 MB threshold is NEITHER, and the fallback
-        # sort-merge join shuffle-writes the entire embeddings table
-        # (16 GB at 64M rows; AQE converts the join back to broadcast at
-        # runtime but the map-side write has already hit disk — measured
-        # ~470 MB/s sustained writes and 2.9x-at-2x growth, r9 64M probe).
-        # With the hint the big side is only ever SCANNED.
-        F.broadcast(cand)
-        .join(emb, "vec_id")
+        cand_side.join(emb, "vec_id")
         .join(q_emb, "query_id")
         .withColumn(
             "cos",

@@ -325,9 +325,11 @@ class FlightShardedStreamReader(DataSourceStreamReader):
             and last is not None
             and off.get("head") == last.get("head")  # capping positions is
             # only meaningful while they share the head's frame of reference
+            and off.get("epoch") == last.get("epoch")  # ...and no eviction
+            # re-based them, even if the new head matches by value
             and off["rows"] > last["rows"] + self._max_rows
         ):
-            off = {"rows": last["rows"] + self._max_rows, "head": off["head"]}
+            off = dict(off, rows=last["rows"] + self._max_rows)
         self._last_end = off
         return off
 
@@ -337,8 +339,16 @@ class FlightShardedStreamReader(DataSourceStreamReader):
         import pyarrow.flight as flight
 
         # the reset decision is the simple reader's live rule, made once
-        # here; each server-side DoGet re-validates against ITS snapshot
-        reset = end["rows"] < start["rows"] or end.get("head") != start.get("head")
+        # here; each server-side DoGet re-validates against ITS snapshot.
+        # The epoch arm catches the one case the value-based head check
+        # can't: an eviction whose new head row equals the old one by
+        # value (duplicate rows; r9 ADVICE). Missing epochs (pre-epoch
+        # checkpoints) compare as None == None — value check only.
+        reset = (
+            end["rows"] < start["rows"]
+            or end.get("head") != start.get("head")
+            or end.get("epoch") != start.get("epoch")
+        )
         lo = 0 if reset else start["rows"]
         if end["rows"] <= lo:
             return []  # empty range (start == end trigger)
@@ -358,7 +368,12 @@ class FlightShardedStreamReader(DataSourceStreamReader):
                 # it through the ranged path (shard filter is a no-op)
                 spec = {"topic": self._topic}
             spec.update(
-                {"start": lo, "start_head": start.get("head"), "end": end["rows"]}
+                {
+                    "start": lo,
+                    "start_head": start.get("head"),
+                    "start_epoch": start.get("epoch"),
+                    "end": end["rows"],
+                }
             )
             locations = [loc.uri.decode() for loc in ep.locations]
             parts.append(

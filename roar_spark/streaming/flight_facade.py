@@ -172,14 +172,26 @@ class RoarFlightServer(flight.FlightServerBase):
             return cached
         from roar_spark.sources.flight import _head_fingerprint
 
+        epoch_pre = store.evict_epoch  # pre-snapshot read: gates the
+        # carry-forward below (an eviction DURING materialization bumps
+        # the post-read and the gate refuses — conservative, like version)
         table = store.snapshot_arrow()
+        epoch = store.evict_epoch
         entry = {"store": store, "version": version, "table": table,
-                 "head": _head_fingerprint(table), "hashes": None,
-                 "hash_lock": threading.Lock()}
+                 "head": _head_fingerprint(table), "epoch": epoch,
+                 "hashes": None, "hash_lock": threading.Lock()}
         if (
             cached is not None
             and cached["store"] is store
             and cached["hashes"] is not None
+            # eviction EPOCH equality, not just head-value equality: a
+            # drop-oldest landing on a head whose scalar values equal the
+            # old head's (duplicate rows) passes the fingerprint check and
+            # silently misaligns the carried hash vector with the table —
+            # the store-side counter is drop-evidence the values can't
+            # fake (r9 ADVICE). epoch_pre == epoch additionally refuses a
+            # carry when eviction raced this very materialization.
+            and cached["epoch"] == epoch_pre == epoch
             and entry["head"] == cached["head"]
             and entry["head"] is not None
             and table.num_rows >= cached["table"].num_rows
@@ -199,7 +211,14 @@ class RoarFlightServer(flight.FlightServerBase):
 
     def _hwm(self, topic: str) -> dict:
         entry = self._snapshot_entry(topic)
-        return {"rows": entry["table"].num_rows, "head": entry["head"]}
+        return {
+            "rows": entry["table"].num_rows,
+            "head": entry["head"],
+            # the sharded source carries the epoch through its offsets so
+            # ranged reads can detect an eviction even when the new head
+            # equals the old one by value (see _snapshot_entry)
+            "epoch": entry["epoch"],
+        }
 
     @staticmethod
     def _row_hashes(table: pa.Table):
@@ -264,8 +283,15 @@ class RoarFlightServer(flight.FlightServerBase):
             # the same rule as the simple source's live read; on mismatch
             # reset to the front (at-least-once re-delivery).
             lo = int(spec.get("start", 0))
+            start_epoch = spec.get("start_epoch")
             if lo > 0 and (
-                table.num_rows < lo or entry["head"] != spec.get("start_head")
+                table.num_rows < lo
+                or entry["head"] != spec.get("start_head")
+                # epoch mismatch = an eviction happened since the start
+                # offset was minted, even if the new head row compares
+                # equal by value (duplicate rows; r9 ADVICE). Absent on
+                # tickets minted by pre-epoch sources — value check only.
+                or (start_epoch is not None and entry["epoch"] != start_epoch)
             ):
                 lo = 0
             hi = min(int(spec["end"]), table.num_rows)
@@ -331,7 +357,12 @@ def list_topics(location: str) -> list[str]:
     return [info.descriptor.path[0].decode() for info in client.list_flights()]
 
 
-def read_topic(location: str, topic: str, max_endpoints: int | None = None) -> pa.Table:
+def read_topic(
+    location: str,
+    topic: str,
+    max_endpoints: int | None = None,
+    plain_on_sharded: bool = False,
+) -> pa.Table:
     """GetFlightInfo → DoGet → read_all, connection closed — the reference
     client's exact read path (cmd/client.go:121-171), shared by the CLI
     client below and the streaming source (sources/flight.py) so the two
@@ -346,10 +377,21 @@ def read_topic(location: str, topic: str, max_endpoints: int | None = None) -> p
     land at the END of the snapshot, and a multi-shard concat interleaves
     new rows mid-snapshot (each shard appends to its own tail) — it passes
     1 and raises with the fix (``sharded=true``) instead of silently
-    dropping rows."""
+    dropping rows.
+
+    ``plain_on_sharded`` is the head-of-buffer consumer's mode
+    (fetch_topic): against a multi-endpoint server, DoGet the PLAIN-TOPIC
+    ticket on this same connection instead of the endpoint list —
+    endpoint concat order is shard order, so a positional head slice of
+    it would be a content-hash-arbitrary subset where the reference
+    client returns the oldest buffered rows. The endpoint-count probe and
+    the read share ONE connection and ONE GetFlightInfo (r9 ADVICE: the
+    old fetch_topic opened a second connection and repeated both)."""
     client = flight.connect(location)
     try:
         info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
+        if plain_on_sharded and len(info.endpoints) > 1:
+            return client.do_get(flight.Ticket(topic.encode())).read_all()
         if max_endpoints is not None and len(info.endpoints) > max_endpoints:
             raise ValueError(
                 f"topic {topic!r} at {location} advertises "
@@ -385,20 +427,14 @@ def fetch_topic(location: str, topic: str, limit: int = 10) -> pa.Table:
     client-side too, cmd/client.go:193).
 
     Against a SHARDED server a limited fetch DoGets the PLAIN-TOPIC ticket
-    instead of the endpoint list: endpoint concat order is shard order, so
-    ``slice(0, limit)`` of it would return a content-hash-arbitrary subset
-    where the reference client returns the oldest buffered rows (r9
-    review). The facade keeps serving the plain ticket on a sharded server
-    (full buffer in append order, do_get's parity path) exactly for
-    head-of-buffer consumers like this one."""
-    if limit is not None and limit >= 0:
-        client = flight.connect(location)
-        try:
-            info = client.get_flight_info(flight.FlightDescriptor.for_path(topic))
-            if len(info.endpoints) > 1:
-                table = client.do_get(flight.Ticket(topic.encode())).read_all()
-                return table.slice(0, limit)
-        finally:
-            client.close()
-    table = read_topic(location, topic)
-    return table.slice(0, limit) if limit is not None and limit >= 0 else table
+    instead of the endpoint list (read_topic's ``plain_on_sharded`` —
+    endpoint concat order is shard order, so a head slice of it would be
+    a content-hash-arbitrary subset where the reference client returns
+    the oldest buffered rows; r9 review). The plain ticket makes the
+    server materialize the ENTIRE buffer to serve a few head rows — that
+    is the reference's own client-side-limit semantics (the server always
+    streams the full buffer and the client truncates, cmd/client.go:193),
+    kept deliberately rather than optimized into a server-side limit."""
+    limited = limit is not None and limit >= 0
+    table = read_topic(location, topic, plain_on_sharded=limited)
+    return table.slice(0, limit) if limited else table

@@ -86,6 +86,12 @@ class MemoryStore:
         # facade cache one snapshot materialization per buffer state and
         # serve N shard DoGets + the hwm action from it (flight_facade)
         self.version = 0
+        # monotone EVICTION counter (front drop/close only): the facade's
+        # positional trust checks key on this, not on a value-based head
+        # fingerprint — duplicate rows can make a post-eviction head
+        # compare equal by VALUE and silently misalign carried row hashes
+        # / ranged reads (r9 ADVICE)
+        self.evict_epoch = 0
 
     def append(self, batch_df: DataFrame) -> int:
         table = batch_df.toArrow()
@@ -100,6 +106,7 @@ class MemoryStore:
                 old, old_size = self._batches.popleft()
                 self._bytes -= old_size
                 self.records_dropped += old.num_rows
+                self.evict_epoch += 1
             # reference parity (Stream.AddBatch, stream/manager.go:286-345):
             # the NEW batch is always appended, even when it alone exceeds
             # the cap — the buffer runs over-cap until the next append
@@ -150,6 +157,7 @@ class MemoryStore:
             self._batches.clear()
             self._bytes = 0
             self.version += 1
+            self.evict_epoch += 1
         return []
 
 
@@ -181,6 +189,8 @@ class ParquetStore:
         self._lock = threading.Lock()
         # monotone mutation counter — see MemoryStore.version
         self.version = 0
+        # monotone eviction counter — see MemoryStore.evict_epoch
+        self.evict_epoch = 0
         # dirs evicted from the batch list but not yet deleted: physical
         # deletion is DEFERRED one append generation so an in-flight
         # snapshot scan (lazy — file listing resolves at action time)
@@ -237,6 +247,7 @@ class ParquetStore:
                 old_path, old_size, old_rows = self._batches.popleft()
                 self._bytes -= old_size
                 self.records_dropped += old_rows
+                self.evict_epoch += 1
                 self._doomed.append(old_path)
             # always append the new batch (reference parity — see MemoryStore)
             self._batches.append((path, size, rows))
@@ -295,6 +306,7 @@ class ParquetStore:
             self._doomed.clear()
             self._bytes = 0
             self.version += 1
+            self.evict_epoch += 1
         if deferred:
             return [self._root]
         shutil.rmtree(self._root, ignore_errors=True)

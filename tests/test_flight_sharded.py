@@ -339,3 +339,95 @@ def test_row_hashes_all_nested_fallback():
     b = RoarFlightServer._row_hashes(t.slice(1)) % 4
     assert list(a[1:]) == list(b)  # position-independent
     assert a[0] == a[2]  # equal values share a shard
+
+
+def _feed_const(spark, engine, topic, rows, payload="dup"):
+    """Append `rows` value-IDENTICAL envelope rows (same key, payload,
+    timestamp, offset, partition) — builds buffers whose head row compares
+    equal by VALUE across evictions."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        write_envelope_file(
+            d,
+            [
+                {
+                    "key": "k",
+                    "value": json.dumps({"n": 0, "kind": payload}),
+                    "timestamp": "2026-08-13T10:00:00Z",
+                    "offset": 0,
+                    "partition": 0,
+                }
+            ]
+            * rows,
+        )
+        engine.append_batch(topic, read_envelope_batch(spark, d))
+
+
+def test_eviction_with_value_equal_head_refuses_hash_carry_forward(spark):
+    """r9 ADVICE: drop-oldest eviction landing on a head row whose values
+    equal the old head's (duplicate rows) passes the fingerprint check —
+    the carry-forward must be refused via the store's eviction epoch, or
+    the carried hash vector is silently misaligned with the table."""
+    engine = StreamEngine(spark, EngineConfig())
+    engine.register_stream("d", [json.dumps({"n": 0, "kind": "dup"})])
+    _feed_const(spark, engine, "d", 5, payload="dup")
+    _feed_const(spark, engine, "d", 5, payload="dup")
+    server = RoarFlightServer(engine, shards=2)
+    entry1 = server._snapshot_entry("d")
+    assert entry1["table"].num_rows == 10
+    with entry1["hash_lock"]:
+        entry1["hashes"] = server._row_hashes(entry1["table"])
+    # evict the FIRST batch; the new head row is value-identical to the old
+    handle = engine._handle("d")
+    handle.store._max_bytes = handle.store.current_bytes
+    _feed_const(spark, engine, "d", 5, payload="new")
+    entry2 = server._snapshot_entry("d")
+    assert entry2["head"] == entry1["head"], "scenario needs value-equal heads"
+    assert entry2["table"].num_rows == 10
+    assert entry2["epoch"] != entry1["epoch"]
+    assert "prev_hashes" not in entry2, (
+        "value-equal head after eviction must not carry hashes forward"
+    )
+
+
+def test_ranged_read_resets_on_eviction_epoch_despite_equal_head(spark):
+    """Same scenario at the DoGet surface: a ranged shard read whose start
+    offset predates an eviction must reset to the front (at-least-once)
+    even when the post-eviction head fingerprint matches by value."""
+    engine = StreamEngine(spark, EngineConfig())
+    engine.register_stream("d", [json.dumps({"n": 0, "kind": "dup"})])
+    _feed_const(spark, engine, "d", 5, payload="dup")
+    _feed_const(spark, engine, "d", 5, payload="dup")
+    server = serve_in_thread(engine, shards=1)
+    try:
+        location = f"grpc://localhost:{server.port}"
+        client = flight.connect(location)
+        hwm0 = json.loads(
+            list(client.do_action(flight.Action("hwm", b"d")))[0].body.to_pybytes()
+        )
+        assert hwm0["rows"] == 10 and "epoch" in hwm0
+        handle = engine._handle("d")
+        handle.store._max_bytes = handle.store.current_bytes
+        _feed_const(spark, engine, "d", 5, payload="new")
+        hwm1 = json.loads(
+            list(client.do_action(flight.Action("hwm", b"d")))[0].body.to_pybytes()
+        )
+        assert hwm1["head"] == hwm0["head"] and hwm1["epoch"] != hwm0["epoch"]
+        spec = {
+            "topic": "d",
+            "shard": 0,
+            "of": 1,
+            "start": 5,
+            "start_head": hwm0["head"],
+            "start_epoch": hwm0["epoch"],
+            "end": hwm1["rows"],
+        }
+        t = client.do_get(flight.Ticket(json.dumps(spec).encode())).read_all()
+        # reset to the front: all 10 retained rows re-delivered, not the
+        # positionally-shifted tail 5
+        assert t.num_rows == 10
+        client.close()
+    finally:
+        server.shutdown()
+        engine.stop()

@@ -64,8 +64,14 @@ def gen_embeddings(n: int, chunk: int = 1_000_000, base: str = BASE) -> str:
         emb = rng.standard_normal((rows, EMB_DIM)).astype("float32")
         if start == 0:
             # same planted near-neighbor rule as scale_smoke.gen_corpus —
-            # pairs (i, i+1) every 20 ids in the first 200
-            for i in range(0, min(n - 1, 200), 20):
+            # pairs (i, i+1) every 20 ids in the first 200. Clamp the
+            # plant range to THIS chunk's rows: with --chunk below ~182
+            # the unclamped loop indexed emb[i+1] past the chunk
+            # (IndexError), and a chunk boundary inside the first 200
+            # rows would have planted against the wrong base vector
+            # (r9 ADVICE). Chunks that small only occur in tests; the
+            # pairs that fit the first chunk are still planted.
+            for i in range(0, min(n - 1, rows - 1, 200), 20):
                 emb[i + 1] = emb[i] + 0.05 * rng.standard_normal(EMB_DIM).astype(
                     "float32"
                 )
