@@ -922,6 +922,32 @@ DEDUP_EMB_TABLES = 8  # OR-amplification doubled vs ANN: pair recall needs
 # query-side multiprobe boost on the corpus side
 DEDUP_EMB_ALLPAIRS_MAX_ROWS = 20_000
 
+# Probe-free banding (r10): the production screen drops Hamming-1 probing
+# entirely and compensates with MORE, slightly NARROWER tables. Fan-out
+# per vector collapses from tables·(2 + planes/2) key-tagged payload
+# copies (= 92 at 16M with the probed 8-table config — by far the most
+# expensive shuffle per row in the repo, SCALE.md r9) to exactly
+# `tables` copies: a probe-free pair space is symmetric Hamming-0, so
+# each bucket group self-screens (upper-triangle matmul) and needs no
+# plain/probe sides. Config chosen from the closed-form recall model
+# (recall = 1-(1-P^b)^T, P = 1-θ/π; probed per-table success adds the
+# b·P^(b-1)·(1-P) Hamming-1 term) evaluated at 16M rows (b0 = 19):
+#
+#   config            fan    cos .93   .95    .97    .99
+#   probed 8 x b0      92     .953    .986   .9985  1.000   (r9 prod)
+#   PF   14 x b0       14     .727    .862   .965   .9995   (verdict's
+#   PF   16 x (b0-1)   16     .817    .921   .985   .9999    12-16 range:
+#   PF   24 x (b0-1)   24     .921    .978   .998   1.000    -4..-12 pts
+#                                                            at .95)
+#
+# 24 tables one bit narrower is the smallest fan-out that stays within
+# ~1 recall point of the probed config everywhere above cos 0.93 (the
+# regime an embedding dedup runs in); 3.8x fewer screen entries and
+# ~1.7x fewer screen FLOPs (occupancy doubles but the probe-side
+# replication factor ~10.5 disappears). Empirical sweep in SCALE.md r10.
+DEDUP_EMB_TABLES_PF = 24
+DEDUP_EMB_PF_PLANES_DELTA = 1  # planes = n_planes_for(n) - 1 (occupancy 2x)
+
 
 def _lsh_candidate_pairs(
     emb: DataFrame, n_planes: int, dim: int, n_tables: int = DEDUP_EMB_TABLES
@@ -943,6 +969,7 @@ def _lsh_candidate_pairs(
     pair space inside bucket groups with a matmul screen instead
     (_lsh_screened_pairs) so per-pair cost is BLAS, not a fold."""
     wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables))
+    wb.count()  # eager: see _lsh_screened_pairs (concurrent-scan cache race)
     # "higher": the pair space is symmetric (corpus vs corpus), so upward-
     # only Hamming-1 probing covers every unordered bucket pair once
     # instead of twice — identical candidate set after the distinct
@@ -970,19 +997,28 @@ def _lsh_screened_pairs(
     threshold: float,
     n_tables: int = DEDUP_EMB_TABLES,
     tables=None,
+    probing: bool = True,
     _wb: DataFrame | None = None,
 ) -> DataFrame:
     """The production pair stage: bucket-grouped matmul screen over the
-    same candidate space as _lsh_candidate_pairs, emitting only pairs with
-    screen cosine ≥ threshold−margin.
+    banded candidate space, emitting only pairs with screen cosine ≥
+    threshold−margin.
+
+    ``probing=False`` is the r10 probe-free form (see DEDUP_EMB_TABLES_PF):
+    the pair space is exact-collision (Hamming-0) in any table, each
+    vector contributes ONE entry per table, and each (tbl, bkt) group
+    self-screens with an upper-triangle matmul — no plain/probe sides, so
+    the replicated payload is tables·n rows instead of
+    tables·(2+planes/2)·n. ``probing=True`` keeps the r6–r9 Hamming≤1
+    space (the A/B baseline; recall model in the constants comment).
 
     _lsh_candidate_pairs materializes every bucket collision as an id pair
     and re-joins embeddings — fine for measuring candidate volume, but the
     per-pair interpreted cosine fold then dominates wall-clock (measured
     44.5 s at n=20k: ~25 M candidate folds + a 25 M-row distinct). Here the
     pair enumeration never leaves the bucket group: entries join embeddings
-    ONCE (replication = tables·(1+planes) key-tagged copies ≈ 96n rows,
-    linear), each (tbl, bkt) group does one plain×probe numpy matmul (the
+    ONCE (replication = tables·n probe-free, tables·(2+planes/2)·n probed —
+    linear either way), each (tbl, bkt) group does one numpy matmul (the
     BLAS kernel the per-pair folds should have been), and only screen
     survivors — actual near-dups, not candidates — reach the distinct and
     the exact recheck. Per-group memory is bounded by bucket occupancy
@@ -992,11 +1028,99 @@ def _lsh_screened_pairs(
     import numpy as np
     import pandas as pd
 
-    wb = (
-        _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
-        if _wb is None
-        else _wb  # staged caller shares ONE persisted bucket table
-    )
+    if _wb is None:
+        wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
+        # EAGER materialization: wb fans out to two SMJ map stages
+        # (entries explode + qemb payload) that AQE can submit
+        # CONCURRENTLY, and a lazy persist is populated independently by
+        # each racing scan — the hash matmul ran twice at once, doubling
+        # Python-worker load and cache allocation (measured: the
+        # hash/persist region ballooned 90 s → ~900 s with 3034 core-s of
+        # JVM GC at 4M; r10 event-log attribution). One count() populates
+        # the cache before the fan-out; every downstream scan then reads it.
+        wb.count()
+    else:
+        wb = _wb  # staged caller shares ONE materialized bucket table
+    import math
+
+    eps = math.sqrt(dim) * (0.5 / 127.0)
+    screen_min = threshold - (2.0 * eps / max(1.0 - eps / 2.0, 0.5) + 1e-6)
+
+    if not probing:
+        entries = _entries_from_buckets(
+            wb, n_planes, probe=False, n_tables=n_tables, tables=tables
+        )
+        tagged = entries.join(
+            wb.select("vec_id", F.col("qemb").alias("embedding")), "vec_id"
+        )
+        # SORTED-STREAM kernel, not applyInPandas: FlatMapGroupsInPandas
+        # calls Python once PER GROUP, and at the targeted occupancy (~64
+        # rows/bucket) the per-call overhead (Arrow slice → pandas frame →
+        # object-array stack) measured ~4.5 ms/group — 223 s of the 354 s
+        # 4M screen with the JVM 91% idle (r10 event-log attribution,
+        # SCALE.md). Hash-repartition on the group key + sort-within-
+        # partition gives the same contiguous-groups layout; mapInPandas
+        # then slices HUNDREDS of groups out of each ~10k-row Arrow batch
+        # with one stack/normalize per batch and pure numpy views per
+        # group. A group can span Arrow batch boundaries, so the tail
+        # group of every batch carries forward until its key changes.
+        # Same exchange volume and pair space as the grouped form —
+        # only the Python-call granularity changes.
+        # single int64 group key: tbl < 2^6 tables, bkt < 2^planes <= 2^24
+        key = F.col("tbl").cast("long") * F.lit(4294967296) + F.col("bkt")
+        tagged = (
+            tagged.withColumn("gk", key)
+            .repartition("gk")
+            .sortWithinPartitions("gk")
+            .select("gk", "vec_id", "embedding")
+        )
+
+        def screen_stream(batches):
+            def emit(ids, u):
+                cos = u @ u.T
+                ia, ib = np.nonzero(np.triu(cos >= screen_min, k=1))
+                if len(ia) == 0:
+                    return None
+                lo = np.minimum(ids[ia], ids[ib])
+                hi = np.maximum(ids[ia], ids[ib])
+                return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+
+            carry = None  # (keys, ids, unit_rows) of the batch-tail group
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keys = pdf["gk"].to_numpy()
+                ids = pdf["vec_id"].to_numpy()
+                u = _unit_rows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+                if carry is not None:
+                    ck, ci, cu = carry
+                    keys = np.concatenate([ck, keys])
+                    ids = np.concatenate([ci, ids])
+                    u = np.concatenate([cu, u])
+                    carry = None
+                # contiguous groups: starts[i]..starts[i+1] share a key
+                starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+                # the last group may continue in the next batch — carry it
+                carry = (keys[starts[-1]:], ids[starts[-1]:], u[starts[-1]:])
+                out = []
+                for i in range(len(starts) - 1):
+                    lo, hi = starts[i], starts[i + 1]
+                    if hi - lo >= 2:
+                        res = emit(ids[lo:hi], u[lo:hi])
+                        if res is not None:
+                            out.append(res)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+            if carry is not None and len(carry[1]) >= 2:
+                res = emit(carry[1], carry[2])
+                if res is not None:
+                    yield res
+
+        return (
+            tagged.mapInPandas(screen_stream, "vec_id_a long, vec_id_b long")
+            .distinct()  # pairs survive in several tables
+        )
+
     plain = _entries_from_buckets(
         wb, n_planes, probe=False, n_tables=n_tables, tables=tables
     ).select("vec_id", "tbl", "bkt", F.lit(0).alias("side"))
@@ -1024,10 +1148,6 @@ def _lsh_screened_pairs(
     tagged = plain.unionAll(probe).join(
         wb.select("vec_id", F.col("qemb").alias("embedding")), "vec_id"
     )
-    import math
-
-    eps = math.sqrt(dim) * (0.5 / 127.0)
-    screen_min = threshold - (2.0 * eps / max(1.0 - eps / 2.0, 0.5) + 1e-6)
 
     # KEEP IN SYNC with _block_screen_pairs.screen (see note there).
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1080,6 +1200,7 @@ def _lsh_screened_pairs_staged(
     dim: int,
     threshold: float,
     n_tables: int = DEDUP_EMB_TABLES,
+    probing: bool = True,
 ) -> DataFrame:
     """The screen executed ONE HASH TABLE AT A TIME: identical pair space
     and survivors as _lsh_screened_pairs (equivalence pinned), but the
@@ -1102,10 +1223,18 @@ def _lsh_screened_pairs_staged(
 
     spark = emb.sparkSession
     wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
+    wb.count()  # eager: see _lsh_screened_pairs (concurrent-scan cache race)
     parts = []
     for t in range(n_tables):
         stage = _lsh_screened_pairs(
-            emb, n_planes, dim, threshold, n_tables=n_tables, tables=[t], _wb=wb
+            emb,
+            n_planes,
+            dim,
+            threshold,
+            n_tables=n_tables,
+            tables=[t],
+            probing=probing,
+            _wb=wb,
         )
         # eager: runs THIS table's job now; truncates lineage so the
         # stage's shuffles become reclaimable before the next stage
@@ -1114,12 +1243,17 @@ def _lsh_screened_pairs_staged(
     return reduce(DataFrame.unionAll, parts).distinct()
 
 
-DEDUP_EMB_STAGED_MIN_ROWS = 4_000_000  # the measured single-JOB frontier on
-# this box (SCALE.md r8: 4M completes, 16M dies in the screen-entry
-# shuffle); above it the screen runs staged per-table (peak shuffle ÷
-# tables, files released between stages). On a cluster with a shuffle
-# service the single-job form is fine at any n — this is a single-box
-# disk guard, not a semantics change (equivalence pinned).
+DEDUP_EMB_STAGED_MAX_ENTRIES = 400_000_000  # single-JOB screen-entry budget
+# on this box, in replicated payload ENTRIES (n·fanout/vector), calibrated
+# from the r8 probes with the probed config: 4M·92 = 368M entries
+# completed single-job, 16M·92 = 1.47G died in the screen-entry shuffle.
+# Above the budget the screen runs staged per-table (peak shuffle ÷
+# tables, files released between stages). Entry-denominated rather than
+# row-denominated because the r10 probe-free screen cut fanout 92 → 24:
+# probe-free 16M is 384M entries and correctly runs SINGLE-JOB where the
+# probed form had to stage. On a cluster with a shuffle service the
+# single-job form is fine at any n — this is a single-box disk guard,
+# not a semantics change (equivalence pinned).
 
 
 def dedup_embedding_lsh(
@@ -1128,6 +1262,7 @@ def dedup_embedding_lsh(
     threshold: float = COSINE_THRESHOLD,
     force_lsh: bool | None = None,
     force_staged: bool | None = None,
+    force_probing: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup dedup with an LSH candidate stage: keep-first
     semantics identical to dedup_embedding, but candidate pairs come from
@@ -1138,45 +1273,64 @@ def dedup_embedding_lsh(
     block-screen path — at the corpus-calibrated wide-angle threshold the
     exact screen is strictly cheaper than recall-complete LSH (measured,
     see module comment), so small corpora get oracle-exact results by the
-    better plan. Beyond the cutoff, candidates are LSH bucket collisions
-    (Hamming ≤ 1 in any of DEDUP_EMB_TABLES tables, scale-derived plane
-    count) and the operator is recall-approximate BY CONTRACT at wide
-    angles while holding ≥ 99.9% planted-pair recall in the tight-
-    threshold regime (pinned by tests/test_dedup_embedding_lsh.py, which
-    also pins exact-vs-LSH output equivalence there). The recheck stage is
-    the shared exact ordered fold, so every emitted decision is exact —
-    only the candidate set is approximate. Shuffle: bucket keys + candidate
-    id pairs, O(n·tables·planes·occupancy) — sub-quadratic growth pinned by
-    the same test and the scale_smoke table.
+    better plan. Beyond the cutoff, candidates are PROBE-FREE banded
+    collisions (exact bucket match in any of DEDUP_EMB_TABLES_PF narrow
+    tables — config rationale and recall model at the constant) and the
+    operator is recall-approximate BY CONTRACT at wide angles while
+    holding ≥ 99.9% planted-pair recall in the tight-threshold regime
+    (pinned by tests/test_dedup_embedding_lsh.py, which also pins
+    exact-vs-LSH output equivalence there). The recheck stage is the
+    shared exact ordered fold, so every emitted decision is exact — only
+    the candidate set is approximate. Shuffle: tables·n bucket-keyed
+    payload entries + survivor id pairs — sub-quadratic growth pinned by
+    the same test and the scale_smoke table. ``force_probing=True``
+    selects the r6–r9 Hamming≤1 probed space (8 wider tables,
+    tables·(2+planes/2)·n entries — the measured A/B baseline).
 
-    Above DEDUP_EMB_STAGED_MIN_ROWS the screen runs STAGED per hash table
-    (_lsh_screened_pairs_staged): identical pair space and survivors, but
-    the live shuffle is one table's fan-out instead of all eight — the
-    single-box disk lever for the 16M+ regime (SCALE.md r8/r9)."""
+    Above DEDUP_EMB_STAGED_MAX_ENTRIES replicated entries the screen runs
+    STAGED per hash table (_lsh_screened_pairs_staged): identical pair
+    space and survivors, but the live shuffle is one table's fan-out —
+    the single-box disk lever for the regime past the single-job frontier
+    (SCALE.md r8/r9)."""
     from roar_spark.catalog import embedding_dim, table_row_count
 
     n = table_row_count("embeddings", sf_dir)
     use_lsh = force_lsh if force_lsh is not None else n > DEDUP_EMB_ALLPAIRS_MAX_ROWS
-    staged = force_staged if force_staged is not None else n > DEDUP_EMB_STAGED_MIN_ROWS
+    probing = force_probing if force_probing is not None else False
+    if probing:
+        n_tables = DEDUP_EMB_TABLES
+        n_planes = n_planes_for(n)
+        fanout = n_tables * (2 + n_planes // 2)
+    else:
+        n_tables = DEDUP_EMB_TABLES_PF
+        n_planes = max(_MIN_PLANES, n_planes_for(n) - DEDUP_EMB_PF_PLANES_DELTA)
+        fanout = n_tables
+    staged = (
+        force_staged
+        if force_staged is not None
+        else n * fanout > DEDUP_EMB_STAGED_MAX_ENTRIES
+    )
     # spread on the LSH path: the first stage is the dense hash matmul
     # (heavy per-row work, no early shuffle) — exactly the documented
     # opt-in case; a single-row-group file would serialize it in one task
     if use_lsh:
-        # heaviest shuffle: the screen's replicated payload —
-        # tables·(2+planes/2)·n rows through the (tbl,bkt) groupBy (ONE
-        # table's worth when staged); width travels with this plan via
-        # the (possibly cloned) session
+        # heaviest shuffle: the screen's replicated payload through the
+        # (tbl,bkt) groupBy (ONE table's worth when staged); width travels
+        # with this plan via the (possibly cloned) session
         from roar_spark.session import tuned_session
 
-        n_planes = n_planes_for(n)
-        stage_tables = 1 if staged else DEDUP_EMB_TABLES
-        spark = tuned_session(
-            spark, n * stage_tables * (2 + n_planes // 2)
-        )
+        spark = tuned_session(spark, n * (fanout // n_tables if staged else fanout))
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=use_lsh))
     if use_lsh:
         screen = _lsh_screened_pairs_staged if staged else _lsh_screened_pairs
-        cand = screen(emb, n_planes, embedding_dim(sf_dir), threshold)
+        cand = screen(
+            emb,
+            n_planes,
+            embedding_dim(sf_dir),
+            threshold,
+            n_tables=n_tables,
+            probing=probing,
+        )
         pairs = _exact_pair_recheck(emb, cand, threshold)
     else:
         pairs = _exact_cosine_pairs(spark, sf_dir, threshold)
@@ -1405,6 +1559,7 @@ def _knn_screened_candidates(
     wb = _persist_bounded(
         _bucket_ids(emb, n_planes, dim, n_tables, emit_qemb="int16" if quantize else False)
     )
+    wb.count()  # eager: see _lsh_screened_pairs (concurrent-scan cache race)
     base = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables)
     if probe:
         tagged = base.select("vec_id", "tbl", "bkt", F.lit(0).alias("side")).unionAll(

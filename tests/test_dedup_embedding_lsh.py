@@ -57,10 +57,17 @@ def _planted_dir(tmp_path_factory, n: int) -> str:
     return str(out)
 
 
-def test_lsh_path_equals_exact_path_at_tight_threshold(spark, tmp_path_factory):
+@pytest.mark.parametrize("probing", [False, True], ids=["probe_free", "probed"])
+def test_lsh_path_equals_exact_path_at_tight_threshold(spark, tmp_path_factory, probing):
+    """Both banded pair spaces — the r10 probe-free default (24 narrow
+    tables, Hamming-0) and the r6–r9 probed baseline (8 wide tables,
+    Hamming≤1) — must reproduce the exact path's output on the planted
+    corpus at the tight threshold."""
     d = _planted_dir(tmp_path_factory, 2000)
     exact = dedup_embedding_lsh(spark, d, threshold=TIGHT_THRESHOLD, force_lsh=False).collect()
-    lsh = dedup_embedding_lsh(spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True).collect()
+    lsh = dedup_embedding_lsh(
+        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True, force_probing=probing
+    ).collect()
     assert [r.vec_id for r in exact] == [r.vec_id for r in lsh]
     # the corpus actually exercised the dedup: every planted larger id dropped
     kept = {r.vec_id for r in lsh}
@@ -69,20 +76,45 @@ def test_lsh_path_equals_exact_path_at_tight_threshold(spark, tmp_path_factory):
     assert len(kept) == 2000 - N_PLANTED
 
 
-def test_staged_screen_equals_single_job_screen(spark, tmp_path_factory):
-    """The per-table STAGED screen (the 16M+ single-box disk lever) must
+@pytest.mark.parametrize("probing", [False, True], ids=["probe_free", "probed"])
+def test_staged_screen_equals_single_job_screen(spark, tmp_path_factory, probing):
+    """The per-table STAGED screen (the single-box disk lever) must
     produce exactly the single-job screen's survivors — same pair space,
     same keep-set; only the peak live shuffle differs."""
     d = _planted_dir(tmp_path_factory, 2000)
     single = dedup_embedding_lsh(
-        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True, force_staged=False
+        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True,
+        force_staged=False, force_probing=probing,
     ).collect()
     staged = dedup_embedding_lsh(
-        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True, force_staged=True
+        spark, d, threshold=TIGHT_THRESHOLD, force_lsh=True,
+        force_staged=True, force_probing=probing,
     ).collect()
     assert [r.vec_id for r in single] == [r.vec_id for r in staged]
     kept = {r.vec_id for r in staged}
     assert {i + 1 for i in range(0, N_PLANTED * 20, 20)}.isdisjoint(kept)
+
+
+def test_probe_free_screen_fanout_is_exactly_tables_per_vector(spark, tmp_path_factory):
+    """The whole point of probe-free banding (r10): the replicated screen
+    payload is tables·n entries — no probe expansion, no plain/probe
+    sides. The probed form's fan-out is tables·(2 + ~planes/2)·n; at 16M
+    that was 92 copies/vector and the repo's most expensive shuffle."""
+    from roar_spark.operators.similarity import (
+        DEDUP_EMB_TABLES_PF,
+        _bucket_ids,
+        _entries_from_buckets,
+    )
+
+    n = 500
+    d = _planted_dir(tmp_path_factory, n)
+    emb = load_table(spark, "embeddings", d)
+    planes = 5
+    wb = _bucket_ids(emb, planes, DIM, n_tables=DEDUP_EMB_TABLES_PF)
+    cnt = _entries_from_buckets(
+        wb, planes, probe=False, n_tables=DEDUP_EMB_TABLES_PF
+    ).count()
+    assert cnt == DEDUP_EMB_TABLES_PF * n
 
 
 def test_candidate_volume_grows_subquadratically(spark, tmp_path_factory):
@@ -103,9 +135,23 @@ def test_candidate_volume_grows_subquadratically(spark, tmp_path_factory):
 
 
 def test_lsh_path_plan_shape(spark):
-    # the pair stage must be the ONE grouped-Pandas matmul screen — no
+    # probe-free pair stage: the SORTED-STREAM MapInPandas screen (one
+    # Python call per Arrow batch, not per bucket group — r10 event-log
+    # fix) plus the hash matmul; no per-group FlatMapGroupsInPandas, no
     # row-at-a-time Python, no cartesian/nested-loop join anywhere
     df = dedup_embedding_lsh(spark, "/root/testdata/sf0.001", force_lsh=True)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one stream-screen MapInPandas; the hash matmul MapInPandas
+    # appears under the persisted bucket table's InMemoryTableScan (the
+    # cached plan is PRINTED per consumer but computed once)
+    assert p.count("MapInPandas screen_stream") == 1
+    assert "FlatMapGroupsInPandas" not in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the probed A/B baseline keeps the grouped form
+    df = dedup_embedding_lsh(
+        spark, "/root/testdata/sf0.001", force_lsh=True, force_probing=True
+    )
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in p
