@@ -114,3 +114,36 @@ def test_host_drift_relief_is_capped():
     # drift never relieves BELOW the recorded budgets
     fast = {n: b * 0.5 for n, b in budgets.items()}
     assert bench.host_drift_ratio(fast, budgets) == 1.0
+
+
+def test_probe_drift_is_code_independent_and_clamped():
+    """r10: the gate's drift comes from the calibration probes, not from
+    the gated queries (r9 ADVICE: query-derived drift let a uniform
+    genuine regression earn its own relief)."""
+    b = bench.PROBE_BUDGETS
+    # quiet probes -> no relief
+    assert bench.probe_drift_ratio(dict(b)) == 1.0
+    # fast host never relieves below budgets
+    assert bench.probe_drift_ratio({n: v * 0.5 for n, v in b.items()}) == 1.0
+    # uniformly slow host earns the measured relief, capped
+    assert abs(bench.probe_drift_ratio({n: v * 1.4 for n, v in b.items()}) - 1.4) < 1e-9
+    assert (
+        bench.probe_drift_ratio({n: v * 5.0 for n, v in b.items()})
+        == bench.HOST_DRIFT_CAP
+    )
+    # one noisy probe cannot move the median of three
+    noisy = {n: v for n, v in b.items()}
+    noisy[next(iter(noisy))] *= 3.0
+    assert bench.probe_drift_ratio(noisy) == 1.0
+
+
+def test_uniform_engine_regression_trips_under_quiet_probes():
+    """The scenario the r9 gate could not see: every query ~1.8x slower
+    (uniform code regression) while the host probes read clean. With
+    probe-based drift = 1.0 the multi-second queries trip."""
+    budgets = dict(bench.BUDGETS_SF01)
+    regressed = {n: b * 1.8 for n, b in budgets.items()}
+    drift = bench.probe_drift_ratio(dict(bench.PROBE_BUDGETS))  # quiet host
+    hits = bench.find_regressions(regressed, budgets, drift)
+    big = [n for n, b in budgets.items() if b * 1.8 > max(1.5 * b, b + 1.5)]
+    assert big and all(any(h.startswith(n) for h in hits) for n in big)
