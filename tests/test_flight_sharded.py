@@ -431,3 +431,100 @@ def test_ranged_read_resets_on_eviction_epoch_despite_equal_head(spark):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_sharded_source_survives_reshard_across_restart(spark, tmp_path):
+    """r9 verdict item 3: the offset model claims per-endpoint
+    independence — prove at-least-once holds when the SHARD COUNT changes
+    between runs. Offsets are global (rows, head, epoch) and carry no
+    shard count; partitions() re-polls GetFlightInfo per batch, so a
+    restart against a re-sharded server must ship exactly the delta
+    (steady state) and never silently lose rows (union-over-shards of
+    h % of == i is everything for ANY of)."""
+    from roar_spark.sources.flight import ingest_from_flight
+
+    engine_a = StreamEngine(spark, EngineConfig())
+    engine_a.register_stream("clicks", [json.dumps({"n": 1, "kind": "view"})])
+    _feed(spark, engine_a, "clicks", 0, 40)
+    server = serve_in_thread(engine_a, shards=3)
+    engine_b = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, checkpoint_path=str(tmp_path / "ck")),
+    )
+    handle = None
+    try:
+        handle = ingest_from_flight(
+            engine_b,
+            "replica",
+            f"grpc://localhost:{server.port}",
+            remote_topic="clicks",
+            sharded="true",
+        )
+        handle.query.processAllAvailable()
+        assert sorted(
+            r.kafka_offset for r in engine_b.fetch("replica", -1).collect()
+        ) == list(range(40))
+        # stop the consumer, RESHARD the server 3 -> 2, append a delta
+        handle.query.stop()
+        server.shutdown()
+        server = serve_in_thread(engine_a, shards=2)
+        _feed(spark, engine_a, "clicks", 40, 55, kind="post")
+        # resume from the same checkpoint against the re-sharded server
+        handle = ingest_from_flight(
+            engine_b,
+            "replica",
+            f"grpc://localhost:{server.port}",
+            remote_topic="clicks",
+            sharded="true",
+        )
+        handle.query.processAllAvailable()
+        rows = [r.kafka_offset for r in engine_b.fetch("replica", -1).collect()]
+        # no eviction happened: the resumed run ships exactly the delta —
+        # zero loss AND zero duplicates across the reshard
+        assert sorted(rows) == list(range(55))
+        # now evict the server-side front and append: the next trigger
+        # resets to the front (at-least-once) — duplicates are expected
+        # and asserted, loss is not
+        store = engine_a._handle("clicks").store
+        store._max_bytes = store.current_bytes
+        _feed(spark, engine_a, "clicks", 55, 60, kind="tail")
+        assert store.records_dropped > 0, "scenario needs a real eviction"
+        retained = {r.kafka_offset for r in engine_a.fetch("clicks", -1).collect()}
+        handle.query.processAllAvailable()
+        rows = [r.kafka_offset for r in engine_b.fetch("replica", -1).collect()]
+        assert retained <= set(rows), "silent loss across eviction+reshard"
+        assert len(rows) > len(set(rows)), (
+            "the post-eviction reset re-delivers retained rows: duplicates "
+            "are the documented at-least-once cost, and their absence here "
+            "means the reset path did not engage"
+        )
+    finally:
+        if handle is not None and handle.query is not None:
+            handle.query.stop()
+        engine_b.stop()
+        server.shutdown()
+        engine_a.stop()
+
+
+def test_sharded_read_raises_loudly_on_lost_endpoint():
+    """An endpoint vanishing between GetFlightInfo and the executor's
+    DoGet must surface as a task error (Spark retries, then fails the
+    query) — never an empty iterator that silently drops the shard."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from roar_spark.sources.flight import (
+        FlightShardedStreamReader,
+        FlightShardPartition,
+    )
+
+    reader = FlightShardedStreamReader(
+        StructType([StructField("n", LongType(), True)]),
+        {"location": "grpc://localhost:9", "topic": "t"},
+    )
+    part = FlightShardPartition(
+        "grpc://localhost:9",  # discard port: nothing listens
+        json.dumps({"topic": "t", "shard": 0, "of": 2, "start": 0, "end": 5}),
+    )
+    with pytest.raises(Exception) as exc:
+        list(reader.read(part))
+    assert "unavailable" in str(exc.value).lower() or "connect" in str(exc.value).lower()

@@ -1040,3 +1040,76 @@ def test_sink_run_id_empty_marker_claim_is_first_writer_wins(tmp_path):
         assert fh.read() == ""  # legacy marker untouched; claim file owns it
     with open(marker + ".claim") as fh:
         assert fh.read().strip() == first
+
+
+def test_rescued_composes_with_nested_inference(spark, tmp_path):
+    """r9 verdict item 7: rescue_columns x infer_nested together — the
+    config a real user of both flags runs. The frozen schema carries REAL
+    nested types AND the `_rescued` sink; post-freeze TOP-LEVEL fields
+    (scalar or nested) land in `_rescued` as JSON while the frozen nested
+    columns keep parsing. Drift INSIDE a frozen struct is dropped by the
+    struct parse, not rescued — rescue is a top-level contract (the
+    map<string,string> raw parse has no visibility into struct bodies),
+    pinned here so the boundary is documented behavior, not accident."""
+    from roar_spark.sources.files import file_envelope_stream, write_envelope_file
+    from roar_spark.streaming.ingest import RESCUED_COL
+
+    src = str(tmp_path / "src")
+    write_envelope_file(
+        src,
+        [
+            {"key": "k0", "value": json.dumps(
+                {"meta": {"a": 1, "tag": "x"}, "vals": [1, 2]}),
+             "timestamp": "2026-08-13T09:00:00Z", "offset": 0, "partition": 0},
+            # post-freeze drift: one scalar + one NESTED new top-level field
+            {"key": "k1", "value": json.dumps(
+                {"meta": {"a": 2, "tag": "y"}, "vals": [3],
+                 "lang": "de", "extra": {"deep": [1, 2]}}),
+             "timestamp": "2026-08-13T09:00:01Z", "offset": 1, "partition": 0},
+            # drift INSIDE the frozen struct: dropped by the struct parse
+            {"key": "k2", "value": json.dumps(
+                {"meta": {"a": 3, "tag": "z", "new_sub": 9}, "vals": []}),
+             "timestamp": "2026-08-13T09:00:02Z", "offset": 2, "partition": 0},
+        ],
+        file_name="a.json",
+    )
+    engine = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, infer_nested=True,
+                     rescue_columns=True,
+                     checkpoint_path=str(tmp_path / "ckpt")),
+    )
+    handle = engine.ingest(
+        "up", file_envelope_stream(spark, src),
+        [json.dumps({"meta": {"a": 1, "tag": "x"}, "vals": [1, 2]})],
+    )
+    try:
+        handle.query.processAllAvailable()
+        # frozen schema: real struct/array types AND the rescue sink
+        assert isinstance(handle.schema["meta"].dataType, T.StructType)
+        assert isinstance(handle.schema["vals"].dataType, T.ArrayType)
+        assert RESCUED_COL in handle.schema.fieldNames()
+        rows = {r.kafka_offset: r for r in engine.fetch("up", limit=-1).collect()}
+        assert len(rows) == 3
+        assert rows[0]._rescued is None and rows[0].meta.a == 1
+        rescued = json.loads(rows[1]._rescued)
+        assert rescued["lang"] == "de"
+        assert json.loads(rescued["extra"]) == {"deep": [1, 2]}
+        assert rows[1].meta.tag == "y" and list(rows[1].vals) == [3]
+        # struct-internal drift: frozen subfields parse, new_sub is dropped
+        # and NOT rescued (top-level contract)
+        assert rows[2].meta.a == 3 and rows[2].meta.tag == "z"
+        assert rows[2]._rescued is None
+        # dotted-path query over the served table still works with the
+        # sink column present
+        got = (
+            engine.fetch("up", limit=-1)
+            .select(F.col("meta.a").alias("a"))
+            .agg(F.sum("a"))
+            .first()[0]
+        )
+        assert got == 6
+    finally:
+        if handle.query is not None:
+            handle.query.stop()
+        engine.stop()
