@@ -1204,17 +1204,20 @@ def _lsh_screened_pairs_staged(
 ) -> DataFrame:
     """The screen executed ONE HASH TABLE AT A TIME: identical pair space
     and survivors as _lsh_screened_pairs (equivalence pinned), but the
-    live shuffle is one table's fan-out — n·(2 + planes/2) entry copies —
-    instead of all tables' at once. This is the disk lever the r8 verdict
-    demanded: the single-job screen at 16M rows writes
-    tables·(2+planes/2)·n ≈ 92 entry copies/vector of shuffle and died on
-    this box's disk (SCALE.md r8); staging divides the PEAK by n_tables
-    and releases each stage's files before the next starts
-    (_release_stage_shuffles). Cost: n_tables sequential jobs over the
-    one persisted bucket table (the hash matmul runs once — wb is shared)
-    plus a tiny cross-stage distinct; on a cluster the same operator runs
-    single-job (the shuffle service owns the disk), so staging engages
-    only above the measured single-box frontier (dedup_embedding_lsh).
+    live shuffle is one table's fan-out — n entries probe-free,
+    n·(2 + planes/2) probed — instead of all tables' at once. This is the
+    disk lever the r8 verdict demanded: the probed single-job screen at
+    16M rows wrote ≈ 92 entry copies/vector and died on that box's disk
+    (SCALE.md r8); staging divides the PEAK by n_tables and releases each
+    stage's files before the next starts (_release_stage_shuffles). Since
+    r10's probe-free banding cut the fan-out to 24 copies/vector, the
+    single-job form fits 16M and staging engages only above
+    DEDUP_EMB_STAGED_MAX_ENTRIES (= 32M+ rows probe-free; measured: 32M
+    staged in 1263.8 s, SCALE.md r10). Cost: n_tables sequential jobs
+    over the one eagerly-materialized bucket table (the hash matmul runs
+    once — wb is shared) plus a tiny cross-stage distinct; on a cluster
+    the same operator runs single-job (the shuffle service owns the
+    disk) — this is a single-box disk guard, not a semantics change.
 
     Each stage's survivors are actual near-dup pairs (screen output, not
     candidates) — localCheckpoint materializes kilobytes-to-megabytes,
