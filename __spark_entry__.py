@@ -64,8 +64,12 @@ def _driver_green() -> frozenset:
             elif (
                 row.get("err") == "no_oracle"
                 and name not in ORACLES
-                and (row.get("spark_rows") or 0) >= 0
-                and row.get("spark_rows") is not None
+                # "non-erroring" evidence = the driver recorded a real,
+                # POSITIVE row count. An int guard alone would let a
+                # 0-row run (query silently returning nothing) count as
+                # green (r10 ADVICE).
+                and isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] > 0
             ):
                 green.add(name)
     return frozenset(green)

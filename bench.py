@@ -28,11 +28,12 @@ so two samples cannot distinguish "the plan regressed" from "the host
 stalled twice". A genuine plan regression is slow on every rep and still
 reports slow; a noise hit is vindicated by one clean rep.
 
-Regression gate: per-query budgets are the best recorded number per query
-across rounds 3-6 (driver BENCH_r0{3,4,5}.json + the r6 clean-window rerun
-on the current code, sf0.1, best-of-2 basis — re-based each round so the
-gate tracks the best achieved state, not a stale bar). After printing the
-JSON line, any query slower than
+Regression gate: per-query budgets are the r10 driver window
+(BENCH_r10.json) — one anchor window in which every gated query and
+every calibration probe were measured together, so the probe-drift
+normalization below compares like with like (see the BUDGETS_SF01
+comment for why cherry-picked cross-round bests miscalibrated the
+gate). After printing the JSON line, any query slower than
 max(REGRESSION_FACTOR × budget, budget + REGRESSION_SLACK_SEC) fails the
 run with exit code 1 — a local guard so perf regressions surface the
 round they happen, not at judging. The absolute arm absorbs the
@@ -68,62 +69,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# best recorded seconds per headline query across rounds 3-6 (sf0.1,
-# local[32], best-of-2 basis). sim_brute_topk / sim_cosine_pairs budgets
-# come from the r6 interleaved kernel A/B on the CURRENT (NULL-norm-
-# guarded) cosine — the faster r4 numbers belonged to the unguarded
-# kernel that crashed on zero-norm vectors and are not a fair bar.
+# r11 re-base (r10 verdict item 2): ALL budgets now come from ONE
+# anchor window — the r10 driver bench (BENCH_r10.json), the only
+# recorded window where every gated query AND every calibration probe
+# were measured together in the same session. Through r10 the query
+# budgets were per-query bests cherry-picked across r3-r9 hosts while
+# PROBE_BUDGETS were this-allocation bests — two different eras, so on
+# a slow window the probes read drift ~1.0 (their budgets already
+# matched the current box) while the queries read a 1.16x median
+# against hosts that no longer exist, and the slowest-budgeted query
+# (dedup_simhash, 3.73 s vs a 2.17 s r3-era budget) tripped the gate on
+# unchanged code (dedup.py untouched since r7; three independent
+# measurement contexts agreed the relative cost was flat). A budget
+# that flags clean runs of unchanged code is miscalibrated, not strict
+# — the r9 asof / r10 minhash precedent, now applied uniformly. With
+# budgets and probe baselines from the SAME window, drift is an
+# apples-to-apples ratio: a future slow host inflates probes and earns
+# relief; an engine regression inflates only queries and trips.
 BUDGETS_SF01 = {
-    "q1_pricing_summary": 0.890,
-    "q3_shipping_priority": 0.885,
-    "q5_local_supplier_volume": 1.010,
-    "q10_returned_items": 0.840,
-    "window_running": 1.540,
-    "agg_distinct": 1.200,
-    "events_hourly": 0.420,
-    "events_sessionize": 1.270,
-    # re-based r9 after the two-round drift watch closed: the r8
-    # NULL-contract fix (asof.py right-side isNotNull filter — correctness,
-    # the old form matched NULL keys to each other) costs a measured ~7%
-    # (interleaved bisect: pre-r8 form 1.082 vs current 1.153 in one
-    # session, control 33% under budget), and the residual vs the old
-    # 1.030 is inside the session band. Budget = the corrected operator's
-    # interleaved best (SCALE.md r9 adjudication).
-    "asof_latest_order": 1.153,
-    "scalar_json_extract": 0.470,
-    "dedup_exact": 0.260,
-    "dedup_dataset": 0.334,
-    # re-based r10 to the BENCH_r09-recorded number: the operator is
-    # UNCHANGED (dedup.py untouched since r7) but three r10 same-day
-    # bench-context windows on identical code read 2.84/3.89/4.24 s
-    # against the old 1.71 budget (allowed 3.62 at the measured 1.24
-    # probe drift) — the shingle-shuffle profile of the r3-era host that
-    # recorded 1.71 is not reproducible on current allocations even at
-    # idle, and a budget that flags clean runs of unchanged code is
-    # miscalibrated, not strict (the r9 asof precedent). 2.24 is the
-    # best recent recorded window (r9 driver bench), not this session's.
-    "dedup_minhash_lsh": 2.240,
-    # best BENCH-context number (best-of-2 inside the full suite run);
-    # isolated same-session A/B reads ~1.2-1.4 s on the r6 all-pairs
-    # dispatch, but the gate compares bench-context numbers and budgets
-    # from a different measurement context would mis-calibrate it
-    "dedup_simhash": 2.170,
-    "sim_brute_topk": 0.761,
-    "sim_cosine_pairs": 1.560,
-    "text_stats": 0.690,
-    "text_fingerprint": 0.548,
-    # r10 (verdict item 2): the heavy LLM-pipeline ops where regressions
-    # actually hide — the r9 rerank-shuffle bug was invisible to the
-    # 18-query gate and only surfaced in a 64M probe; at sf0.1 the
-    # broadcast-vs-SMJ difference is already measurable. Budgets = best
-    # observed across the five r10 calibration sessions (the convention
-    # above; this allocation's best matches the budget-era host — see
-    # PROBE_BUDGETS).
-    "ann_lsh_topk": 2.463,
-    "ann_ivf_topk": 1.842,
-    "embedding_knn_classify_bulk": 4.444,
-    "pack_sequences": 1.022,
-    "dedup_embedding_lsh": 1.754,
+    "q1_pricing_summary": 0.971,
+    "q3_shipping_priority": 1.020,
+    "q5_local_supplier_volume": 1.379,
+    "q10_returned_items": 1.193,
+    "window_running": 1.761,
+    "agg_distinct": 1.463,
+    "events_hourly": 0.540,
+    "events_sessionize": 1.978,
+    "asof_latest_order": 1.623,
+    "scalar_json_extract": 0.550,
+    "dedup_exact": 0.400,
+    "dedup_dataset": 0.447,
+    "dedup_minhash_lsh": 2.505,
+    "dedup_simhash": 3.725,
+    "sim_brute_topk": 1.036,
+    "sim_cosine_pairs": 1.816,
+    "text_stats": 0.711,
+    "text_fingerprint": 0.530,
+    # the 5 heavy LLM-pipeline ops (gated since r10): the anchor window
+    # ran them all UNDER their old five-session-best budgets, so the
+    # re-base tightens these (ann_lsh_topk 2.463 -> 1.670)
+    "ann_lsh_topk": 1.670,
+    "ann_ivf_topk": 1.557,
+    "embedding_knn_classify_bulk": 3.948,
+    "pack_sequences": 0.730,
+    "dedup_embedding_lsh": 1.614,
 }
 
 # --- code-independent host calibration (r10; closes the r9 ADVICE hole
@@ -139,16 +128,17 @@ BUDGETS_SF01 = {
 # the uniform-regression signature the r9 gate could not see) but earns
 # no relief.
 #
-# PROBE_BUDGETS are the BEST observed per probe across five r10
-# calibration sessions — the same best-recorded convention the query
-# budgets use. Anchor validity: at its best this allocation reads the
-# budget-era numbers (q1_pricing_summary best 0.906 vs its 0.890 budget;
-# three 16M SCALE yardsticks at parity with r9), and across the five
-# sessions probe and query inflation moved TOGETHER (session 3 read
-# ~1.6x on both), which is the correlation the normalization rests on.
-# The python probe is the noisiest (2.9x session spread) — the median
-# of three is what the gate consumes, never one probe alone.
-PROBE_BUDGETS = {"cpu": 0.373, "shuffle": 0.860, "python": 1.682}
+# PROBE_BUDGETS come from the SAME anchor window as BUDGETS_SF01 (the
+# r10 driver bench, calibration_probes in BENCH_r10.json) — r10 verdict
+# item 2: when these were five-session bests on one allocation while
+# query budgets encoded r3-r9 hosts, the two eras disagreed and probe
+# drift read ~1.0 on windows where every query read 1.16x, so the gate
+# under-granted. Single-window anchoring makes the ratio meaningful by
+# construction: the anchor window's own replay reads drift exactly 1.0
+# and every query exactly at budget. The python probe is the noisiest
+# (2.9x session spread observed r10) — the median of three is what the
+# gate consumes, never one probe alone.
+PROBE_BUDGETS = {"cpu": 0.359, "shuffle": 0.728, "python": 1.584}
 
 
 def probe_defs(spark):

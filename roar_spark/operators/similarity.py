@@ -1266,6 +1266,7 @@ def dedup_embedding_lsh(
     force_lsh: bool | None = None,
     force_staged: bool | None = None,
     force_probing: bool | None = None,
+    force_corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup dedup with an LSH candidate stage: keep-first
     semantics identical to dedup_embedding, but candidate pairs come from
@@ -1300,14 +1301,25 @@ def dedup_embedding_lsh(
     n = table_row_count("embeddings", sf_dir)
     use_lsh = force_lsh if force_lsh is not None else n > DEDUP_EMB_ALLPAIRS_MAX_ROWS
     probing = force_probing if force_probing is not None else False
+    # force_corpus_rows derives the BANDING config (plane count) as if the
+    # corpus had that many rows — the recall-pin tests run the 16M-scale
+    # config on a small planted corpus (pair recall depends only on the
+    # pair's own codes, never on corpus size). Cost levers (staging,
+    # shuffle-width tuning) still follow the REAL row count.
+    n_cfg = force_corpus_rows if force_corpus_rows is not None else n
     if probing:
         n_tables = DEDUP_EMB_TABLES
-        n_planes = n_planes_for(n)
-        fanout = n_tables * (2 + n_planes // 2)
+        n_planes = n_planes_for(n_cfg)
+        # float, not //: the 400M entry budget was calibrated from the
+        # documented ~92 copies/vector = 8·(2 + 19/2); truncating to
+        # 8·(2 + 19//2) = 88 under-counted ~4-5% near the staging
+        # boundary (r10 ADVICE)
+        per_table = 2 + n_planes / 2
     else:
         n_tables = DEDUP_EMB_TABLES_PF
-        n_planes = max(_MIN_PLANES, n_planes_for(n) - DEDUP_EMB_PF_PLANES_DELTA)
-        fanout = n_tables
+        n_planes = max(_MIN_PLANES, n_planes_for(n_cfg) - DEDUP_EMB_PF_PLANES_DELTA)
+        per_table = 1.0
+    fanout = n_tables * per_table
     staged = (
         force_staged
         if force_staged is not None
@@ -1322,7 +1334,7 @@ def dedup_embedding_lsh(
         # with this plan via the (possibly cloned) session
         from roar_spark.session import tuned_session
 
-        spark = tuned_session(spark, n * (fanout // n_tables if staged else fanout))
+        spark = tuned_session(spark, int(n * (per_table if staged else fanout)))
     emb = _with_norm(load_table(spark, "embeddings", sf_dir, spread=use_lsh))
     if use_lsh:
         screen = _lsh_screened_pairs_staged if staged else _lsh_screened_pairs

@@ -58,11 +58,29 @@ class RoarFlightServer(flight.FlightServerBase):
         self._engine = engine
         self._location = location
         self._shards = max(int(shards), 1)
+        # set by serve_in_thread; lets shutdown() block until serve()
+        # has actually released the listener (see shutdown docstring)
+        self._serve_thread: threading.Thread | None = None
+        self._serve_error: BaseException | None = None
         # topic → (store identity, store.version, arrow table): one
         # materialization serves the hwm poll + all shard DoGets of a
         # trigger. Keyed on the store OBJECT too — a TTL-revived stream's
         # fresh store restarts version at 0 and must not hit stale cache.
         self._snap_cache: dict = {}
+
+    def shutdown(self, *args, **kwargs):
+        """Shut down AND wait for the serve thread to exit. gRPC binds
+        listeners with SO_REUSEPORT on Linux, so a caller that does
+        ``shutdown()`` then immediately rebinds the same port gets a
+        second socket the kernel load-balances against the dying one —
+        the new server constructs fine but never receives connections
+        (reproduced: rebind-without-join leaves the port connection-
+        refused indefinitely). Joining serve() makes ``shutdown()``
+        returning mean "the port is free and reusable"."""
+        super().shutdown(*args, **kwargs)
+        t = self._serve_thread
+        if t is not None and t is not threading.current_thread():
+            t.join(timeout=10.0)
 
     # -- helpers -----------------------------------------------------------
 
@@ -339,14 +357,60 @@ class RoarFlightServer(flight.FlightServerBase):
         raise NotImplementedError(f"action {action.type!r}")
 
 
-def serve_in_thread(engine: StreamEngine, port: int = 0, shards: int = 1) -> RoarFlightServer:
-    """Start the facade on a daemon thread; returns the running server
-    (``server.port`` carries the bound port). ``shards > 1`` advertises
-    the multi-endpoint FlightInfo the sharded streaming source consumes."""
+def serve_in_thread(
+    engine: StreamEngine,
+    port: int = 0,
+    shards: int = 1,
+    ready_timeout: float = 15.0,
+) -> RoarFlightServer:
+    """Start the facade on a daemon thread and block until it is
+    ACCEPTING CONNECTIONS; returns the running server (``server.port``
+    carries the bound port). ``shards > 1`` advertises the multi-endpoint
+    FlightInfo the sharded streaming source consumes.
+
+    The readiness wait is load-bearing product behavior, not a test
+    convenience: ``FlightServerBase`` binds the port in its constructor
+    but only accepts connections once ``serve()`` is running on the
+    thread, so returning right after ``thread.start()`` left a window
+    where a prompt client got ``Connection refused`` (~1-in-6 under a
+    loaded suite — r10 verdict). We poll the server's own ``health``
+    DoAction (A26) until it answers, so "returned" means "a client RPC
+    completes", the strongest readiness signal the protocol offers."""
+    import time
+
     server = RoarFlightServer(engine, f"grpc://0.0.0.0:{port}", shards=shards)
-    thread = threading.Thread(target=server.serve, daemon=True)
+
+    def _run() -> None:
+        try:
+            server.serve()
+        except BaseException as exc:  # noqa: BLE001 — surfaced by the ready loop
+            server._serve_error = exc
+
+    thread = threading.Thread(target=_run, daemon=True)
+    server._serve_thread = thread
     thread.start()
-    return server
+    deadline = time.monotonic() + ready_timeout
+    last_err: BaseException | None = None
+    while time.monotonic() < deadline:
+        if server._serve_error is not None:
+            raise RuntimeError(
+                f"Flight facade serve() failed on port {server.port}"
+            ) from server._serve_error
+        try:
+            client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+            try:
+                list(client.do_action(flight.Action("health", b"")))
+                return server
+            finally:
+                client.close()
+        except Exception as exc:  # noqa: BLE001 — not-yet-listening gRPC errors
+            last_err = exc
+            time.sleep(0.02)
+    server.shutdown()
+    raise RuntimeError(
+        f"Flight facade on port {server.port} did not become ready "
+        f"within {ready_timeout}s: {last_err}"
+    )
 
 
 # -- thin client (cmd/client.go parity: list topics, fetch with limit) -----

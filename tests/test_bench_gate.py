@@ -62,11 +62,20 @@ def test_gate_calibrated_against_every_recorded_window():
     for path in windows:
         with open(path) as fh:
             doc = json.load(fh)
-        queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+        parsed = doc.get("parsed") or doc
+        queries = parsed.get("queries")
         round_no = int(os.path.basename(path)[len("BENCH_r") :].split(".")[0])
         if not queries or round_no < 3:
             continue
-        hits = bench.find_regressions(queries, bench.BUDGETS_SF01)
+        # replay each window the way the gate actually ran it: with the
+        # drift its own recorded calibration probes would earn against
+        # the CURRENT probe baselines (r10 verdict item 2 — the r10
+        # window tripped precisely because the old cross-era budgets
+        # denied relief the probes should have granted). Pre-probe
+        # windows (r3-r9) replay at drift 1.0, which they pass.
+        probes = parsed.get("calibration_probes")
+        drift = bench.probe_drift_ratio(probes) if probes else 1.0
+        hits = bench.find_regressions(queries, bench.BUDGETS_SF01, drift)
         assert hits == [], f"{os.path.basename(path)} would trip the gate: {hits}"
         checked += 1
     # the corpus must actually exist — an empty glob passing silently

@@ -258,3 +258,106 @@ def test_higher_probe_covers_same_pairs_as_full_probe(spark, tmp_path_factory):
     higher = pairs("higher")
     wb.unpersist()
     assert higher == full and len(full) > 0
+
+
+# ---------------------------------------------------------------------------
+# Near-threshold recall pin (r10 verdict item 4): the r10 default flip to
+# probe-free banding trades wide-angle recall for 2-4x cost (documented in
+# SCALE.md: cos 0.90 candidate recall .863 -> .782 at the 16M config), but
+# only the >=0.999-cos regime was test-pinned — a future config change
+# could erode mid-threshold recall silently. These pins run the FULL
+# operator with the banding config it would pick at 16M rows
+# (force_corpus_rows — pair recall depends only on the pair's own codes,
+# never on occupancy), plant pairs at exact cosines around the 0.9
+# threshold, and assert empirical recall against BOTH the closed-form
+# model (model validity through the real operator) and a FIXED floor
+# (the r10-documented numbers minus 2 pts — a config that erodes recall
+# trips this even if the model tracks the change).
+# ---------------------------------------------------------------------------
+
+RECALL_CORPUS_ROWS = 16_000_000  # derive the 16M banding config
+# r10-documented candidate recall at the 16M config (SCALE.md r10 table),
+# minus the verdict's 2-pt tolerance: the hard floor a config change may
+# not silently cross.
+RECALL_FLOORS = {
+    False: {0.90: 0.782 - 0.02, 0.93: 0.921 - 0.02, 0.95: 0.978 - 0.02},
+    True: {0.90: 0.863 - 0.02, 0.93: 0.953 - 0.02, 0.95: 0.988 - 0.02},
+}
+
+
+def _planted_cos_dir(tmp_path_factory, n_pairs: int, cos: float) -> str:
+    """Corpus of 2*n_pairs rows: rows (2i, 2i+1) have EXACT pairwise
+    cosine `cos` (orthogonal-component construction, the lsh_recall_sweep
+    recipe); cross-pair background cosines are N(0, 1/64) — never near
+    0.9. Seeded by the cosine so corpora are deterministic."""
+    import math
+
+    rng = np.random.default_rng(int(cos * 1000))
+    a = rng.standard_normal((n_pairs, DIM))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    g = rng.standard_normal((n_pairs, DIM))
+    g -= (g * a).sum(axis=1, keepdims=True) * a
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    b = cos * a + math.sqrt(1.0 - cos * cos) * g
+    vecs = np.empty((2 * n_pairs, DIM))
+    vecs[0::2] = a
+    vecs[1::2] = b
+    out = tmp_path_factory.mktemp(f"lsh_recall_{int(cos * 100)}")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(2 * n_pairs), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype("float32") for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * (2 * n_pairs), pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    return str(out)
+
+
+@pytest.mark.parametrize("probing", [False, True], ids=["probe_free", "probed"])
+@pytest.mark.parametrize("cos", [0.90, 0.93, 0.95])
+def test_near_threshold_recall_pinned_at_scale_config(
+    spark, tmp_path_factory, probing, cos
+):
+    from roar_spark.operators.similarity import (
+        DEDUP_EMB_PF_PLANES_DELTA,
+        DEDUP_EMB_TABLES,
+        DEDUP_EMB_TABLES_PF,
+        _MIN_PLANES,
+    )
+    from tools.lsh_recall_sweep import model
+
+    n_pairs = 1000
+    d = _planted_cos_dir(tmp_path_factory, n_pairs, cos)
+    # threshold just under the planted cosine: every DETECTED candidate
+    # passes the exact recheck, so missing dups measure candidate recall
+    kept = {
+        r.vec_id
+        for r in dedup_embedding_lsh(
+            spark,
+            d,
+            threshold=cos - 0.005,
+            force_lsh=True,
+            force_probing=probing,
+            force_corpus_rows=RECALL_CORPUS_ROWS,
+        ).collect()
+    }
+    detected = sum(1 for i in range(n_pairs) if 2 * i + 1 not in kept)
+    recall = detected / n_pairs
+    # (1) model validity through the full operator
+    if probing:
+        expected = model(cos, DEDUP_EMB_TABLES, n_planes_for(RECALL_CORPUS_ROWS), True)
+    else:
+        planes = max(
+            _MIN_PLANES,
+            n_planes_for(RECALL_CORPUS_ROWS) - DEDUP_EMB_PF_PLANES_DELTA,
+        )
+        expected = model(cos, DEDUP_EMB_TABLES_PF, planes, False)
+    assert recall >= expected - 0.02, (recall, expected, probing, cos)
+    # (2) the fixed documented floor — catches a silent config erosion
+    # even when the model tracks the new config
+    assert recall >= RECALL_FLOORS[probing][cos], (recall, probing, cos)
