@@ -111,10 +111,18 @@ def cmd_serve(args: argparse.Namespace) -> int:
         ]
         engine.ingest(topic, file_envelope_stream(spark, args.source_dir), sample)
     elif config.topics:
-        from roar_spark.sources.kafka import kafka_envelope_stream
+        if args.kafka_wire:
+            # pure-Python wire-protocol source (sources/kafka_python.py):
+            # same option map, same envelope — no connector jar needed
+            from roar_spark.sources.kafka_python import kafka_python_envelope_stream
 
+            envelope_stream = kafka_python_envelope_stream
+        else:
+            from roar_spark.sources.kafka import kafka_envelope_stream
+
+            envelope_stream = kafka_envelope_stream
         for topic in config.topics:
-            env = kafka_envelope_stream(spark, config, (topic,)).drop("topic")
+            env = envelope_stream(spark, config, (topic,)).drop("topic")
             # no sample → schema bootstrap deferred to the first non-empty
             # micro-batch's real payloads (a placeholder sample here would
             # freeze a payload-less schema and drop every field forever)
@@ -396,6 +404,11 @@ def main(argv: list[str] | None = None) -> int:
         "--source-flight-sharded", action="store_true",
         help="replicate through the partition-per-endpoint sharded reader "
         "(upstream must serve multi-endpoint FlightInfo, i.e. --shards > 1)",
+    )
+    serve.add_argument(
+        "--kafka-wire", action="store_true",
+        help="read --topics through the pure-Python Kafka wire source "
+        "(no spark-sql-kafka jar required) instead of format('kafka')",
     )
     serve.add_argument(
         "--shards", type=int, default=1,

@@ -17,9 +17,14 @@ per message (kafka/consumer.go:672-675): key, value, timestamp, offset,
 partition — no projection needed beyond column selection.
 
 Environment note: this build environment ships no spark-sql-kafka
-connector jar and no broker, so this module is verified at the plan level
-only; on a cluster add ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
-The file-simulated source (files.py) exercises every downstream stage.
+connector jar, so THIS module (the JVM source) is verified at the
+option-map level; on a cluster add
+``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
+The live wire path is covered anyway: kafka_python.py consumes the SAME
+option map through a from-scratch Python Data Source speaking real Kafka
+protocol (kafka_wire.py), tested end-to-end against the in-process broker
+(kafka_broker.py). The file-simulated source (files.py) additionally
+exercises every downstream stage.
 """
 
 from __future__ import annotations
