@@ -120,6 +120,15 @@ class KafkaBroker:
             if name not in self._topics:
                 self._topics[name] = _TopicLog(partitions or self._default_partitions)
 
+    def add_partitions(self, topic: str, new_total: int) -> None:
+        """Grow a topic's partition count (Kafka only ever grows). Lets
+        tests pin the source's new-partition rule: added partitions must
+        be read from offset 0."""
+        with self._lock:
+            log = self._topics[topic]
+            while len(log.partitions) < new_total:
+                log.partitions.append([])
+
     def end_offsets(self, topic: str) -> list[int]:
         with self._lock:
             log = self._topics.get(topic)

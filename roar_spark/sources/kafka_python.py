@@ -173,12 +173,16 @@ def _plan_partitions(
 ) -> list[RangePartition]:
     """One slice per advancing topic-partition, then split further until
     there are at least ``minPartitions`` slices (largest ranges first —
-    the JVM source's minPartitions semantics)."""
+    the JVM source's minPartitions semantics). Keyed off ``end``: a
+    partition added to the topic mid-stream appears in the latest offsets
+    but not in the checkpointed start, and must be read from offset 0
+    (the JVM source's new-partition rule) — iterating ``start`` would
+    silently never read it."""
     slices = [
-        RangePartition(topic, int(p), int(s), int(end[topic][p]), opts)
-        for topic, parts in start.items()
-        for p, s in parts.items()
-        if int(end.get(topic, {}).get(p, s)) > int(s)
+        RangePartition(topic, int(p), int(start.get(topic, {}).get(p, 0)), int(e), opts)
+        for topic, parts in end.items()
+        for p, e in parts.items()
+        if int(e) > int(start.get(topic, {}).get(p, 0))
     ]
     while 0 < len(slices) < opts.min_partitions:
         widest = max(range(len(slices)), key=lambda i: slices[i].end - slices[i].start)
@@ -272,8 +276,11 @@ class RoarKafkaStreamReader(DataSourceStreamReader):
             # floor(cap * its_lag / total_lag), and any partition the floor
             # zeroes still advances by at least one record if it has lag,
             # so no partition starves.
+            # a partition absent from prev is NEW (added to the topic after
+            # the last batch): its whole log is lag, read from 0 — using
+            # latest as the fallback would zero its lag and skip its backlog
             lags = {
-                (t, p): latest[t][p] - int(prev.get(t, {}).get(p, latest[t][p]))
+                (t, p): latest[t][p] - int(prev.get(t, {}).get(p, 0))
                 for t in latest
                 for p in latest[t]
             }
@@ -281,7 +288,7 @@ class RoarKafkaStreamReader(DataSourceStreamReader):
             if total > cap:
                 capped: dict[str, dict[str, int]] = {}
                 for (t, p), lag in lags.items():
-                    begin = int(prev.get(t, {}).get(p, latest[t][p]))
+                    begin = int(prev.get(t, {}).get(p, 0))
                     grant = min(lag, max(cap * lag // total, 1)) if lag > 0 else 0
                     capped.setdefault(t, {})[p] = begin + grant
                 latest = capped

@@ -203,6 +203,16 @@ def test_options_parse_accepts_jvm_source_option_map():
     assert (opts.fetch_min_bytes, opts.fetch_max_bytes) == (1_000, 10_000_000)
 
 
+def test_plan_partitions_reads_new_partition_from_zero():
+    """A partition added mid-stream is in `end` (latest offsets) but not in
+    the checkpointed `start`; the JVM source reads it from 0 — so must we
+    (planning off `start`'s keys would silently never read it)."""
+    start = {"t": {"0": 10}}
+    end = {"t": {"0": 12, "1": 4}}
+    got = {(p.partition, p.start, p.end) for p in _plan_partitions(start, end, _opts())}
+    assert got == {(0, 10, 12), (1, 0, 4)}
+
+
 def test_plan_partitions_skips_empty_and_splits_to_min_partitions():
     start = {"t": {"0": 10, "1": 5, "2": 7}}
     end = {"t": {"0": 110, "1": 5, "2": 8}}
@@ -322,6 +332,44 @@ def test_spark_stream_starting_offsets_latest_skips_backlog(spark, tmp_path):
             query.processAllAvailable()
             rows = spark.sql("select offset from kafka_lt order by offset").collect()
             assert [r.offset for r in rows] == [9, 10, 11]
+        finally:
+            query.stop()
+
+
+def test_spark_stream_picks_up_partition_added_mid_stream(spark, tmp_path):
+    """Kafka topics only ever GROW partitions; a partition added while the
+    stream runs must be read from its beginning even under
+    startingOffsets=latest (the JVM source's new-partition rule)."""
+    with KafkaBroker(default_partitions=1) as broker, KafkaWireClient(
+        broker.bootstrap
+    ) as client:
+        client.produce("grow", 0, _records(2))
+        register(spark)
+        sdf = (
+            spark.readStream.format("roar_kafka")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", "grow")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("kafka_grow")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            assert spark.sql("select * from kafka_grow").count() == 2
+            broker.add_partitions("grow", 2)
+            client.produce("grow", 1, _records(3, partition_key=False))
+            query.processAllAvailable()
+            rows = spark.sql(
+                "select partition, offset from kafka_grow order by partition, offset"
+            ).collect()
+            assert [(r.partition, r.offset) for r in rows] == [
+                (0, 0), (0, 1), (1, 0), (1, 1), (1, 2),
+            ]
         finally:
             query.stop()
 
