@@ -111,6 +111,23 @@ def cmd_serve(args: argparse.Namespace) -> int:
         ]
         engine.ingest(topic, file_envelope_stream(spark, args.source_dir), sample)
     elif config.topics:
+        if args.schema_registry:
+            # the reference stores this URL and never dials it
+            # (kafka/consumer.go:103, decode TODO :660-661); here it
+            # resolves each --avro-topics topic's latest reader schema and
+            # registers the Avro converter for it (Confluent subject
+            # convention: "<topic>-value")
+            from roar_spark.schema_registry_http import HttpSchemaRegistry
+            from roar_spark.streaming.avro import avro_converter
+
+            registry = HttpSchemaRegistry(args.schema_registry)
+            avro_topics = {
+                t.strip() for t in args.avro_topics.split(",") if t.strip()
+            } or set(config.topics)
+            for topic in avro_topics & set(config.topics):
+                _, reader = registry.latest(f"{topic}-value")
+                conv, schema = avro_converter(registry.schemas_by_id(), reader)
+                engine.register_converter(topic, conv, schema)
         if args.kafka_wire:
             # pure-Python wire-protocol source (sources/kafka_python.py):
             # same option map, same envelope — no connector jar needed
@@ -409,6 +426,17 @@ def main(argv: list[str] | None = None) -> int:
         "--kafka-wire", action="store_true",
         help="read --topics through the pure-Python Kafka wire source "
         "(no spark-sql-kafka jar required) instead of format('kafka')",
+    )
+    serve.add_argument(
+        "--schema-registry", default="",
+        help="schema registry URL; Avro-decodes --avro-topics payloads "
+        "via each topic's '<topic>-value' latest schema (the reference "
+        "stores this flag without consuming it — kafka/consumer.go:103)",
+    )
+    serve.add_argument(
+        "--avro-topics", default="",
+        help="csv of topics to Avro-decode via --schema-registry "
+        "(default: all --topics)",
     )
     serve.add_argument(
         "--shards", type=int, default=1,
