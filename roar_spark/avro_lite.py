@@ -465,11 +465,22 @@ class SchemaRegistryLite:
     _subjects: dict[str, list[int]] = field(default_factory=dict)
     _by_id: dict[int, AvroSchema] = field(default_factory=dict)
     _raw_by_id: dict[int, str] = field(default_factory=dict)
+    _type_by_id: dict[int, str] = field(default_factory=dict)
     _next_id: int = 1
 
-    def register(self, subject: str, schema: str | dict) -> int:
-        raw = schema if isinstance(schema, str) else json.dumps(schema)
-        parsed = parse_schema(raw)
+    def register(
+        self, subject: str, schema: str | dict, schema_type: str = "AVRO"
+    ) -> int:
+        if schema_type == "AVRO":
+            raw = schema if isinstance(schema, str) else json.dumps(schema)
+            parsed = parse_schema(raw)
+        elif schema_type == "PROTOBUF":
+            from roar_spark.proto_lite import parse_proto  # avoid import cycle
+
+            raw = schema
+            parsed = parse_proto(raw)
+        else:
+            raise ValueError(f"unsupported schemaType {schema_type!r}")
         for sid in self._subjects.get(subject, []):
             if self._raw_by_id[sid] == raw:
                 return sid  # idempotent re-register, like the real thing
@@ -477,8 +488,12 @@ class SchemaRegistryLite:
         self._next_id += 1
         self._by_id[sid] = parsed
         self._raw_by_id[sid] = raw
+        self._type_by_id[sid] = schema_type
         self._subjects.setdefault(subject, []).append(sid)
         return sid
+
+    def type_of(self, schema_id: int) -> str:
+        return self._type_by_id.get(schema_id, "AVRO")
 
     def by_id(self, schema_id: int) -> AvroSchema:
         return self._by_id[schema_id]

@@ -120,11 +120,21 @@ def cmd_serve(args: argparse.Namespace) -> int:
             from roar_spark.schema_registry_http import HttpSchemaRegistry
             from roar_spark.streaming.avro import avro_converter
 
+            from roar_spark.streaming.proto import proto_converter
+
             registry = HttpSchemaRegistry(args.schema_registry)
-            avro_topics = {
-                t.strip() for t in args.avro_topics.split(",") if t.strip()
-            } or set(config.topics)
-            for topic in avro_topics & set(config.topics):
+            proto_topics = {
+                t.strip() for t in args.proto_topics.split(",") if t.strip()
+            }
+            avro_topics = (
+                {t.strip() for t in args.avro_topics.split(",") if t.strip()}
+                or set(config.topics) - proto_topics
+            )
+            for topic in proto_topics & set(config.topics):
+                _, reader_file = registry.latest(f"{topic}-value")
+                conv, schema = proto_converter(reader_file)
+                engine.register_converter(topic, conv, schema)
+            for topic in (avro_topics - proto_topics) & set(config.topics):
                 _, reader = registry.latest(f"{topic}-value")
                 conv, schema = avro_converter(registry.schemas_by_id(), reader)
                 engine.register_converter(topic, conv, schema)
@@ -436,7 +446,12 @@ def main(argv: list[str] | None = None) -> int:
     serve.add_argument(
         "--avro-topics", default="",
         help="csv of topics to Avro-decode via --schema-registry "
-        "(default: all --topics)",
+        "(default: all --topics not claimed by --proto-topics)",
+    )
+    serve.add_argument(
+        "--proto-topics", default="",
+        help="csv of topics to Protobuf-decode via --schema-registry "
+        "(subject '<topic>-value' must hold a PROTOBUF schema)",
     )
     serve.add_argument(
         "--shards", type=int, default=1,

@@ -18,7 +18,9 @@ shutdown joins). Client: ``HttpSchemaRegistry`` — the same ``register`` /
 ``avro_converter`` can resolve writer ids from executors (each worker
 keeps its own id→schema cache; ids are immutable in a registry, so the
 cache never invalidates). Against a real Confluent registry the same
-routes resolve — only Avro schema types are supported here (documented).
+routes resolve. Schema types: AVRO (default, type field omitted upstream)
+and PROTOBUF (``schemaType`` carried on register and returned on fetch,
+parsed by ``proto_lite``); JSON-Schema is not implemented.
 """
 
 from __future__ import annotations
@@ -29,6 +31,16 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from roar_spark.avro_lite import AvroSchema, SchemaRegistryLite, parse_schema
+
+
+def _parse_by_type(payload: dict):
+    """Registry response → parsed schema (Confluent omits schemaType for
+    AVRO; PROTOBUF responses carry it explicitly)."""
+    if payload.get("schemaType", "AVRO") == "PROTOBUF":
+        from roar_spark.proto_lite import parse_proto
+
+        return parse_proto(payload["schema"])
+    return parse_schema(payload["schema"])
 
 
 class RegistryHttpServer:
@@ -57,7 +69,10 @@ class RegistryHttpServer:
                 try:
                     if len(parts) == 3 and parts[:2] == ["schemas", "ids"]:
                         sid = int(parts[2])
-                        self._reply(200, {"schema": reg._raw_by_id[sid]})
+                        payload = {"schema": reg._raw_by_id[sid]}
+                        if reg.type_of(sid) != "AVRO":  # upstream omits AVRO
+                            payload["schemaType"] = reg.type_of(sid)
+                        self._reply(200, payload)
                     elif (
                         len(parts) == 4
                         and parts[0] == "subjects"
@@ -66,15 +81,15 @@ class RegistryHttpServer:
                     ):
                         subject = parts[1]
                         sid, _ = reg.latest(subject)
-                        self._reply(
-                            200,
-                            {
-                                "id": sid,
-                                "version": len(reg._subjects[subject]),
-                                "subject": subject,
-                                "schema": reg._raw_by_id[sid],
-                            },
-                        )
+                        payload = {
+                            "id": sid,
+                            "version": len(reg._subjects[subject]),
+                            "subject": subject,
+                            "schema": reg._raw_by_id[sid],
+                        }
+                        if reg.type_of(sid) != "AVRO":
+                            payload["schemaType"] = reg.type_of(sid)
+                        self._reply(200, payload)
                     else:
                         self._reply(404, {"error_code": 404, "message": "not found"})
                 except KeyError:
@@ -95,7 +110,11 @@ class RegistryHttpServer:
                 length = int(self.headers.get("Content-Length", "0"))
                 try:
                     payload = json.loads(self.rfile.read(length))
-                    sid = reg.register(parts[1], payload["schema"])
+                    sid = reg.register(
+                        parts[1],
+                        payload["schema"],
+                        payload.get("schemaType", "AVRO"),
+                    )
                 except (ValueError, KeyError) as exc:
                     self._reply(
                         422, {"error_code": 42201, "message": f"invalid schema: {exc}"}
@@ -151,19 +170,19 @@ class _LazySchemasById:
         self._base_url = state["_base_url"]
         self._cache = {}
 
-    def get(self, schema_id: int) -> AvroSchema | None:
+    def get(self, schema_id: int):
         if schema_id in self._cache:
             return self._cache[schema_id]
         try:
             with urllib.request.urlopen(
                 f"{self._base_url}/schemas/ids/{int(schema_id)}", timeout=10
             ) as resp:
-                raw = json.loads(resp.read())["schema"]
+                payload = json.loads(resp.read())
         except urllib.error.HTTPError as exc:
             if exc.code == 404:
                 return None
             raise
-        parsed = parse_schema(raw)
+        parsed = _parse_by_type(payload)
         self._cache[schema_id] = parsed
         return parsed
 
@@ -182,25 +201,30 @@ class HttpSchemaRegistry:
         self._base_url = base_url.rstrip("/")
         self._lazy = _LazySchemasById(self._base_url)
 
-    def register(self, subject: str, schema: str | dict) -> int:
+    def register(
+        self, subject: str, schema: str | dict, schema_type: str = "AVRO"
+    ) -> int:
         raw = schema if isinstance(schema, str) else json.dumps(schema)
+        body: dict = {"schema": raw}
+        if schema_type != "AVRO":
+            body["schemaType"] = schema_type
         req = urllib.request.Request(
             f"{self._base_url}/subjects/{subject}/versions",
-            data=json.dumps({"schema": raw}).encode("utf-8"),
+            data=json.dumps(body).encode("utf-8"),
             headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
             method="POST",
         )
         with urllib.request.urlopen(req, timeout=10) as resp:
             return int(json.loads(resp.read())["id"])
 
-    def latest(self, subject: str) -> tuple[int, AvroSchema]:
+    def latest(self, subject: str):
         with urllib.request.urlopen(
             f"{self._base_url}/subjects/{subject}/versions/latest", timeout=10
         ) as resp:
             payload = json.loads(resp.read())
-        return int(payload["id"]), parse_schema(payload["schema"])
+        return int(payload["id"]), _parse_by_type(payload)
 
-    def by_id(self, schema_id: int) -> AvroSchema:
+    def by_id(self, schema_id: int):
         return self._lazy[schema_id]
 
     def schemas_by_id(self) -> _LazySchemasById:
