@@ -75,6 +75,11 @@ def test_gate_calibrated_against_every_recorded_window():
         # windows (r3-r9) replay at drift 1.0, which they pass.
         probes = parsed.get("calibration_probes")
         drift = bench.probe_drift_ratio(probes) if probes else 1.0
+        # r11: a window that triggered the adjacent probe recheck gates on
+        # the larger of the two readings — replay it the same way
+        recheck = parsed.get("recheck_probes")
+        if recheck:
+            drift = max(drift, bench.probe_drift_ratio(recheck))
         hits = bench.find_regressions(queries, bench.BUDGETS_SF01, drift)
         assert hits == [], f"{os.path.basename(path)} would trip the gate: {hits}"
         checked += 1
@@ -144,6 +149,28 @@ def test_probe_drift_is_code_independent_and_clamped():
     noisy = {n: v for n, v in b.items()}
     noisy[next(iter(noisy))] *= 3.0
     assert bench.probe_drift_ratio(noisy) == 1.0
+
+
+def test_adjacent_recheck_cannot_relieve_a_code_regression():
+    """r11: when the start-drift evaluation flags queries, the gate
+    re-measures the probes adjacent to the failure and uses the LARGER
+    drift. Both probe samples are code-independent, so an engine
+    regression reads quiet probes twice and still trips; only a host that
+    measurably slowed between session start and the flagged queries earns
+    relief — and never below the initial reading, never above the cap."""
+    b = bench.PROBE_BUDGETS
+    initial = bench.probe_drift_ratio(dict(b))  # quiet start
+    quiet_recheck = bench.probe_drift_ratio(dict(b))
+    assert max(initial, quiet_recheck) == 1.0  # regression still gated at 1.0
+    slow_recheck = bench.probe_drift_ratio({n: v * 1.6 for n, v in b.items()})
+    assert abs(max(initial, slow_recheck) - 1.6) < 1e-9  # real host dip relieves
+    assert (
+        max(
+            bench.probe_drift_ratio({n: v * 1.8 for n, v in b.items()}),
+            bench.probe_drift_ratio({n: v * 9 for n, v in b.items()}),
+        )
+        == bench.HOST_DRIFT_CAP  # recheck relief stays capped
+    )
 
 
 def test_uniform_engine_regression_trips_under_quiet_probes():
