@@ -861,3 +861,92 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): the unit of duplication is a TOKEN SPAN,
+# not a whole document — boilerplate headers, licence blocks, and quoted
+# passages repeat verbatim across otherwise-distinct documents. The
+# canonical implementation is a corpus-wide suffix array; the Spark-native
+# equivalent below reaches the same ≥-L-token duplicated spans through
+# fixed-length window seeds + island merging, which needs only equi-keyed
+# shuffles (no global suffix order, no cross-partition binary search).
+SUBSTRING_WINDOW = 10  # seed length L in tokens; spans reported are ≥ L
+
+
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, window: int = SUBSTRING_WINDOW
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (exact-substring
+    dedup). A position is duplicated iff some L-token window covering it
+    occurs verbatim in ≥ 2 distinct documents; overlapping/adjacent
+    duplicated seeds merge into maximal spans (doc_id, span_start,
+    span_end, span_len), token positions 0-based inclusive.
+
+    Correctness: every duplicated substring of length ≥ L contains an
+    L-window at each start offset, and each of those windows matches in
+    the partner doc — so the union of flagged seeds covers exactly the
+    duplicated positions and island-merging reconstructs the maximal
+    span. Substrings shorter than L are invisible by contract (same
+    threshold semantics as the suffix-array formulation's min-match
+    length). Intra-document repeats are NOT flagged (min≠max doc test is
+    cross-document by construction).
+
+    Scale shape (100 TB): one per-token-position seed table (~n_tokens
+    rows of (doc_id, start, 16-byte window hash)) shuffled once on the
+    hash with a min/max-doc_id window attaching cross-doc evidence in
+    place — the no-join single-pass form text_dup_ngrams measured 2×
+    faster than df-agg + join-back at this fan-out (hot-hash caveat and
+    the salted agg+join fallback documented there apply identically).
+    Everything after the seed filter touches only duplicated seeds
+    (corpus-sparse); the gaps-and-islands merge is two windows and an
+    aggregation on the doc key. All JVM-side, md5 seeds → exact DuckDB
+    oracle."""
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    L = window
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(F.size("t") >= L)
+    # one md5 per window start; posexplode keeps the 0-based start offset
+    seeds = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - L),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, L))),
+            )
+        ).alias("start", "wh"),
+    )
+    wh_win = W.partitionBy("wh")
+    dup = (
+        seeds.withColumn("mn", F.min("doc_id").over(wh_win))
+        .withColumn("mx", F.max("doc_id").over(wh_win))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "start")
+    )
+    # gaps-and-islands: seeds of length L overlap/abut iff the next start
+    # is within L of the previous; a running sum of break flags numbers
+    # the islands, and each island's extent is the maximal span
+    doc_win = W.partitionBy("doc_id").orderBy("start")
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.lag("start").over(doc_win), F.lit(-L - 1)) + L,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(doc_win.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + L - 1).cast("long").alias("span_end"),
+            (F.max("start") + L - F.min("start")).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+    return spans

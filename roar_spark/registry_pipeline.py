@@ -888,3 +888,40 @@ PIPELINE_ORACLES["multimodal_features"] = """
     GROUP BY src.doc_id, src.n_bytes
     ORDER BY src.doc_id
 """
+
+
+# --- round-11 addition: exact-substring span dedup (Lee et al. 2022) ---
+
+PIPELINE_QUERIES["dedup_substring_spans"] = D.dedup_substring_spans
+PIPELINE_ORACLES["dedup_substring_spans"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    win AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(
+                   list_slice(t, i, i + {D.SUBSTRING_WINDOW} - 1), ' ')) AS wh
+      FROM tok, unnest(range(1, len(t) - {D.SUBSTRING_WINDOW} + 2)) AS u(i)
+      WHERE len(t) >= {D.SUBSTRING_WINDOW}),
+    flagged AS (
+      SELECT doc_id, start,
+             min(doc_id) OVER (PARTITION BY wh) AS mn,
+             max(doc_id) OVER (PARTITION BY wh) AS mx
+      FROM win),
+    isl AS (
+      SELECT doc_id, start,
+             CASE WHEN start > COALESCE(lag(start) OVER (PARTITION BY doc_id
+                                                         ORDER BY start),
+                                        -{D.SUBSTRING_WINDOW} - 1)
+                              + {D.SUBSTRING_WINDOW}
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged WHERE mn <> mx),
+    grp AS (
+      SELECT doc_id, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + {D.SUBSTRING_WINDOW} - 1 AS BIGINT) AS span_end,
+           CAST(max(start) + {D.SUBSTRING_WINDOW} - min(start) AS BIGINT) AS span_len
+    FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
