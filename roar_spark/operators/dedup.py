@@ -950,3 +950,83 @@ def dedup_substring_spans(
         .orderBy("doc_id", "span_start")
     )
     return spans
+
+
+def dedup_substring_strip(
+    spark: SparkSession, sf_dir: str, window: int = SUBSTRING_WINDOW
+) -> DataFrame:
+    """The transform half of exact-substring dedup (Lee et al. 2022 keep
+    one occurrence): token position p in doc d is EXCISED iff covered by
+    an L-window that also occurs in an earlier document (min owner
+    doc_id < d) — the first document to carry a passage keeps it, every
+    later carrier loses exactly the duplicated positions. Emits per-doc
+    (n_tokens, n_removed, kept_md5) where kept_md5 digests the cleaned
+    space-joined text (the text_pii_scrub convention — audit + content
+    digest, no megabyte strings through the compare harness). A doc that
+    is a verbatim later-copy strips to the empty string.
+
+    Scale shape: seed generation + min-owner window + island merge are
+    dedup_substring_spans' plan (one hash-keyed shuffle, downstream
+    touches only duplicated seeds). The excision itself is ARRAY-NATIVE:
+    per-doc removal spans aggregate to one (start, end) list, LEFT-join
+    onto the corpus by doc_id, and a filter-with-index lambda drops
+    covered positions in place — the token table is never exploded, so
+    the rebuild costs one doc-keyed join against the corpus-sparse span
+    table, with no per-token shuffle and no reassembly aggregation."""
+    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    L = window
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    seeds = tok.filter(F.size("t") >= L).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - L),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, L))),
+            )
+        ).alias("start", "wh"),
+    )
+    rm = (
+        seeds.withColumn("mn", F.min("doc_id").over(W.partitionBy("wh")))
+        .filter(F.col("mn") < F.col("doc_id"))
+        .select("doc_id", "start")
+    )
+    doc_win = W.partitionBy("doc_id").orderBy("start")
+    spans = (
+        rm.withColumn(
+            "brk",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.lag("start").over(doc_win), F.lit(-L - 1)) + L,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(doc_win.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), (F.max("start") + L - 1).alias("e"))
+    )
+    # one flat 0-based removed-position array per doc; islands are
+    # disjoint by construction so the flatten needs no dedup
+    rm_arr = spans.groupBy("doc_id").agg(
+        F.flatten(
+            F.collect_list(F.sequence(F.col("s"), F.col("e")))
+        ).alias("rm_pos")
+    )
+    joined = tok.join(rm_arr, "doc_id", "left")
+    kept = F.when(F.col("rm_pos").isNull(), F.col("t")).otherwise(
+        F.filter(
+            "t", lambda x, i: ~F.array_contains(F.col("rm_pos"), i)
+        )
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

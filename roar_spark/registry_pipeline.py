@@ -925,3 +925,44 @@ PIPELINE_ORACLES["dedup_substring_spans"] = f"""
            CAST(max(start) + {D.SUBSTRING_WINDOW} - min(start) AS BIGINT) AS span_len
     FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
+
+PIPELINE_QUERIES["dedup_substring_strip"] = D.dedup_substring_strip
+PIPELINE_ORACLES["dedup_substring_strip"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    win AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(
+                   list_slice(t, i, i + {D.SUBSTRING_WINDOW} - 1), ' ')) AS wh
+      FROM tok, unnest(range(1, len(t) - {D.SUBSTRING_WINDOW} + 2)) AS u(i)
+      WHERE len(t) >= {D.SUBSTRING_WINDOW}),
+    flagged AS (
+      SELECT doc_id, start, min(doc_id) OVER (PARTITION BY wh) AS mn FROM win),
+    isl AS (
+      SELECT doc_id, start,
+             CASE WHEN start > COALESCE(lag(start) OVER (PARTITION BY doc_id
+                                                         ORDER BY start),
+                                        -{D.SUBSTRING_WINDOW} - 1)
+                              + {D.SUBSTRING_WINDOW}
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged WHERE mn < doc_id),
+    grp AS (
+      SELECT doc_id, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, min(start) AS s, max(start) + {D.SUBSTRING_WINDOW} - 1 AS e
+      FROM grp GROUP BY doc_id, island),
+    pos AS (SELECT doc_id, unnest(t) AS tk, unnest(range(0, len(t))) AS p FROM tok),
+    removed AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+    keptrows AS (SELECT doc_id, tk, p FROM pos ANTI JOIN removed USING (doc_id, p)),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY p) AS txt
+      FROM keptrows GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(k.txt, '')) AS kept_md5
+    FROM tok LEFT JOIN kept k USING (doc_id) ORDER BY tok.doc_id
+"""

@@ -154,3 +154,80 @@ def test_matches_bruteforce_oracle_random_corpus(spark, tmp_path):
     )
     assert got == sorted(expect)
     assert len(got) >= 6  # the planted copies are visible
+
+
+# --- dedup_substring_strip (the keep-first-occurrence transform) ---
+
+import hashlib
+
+from roar_spark.operators.dedup import dedup_substring_strip
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_strip_first_owner_keeps_later_doc_loses_span(spark, tmp_path):
+    shared = _words("s", L + 3)
+    doc_a = _words("a", 2) + shared           # doc 0: first owner, untouched
+    doc_b = _words("b", 4) + shared + _words("c", 2)  # doc 1: loses the span
+    sf = _write_docs(tmp_path, [" ".join(doc_a), " ".join(doc_b)])
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+           for r in dedup_substring_strip(spark, sf).collect()}
+    assert got[0] == (len(doc_a), 0, _md5(" ".join(doc_a)))
+    assert got[1] == (
+        len(doc_b),
+        len(shared),
+        _md5(" ".join(_words("b", 4) + _words("c", 2))),
+    )
+
+
+def test_strip_verbatim_copy_strips_to_empty(spark, tmp_path):
+    doc = _words("x", L + 5)
+    sf = _write_docs(tmp_path, [" ".join(doc), " ".join(doc)])
+    got = {r.doc_id: (r.n_removed, r.kept_md5)
+           for r in dedup_substring_strip(spark, sf).collect()}
+    assert got[0] == (0, _md5(" ".join(doc)))
+    assert got[1] == (len(doc), _md5(""))
+
+
+def test_strip_short_doc_passes_through(spark, tmp_path):
+    """Docs below the L-token seed threshold are never candidates and
+    come through byte-identical."""
+    short = _words("q", L - 2)
+    sf = _write_docs(tmp_path, [" ".join(short), " ".join(_words("r", L + 2))])
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+           for r in dedup_substring_strip(spark, sf).collect()}
+    assert got[0] == (len(short), 0, _md5(" ".join(short)))
+
+
+def test_strip_matches_bruteforce_oracle_random_corpus(spark, tmp_path):
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [[rng.choice(vocab) for _ in range(rng.randint(L, 40))] for _ in range(30)]
+    for _ in range(6):
+        src, dst = rng.sample(range(30), 2)
+        ln = rng.randint(L, min(len(docs[src]), L + 8))
+        st = rng.randint(0, len(docs[src]) - ln)
+        ins = rng.randint(0, len(docs[dst]))
+        docs[dst] = docs[dst][:ins] + docs[src][st : st + ln] + docs[dst][ins:]
+    sf = _write_docs(tmp_path, [" ".join(d) for d in docs])
+
+    from collections import defaultdict
+
+    owners = defaultdict(list)
+    for i, d in enumerate(docs):
+        for s in range(len(d) - L + 1):
+            owners[" ".join(d[s : s + L])].append(i)
+    expect = {}
+    for i, d in enumerate(docs):
+        removed = set()
+        for s in range(len(d) - L + 1):
+            if min(owners[" ".join(d[s : s + L])]) < i:
+                removed.update(range(s, s + L))
+        kept = [t for p, t in enumerate(d) if p not in removed]
+        expect[i] = (len(d), len(removed), _md5(" ".join(kept)))
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+           for r in dedup_substring_strip(spark, sf).collect()}
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values())
