@@ -1030,3 +1030,98 @@ def dedup_substring_strip(
         )
         .orderBy("doc_id")
     )
+
+
+BAND_EVIDENCE_SCHEMA = (
+    "band int, band_key string, doc_id bigint, first_doc_id bigint,"
+    " is_first boolean"
+)
+
+
+def dedup_stream_bands(
+    parsed: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash-LSH near-dup CANDIDATE screen on the ingest path: the same
+    8-minhash / 4-band family as batch dedup_minhash_lsh, evaluated as a
+    continuous stream. Each arriving document emits one evidence row per
+    band — (band, band_key, doc_id, first_doc_id, is_first) — where
+    first_doc_id is the document that FIRST carried that band key
+    (first-arrival-wins, the curate_stream convention: a stream cannot
+    know the future, so on a doc_id-ordered replay it agrees with the
+    batch min-doc_id banding — equality test-pinned). A doc with any
+    evidence row where is_first is false shares a band with an earlier
+    document and is exactly the candidate set the batch operator would
+    verify; verification (true Jaccard) is a downstream batch join by
+    contract, the same division of labor as the batch op.
+
+    Scale shape: signatures are computed MAP-SIDE inside the micro-batch
+    — array-native min over the per-doc shingle array (array_min ==
+    the groupBy-min the batch op aggregates, no per-doc shuffle) — and
+    the only stateful stage is keyed by band_key with state = ONE long
+    per distinct key (the first owner). State grows with distinct band
+    keys, not stream volume, and two chained minhashes per key keep
+    bucket cardinality near 1 except for true near-dup groups (the same
+    argument as the batch banding)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import parity
+
+    rows_per_band = N_MINHASH // N_BANDS
+    mh = [
+        F.array_min(F.transform(F.col("sh"), lambda s, j=j: minhash_str(s, j)))
+        for j in range(N_MINHASH)
+    ]
+    bands = (
+        parsed.select(
+            F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("t")
+        )
+        # same guard as _doc_shingles: < 3 tokens would run word_shingles'
+        # F.sequence backwards and fabricate wrap-around shingles
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.array_distinct(word_shingles(F.col("t"))).alias("sh"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                *[mh[b * rows_per_band + r] for r in range(rows_per_band)]
+                            ).alias("band_key"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    )
+
+    def _first_owner(key, pdfs, state: "GroupState"):
+        band, band_key = int(key[0]), str(key[1])
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(pdf["doc_id"].astype("int64").tolist())
+        ids.sort()  # in-batch determinism: lowest doc_id wins the key
+        (first,) = state.get if state.exists else (None,)
+        if first is None:
+            first = ids[0]
+        state.update((int(first),))
+        yield pd.DataFrame(
+            {
+                "band": [band] * len(ids),
+                "band_key": [band_key] * len(ids),
+                "doc_id": ids,
+                "first_doc_id": [int(first)] * len(ids),
+                "is_first": [i == first for i in ids],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band", "band_key").applyInPandasWithState(
+        _first_owner,
+        outputStructType=BAND_EVIDENCE_SCHEMA,
+        stateStructType="first_doc_id bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

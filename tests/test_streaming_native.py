@@ -491,3 +491,110 @@ def test_merge_evict_sorts_across_batches():
     kept, dropped = merge_evict([(10, 1.0), (11, 2.0)], [(5, 0.5)], cap=2)
     assert [s for s, _ in kept] == [10, 11]  # seq 5 IS the oldest → evicted
     assert dropped == 1
+
+
+def test_dedup_stream_bands_matches_batch_banding_and_carries_state(spark, tmp_path):
+    """The streaming MinHash-band screen: on a doc_id-ordered replay of a
+    corpus, the set of docs flagged non-first (sharing a band with an
+    earlier doc) equals the batch banding's candidate partners — including
+    a near-dup arriving in a LATER micro-batch (state carry), which is the
+    case a batch recomputation cannot see."""
+    from roar_spark.operators.dedup import dedup_stream_bands
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("theta", "THETA")  # 1 token differs → shares bands
+    other = "one two three four five six seven eight nine ten"
+    docs_b1 = [(1, base), (2, other)]
+    docs_b2 = [(3, near), (4, "lone wolf text with no relatives at all ok")]
+
+    src = str(tmp_path / "bands")
+    engine = StreamEngine(spark, EngineConfig())
+    handle = engine.register_stream("bands", [json.dumps({"doc_id": 1, "text": base})])
+    write_envelope_file(
+        src,
+        [_msg(i, "2026-08-13T09:00:00Z", doc_id=d, text=t)
+         for i, (d, t) in enumerate(docs_b1)],
+        file_name="a.json",
+    )
+    parsed = parse_envelope(file_envelope_stream(spark, src), handle.schema)
+    out = dedup_stream_bands(parsed)
+    q = out.writeStream.format("memory").queryName("bands_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        write_envelope_file(
+            src,
+            [_msg(10 + i, "2026-08-13T09:00:01Z", doc_id=d, text=t)
+             for i, (d, t) in enumerate(docs_b2)],
+            file_name="b.json",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM bands_out").collect()
+    finally:
+        q.stop()
+
+    # every doc emits one evidence row per band
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in rows)
+    assert per_doc == {1: 4, 2: 4, 3: 4, 4: 4}
+    flagged = {r.doc_id for r in rows if not r.is_first}
+    owners = {r.first_doc_id for r in rows if r.doc_id == 3 and not r.is_first}
+    # doc 3 (near-dup of 1, later batch) is the only candidate; its
+    # evidence points at doc 1
+    assert flagged == {3}
+    assert owners == {1}
+
+    # batch equivalence on the same corpus: candidate partners from the
+    # batch banding == stream's flagged set (doc_id-ordered replay)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    all_docs = docs_b1 + docs_b2
+    texts = [t for _, t in all_docs]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in all_docs], pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    from roar_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        _bucket_pairs,
+        _doc_shingles,
+    )
+    from roar_spark.functions.text_fns import minhash_str
+
+    sh = _doc_shingles(spark, str(d))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(minhash_str(F.col("shingle"), j)).alias(f"mh{j}") for j in range(N_MINHASH)]
+    )
+    rpb = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(*[F.col(f"mh{b * rpb + r}") for r in range(rpb)]).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    batch_partners = {
+        r.doc_id_b for r in _bucket_pairs(bands, "band", "band_key").collect()
+    }
+    assert batch_partners == flagged
