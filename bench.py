@@ -113,6 +113,17 @@ BUDGETS_SF01 = {
     "embedding_knn_classify_bulk": 3.948,
     "pack_sequences": 0.730,
     "dedup_embedding_lsh": 1.614,
+    # r11 additions (substring-dedup family): these two post-date the
+    # anchor window, so their budgets are converted INTO anchor-era units
+    # from an idle-box r11 session — best-of-3 divided by the same
+    # session's median measured/budget ratio over 5 anchored queries
+    # (1.167: q1 1.17, minhash 1.21, fingerprint 1.17, agg_distinct
+    # 1.05, window_running 1.11 — the query-lane conversion, not the
+    # probe lane, which disagreed by 30% in the same session and is
+    # exactly the lane-noise problem the adjacent-recheck handles).
+    # Re-anchor alongside everything else at the next budget re-base.
+    "dedup_substring_spans": 1.145,
+    "dedup_substring_strip": 1.429,
 }
 
 # --- code-independent host calibration (r10; closes the r9 ADVICE hole
