@@ -313,6 +313,25 @@ class ParquetStore:
         return []
 
 
+# Failure signatures that are INFRASTRUCTURE-transient, not plan or data
+# errors: Spark's worker-spawn handshake gives a forked Python worker a
+# hardcoded 10 s to connect back (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS,
+# not configurable), and a host-steal burst at query start kills a
+# Python-data-source query at INITIALIZING with nothing committed. Restarting
+# against the same checkpoint is lossless by construction. Deliberately
+# narrow: analysis errors, data errors, and engine bugs must NOT be retried.
+_TRANSIENT_STREAM_SIGNATURES = (
+    "Python worker failed to connect back",
+    "Timed out while waiting for the Python worker",
+)
+
+
+def is_transient_stream_failure(message: str) -> bool:
+    """True iff a streaming-query failure message matches a known
+    infrastructure-transient signature (worker-spawn handshake timeouts)."""
+    return any(sig in message for sig in _TRANSIENT_STREAM_SIGNATURES)
+
+
 @dataclass
 class StreamHandle:
     topic: str
@@ -339,6 +358,11 @@ class StreamEngine:
         self.config = config or EngineConfig()
         self._streams: dict[str, StreamHandle] = {}
         self._pending_queries: dict[str, object] = {}  # deferred-bootstrap topics
+        # envelope plan per ingesting topic: a streaming DataFrame is a
+        # logical plan, so it can start a FRESH query against the same
+        # checkpoint — what restart_ingest/process_all use to survive
+        # transient worker-spawn failures (see is_transient_stream_failure)
+        self._ingest_envelopes: dict[str, DataFrame] = {}
         self._converters: dict[str, object] = {}  # topic → converter (A13)
         # last-known schema of janitor-expired topics: lets append_batch
         # revive an expired topic without re-inference (the streaming path
@@ -468,6 +492,13 @@ class StreamEngine:
         # waiting for the first real batch (r5 review)
         if sample_payloads:
             self.register_stream(topic, sample_payloads)
+        self._ingest_envelopes[topic] = envelope
+        return self._start_ingest_query(topic, envelope)
+
+    def _start_ingest_query(self, topic: str, envelope: DataFrame):
+        """Start (or restart) the per-topic query against the topic's
+        checkpoint. Split from ingest() so restart_ingest can re-run the
+        start against the SAME checkpoint after a transient failure."""
 
         def _append(batch_df: DataFrame, _batch_id: int) -> None:
             # single locked lookup: a separate known-check + bare
@@ -532,6 +563,54 @@ class StreamEngine:
                 self._pending_queries[topic] = query
         self._ensure_janitor()
         return handle
+
+    def _live_query(self, topic: str):
+        with self._lock:
+            handle = self._streams.get(topic)
+            if handle is not None and handle.query is not None:
+                return handle.query
+            return self._pending_queries.get(topic)
+
+    def restart_ingest(self, topic: str):
+        """Start a FRESH streaming query for an ingesting topic against its
+        existing checkpoint (exactly-once resume — a query that died before
+        committing re-plans the same offsets). The old query, if any, is
+        stopped defensively first. KeyError for topics never ingest()ed."""
+        envelope = self._ingest_envelopes[topic]
+        old = self._live_query(topic)
+        if old is not None:
+            try:
+                old.stop()
+            except Exception:  # noqa: BLE001 — already-dead queries throw freely
+                pass
+        self._start_ingest_query(topic, envelope)
+        return self._live_query(topic)
+
+    def process_all(self, topic: str, transient_restarts: int = 2) -> None:
+        """processAllAvailable on the topic's ingest query, restarting it
+        on TRANSIENT infrastructure failures (bounded): Spark's Python
+        worker-spawn handshake has a hardcoded 10 s connect-back budget
+        (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS), and under host CPU
+        steal a Python-data-source query dies at INITIALIZING with
+        'Python worker failed to connect back' before committing anything.
+        A production pipeline supervises streaming queries for exactly this
+        class; this is that supervision for engine-owned ingest queries.
+        Non-transient failures re-raise unchanged on the first occurrence."""
+        attempt = 0
+        while True:
+            query = self._live_query(topic)
+            if query is None:
+                raise KeyError(f"no ingest query for topic {topic!r}")
+            try:
+                query.processAllAvailable()
+                return
+            except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+                if attempt >= transient_restarts or not is_transient_stream_failure(
+                    str(exc)
+                ):
+                    raise
+                attempt += 1
+                self.restart_ingest(topic)
 
     def append_batch(self, topic: str, envelope_batch: DataFrame) -> int:
         """Batch-mode append (tests / backfill): same parse + retention +

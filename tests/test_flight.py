@@ -146,7 +146,7 @@ def test_flight_streaming_source_engine_to_engine(served_engine, spark, tmp_path
         (f.name, f.dataType) for f in engine_a.get_schema("clicks").fields
     ]
     try:
-        handle.query.processAllAvailable()
+        engine_b.process_all("clicks_replica")
         replica = {r.kafka_offset: r for r in engine_b.fetch("clicks_replica", -1).collect()}
         source = {r.kafka_offset: r for r in engine_a.fetch("clicks", -1).collect()}
         assert replica == source and len(replica) == 20
@@ -170,7 +170,7 @@ def test_flight_streaming_source_engine_to_engine(served_engine, spark, tmp_path
                 ],
             )
             engine_a.append_batch("clicks", read_envelope_batch(spark, d))
-        handle.query.processAllAvailable()
+        engine_b.process_all("clicks_replica")
         rows = engine_b.fetch("clicks_replica", -1).collect()
         assert len(rows) == 25  # exactly once while the buffer holds
         assert {r.kafka_offset for r in rows} == set(range(25))

@@ -160,7 +160,7 @@ def test_sharded_source_engine_to_engine(sharded_engine, spark, tmp_path):
         engine_b, "replica", location, remote_topic="clicks", sharded="true"
     )
     try:
-        handle.query.processAllAvailable()
+        engine_b.process_all("replica")
         rows = engine_b.fetch("replica", -1).collect()
         source = engine_a.fetch("clicks", -1).collect()
         assert {r.kafka_offset: r for r in rows} == {
@@ -168,7 +168,7 @@ def test_sharded_source_engine_to_engine(sharded_engine, spark, tmp_path):
         } and len(rows) == 40
         # incremental: the next trigger ships ONLY the delta, sharded
         _feed(spark, engine_a, "clicks", 40, 50, kind="late")
-        handle.query.processAllAvailable()
+        engine_b.process_all("replica")
         rows = engine_b.fetch("replica", -1).collect()
         assert sorted(r.kafka_offset for r in rows) == list(range(50))
         assert handle.records_total == 50  # no re-delivery of the prefix
@@ -460,7 +460,7 @@ def test_sharded_source_survives_reshard_across_restart(spark, tmp_path):
             remote_topic="clicks",
             sharded="true",
         )
-        handle.query.processAllAvailable()
+        engine_b.process_all("replica")
         assert sorted(
             r.kafka_offset for r in engine_b.fetch("replica", -1).collect()
         ) == list(range(40))
@@ -477,7 +477,7 @@ def test_sharded_source_survives_reshard_across_restart(spark, tmp_path):
             remote_topic="clicks",
             sharded="true",
         )
-        handle.query.processAllAvailable()
+        engine_b.process_all("replica")
         rows = [r.kafka_offset for r in engine_b.fetch("replica", -1).collect()]
         # no eviction happened: the resumed run ships exactly the delta —
         # zero loss AND zero duplicates across the reshard
@@ -490,7 +490,7 @@ def test_sharded_source_survives_reshard_across_restart(spark, tmp_path):
         _feed(spark, engine_a, "clicks", 55, 60, kind="tail")
         assert store.records_dropped > 0, "scenario needs a real eviction"
         retained = {r.kafka_offset for r in engine_a.fetch("clicks", -1).collect()}
-        handle.query.processAllAvailable()
+        engine_b.process_all("replica")
         rows = [r.kafka_offset for r in engine_b.fetch("replica", -1).collect()]
         assert retained <= set(rows), "silent loss across eviction+reshard"
         assert len(rows) > len(set(rows)), (

@@ -1113,3 +1113,94 @@ def test_rescued_composes_with_nested_inference(spark, tmp_path):
         if handle.query is not None:
             handle.query.stop()
         engine.stop()
+
+
+def test_transient_failure_classifier():
+    from roar_spark.streaming.manager import is_transient_stream_failure
+
+    assert is_transient_stream_failure(
+        "[STREAM_FAILED] ... Python worker failed to connect back. SQLSTATE: XXKST"
+    )
+    assert is_transient_stream_failure(
+        "Timed out while waiting for the Python worker to connect back"
+    )
+    # plan/data/engine errors must never be retried
+    assert not is_transient_stream_failure("AnalysisException: column n not found")
+    assert not is_transient_stream_failure("division by zero")
+
+
+def test_restart_ingest_resumes_from_checkpoint_without_duplicates(spark, tmp_path):
+    """restart_ingest starts a FRESH query against the same checkpoint:
+    already-committed batches are not re-delivered, rows fed after the
+    restart arrive — the lossless-resume property process_all relies on."""
+    src = str(tmp_path / "restart_src")
+    write_envelope_file(src, _msgs(12), file_name="a.json")
+    engine = StreamEngine(
+        spark,
+        EngineConfig(flush_interval_seconds=1, buffer_limit_bytes=10_000_000,
+                     checkpoint_path=str(tmp_path / "ckpt")),
+    )
+    handle = engine.ingest(
+        "rst", file_envelope_stream(spark, src), [json.dumps({"n": 1, "s": "x"})]
+    )
+    try:
+        engine.process_all("rst")
+        assert engine.fetch("rst", limit=-1).count() == 12
+        old_query = handle.query
+        new_query = engine.restart_ingest("rst")
+        assert new_query is not None and new_query is not old_query
+        assert handle.query is new_query  # handle re-attached
+        write_envelope_file(src, _msgs(5, start_offset=12), file_name="b.json")
+        engine.process_all("rst")
+        served = engine.fetch("rst", limit=-1)
+        offsets = sorted(r.kafka_offset for r in served.collect())
+        assert offsets == list(range(17))  # no loss, no re-delivery
+        assert handle.records_total == 17
+    finally:
+        engine.stop()
+
+
+def test_process_all_restarts_on_transient_failure_only(spark, tmp_path):
+    """process_all retries ONLY the documented transient signatures, a
+    bounded number of times; other failures surface unchanged."""
+    engine = StreamEngine(spark, EngineConfig())
+
+    class _FlakyQuery:
+        def __init__(self, fails, message):
+            self.fails, self.message, self.calls = fails, message, 0
+
+        def processAllAvailable(self):
+            self.calls += 1
+            if self.calls <= self.fails:
+                raise RuntimeError(self.message)
+
+        def stop(self):
+            pass
+
+    transient = "Python worker failed to connect back."
+    q = _FlakyQuery(fails=1, message=transient)
+    engine._pending_queries["t"] = q
+    restarts = []
+    engine.restart_ingest = lambda topic: restarts.append(topic)  # type: ignore[method-assign]
+    engine.process_all("t")  # fails once (transient), restarted, succeeds
+    assert q.calls == 2 and restarts == ["t"]
+
+    # non-transient: raises on first failure, no restart
+    q2 = _FlakyQuery(fails=1, message="AnalysisException: boom")
+    engine._pending_queries["t2"] = q2
+    try:
+        engine.process_all("t2")
+        raise AssertionError("expected the non-transient failure to surface")
+    except RuntimeError as exc:
+        assert "boom" in str(exc)
+    assert q2.calls == 1 and restarts == ["t"]
+
+    # transient but persistent: bounded retries then surface
+    q3 = _FlakyQuery(fails=99, message=transient)
+    engine._pending_queries["t3"] = q3
+    try:
+        engine.process_all("t3")
+        raise AssertionError("expected the persistent failure to surface")
+    except RuntimeError:
+        pass
+    assert q3.calls == 3  # initial + 2 transient restarts
