@@ -409,49 +409,51 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-window sf0.1 A/B shows the exchange is free there). No-op on
     real multi-file corpora."""
     docs = load_table(spark, "documents", sf_dir, spread=True)
-    tok = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .withColumn("tok_md5", F.md5(F.col("tok")))
-    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     # parse the 15-digit hex prefix into ONE long (a single conv), then
     # per-digit values are shift+mask arithmetic and an array-literal
     # lookup turns each into its packed lanes. The previous form probed
     # each digit with its own strpos+substr — 15 string scans per token —
     # which the 4M e2e run exposed as the operator's dominant cost
     # (sig build 51.8 s -> 22-28 s with conv, same-window 4M measures).
-    from roar_spark.functions.text_fns import hex_prefix_long
-
+    #
+    # The projection / reconstruction expressions are built as SQL strings
+    # and parsed server-side in ONE call each (r11): the Column-API form
+    # of the 60-term majority reconstruction cost ~7.8k py4j round trips
+    # (~1.6 s of driver time PER INVOCATION — measured with cProfile,
+    # 97% of the operator's sf0.1 cost was plan build + planning, 0.13 s
+    # execution). Semantics are expression-for-expression identical; the
+    # oracle and the packing property tests pin that.
     n_digits = SIMHASH_BITS // 4
-    lookup = F.lit(_PACK_LOOKUP)
-    tok = tok.withColumn("h60", hex_prefix_long(F.col("tok_md5"), n_digits))
-    tok = tok.select(
+    tok = tok.selectExpr(
+        "doc_id",
+        f"CAST(conv(substring(md5(tok), 1, {n_digits}), 16, 10) AS BIGINT) AS h60",
+    )
+    lookup_sql = ",".join(f"{v}L" for v in _PACK_LOOKUP)
+    tok = tok.selectExpr(
         "doc_id",
         *[
-            F.element_at(
-                lookup,
-                F.shiftright(F.col("h60"), 4 * (n_digits - 1 - d))
-                .bitwiseAND(F.lit(15))
-                .cast("int")
-                + 1,
-            ).alias(f"p{d}")
+            f"element_at(array({lookup_sql}),"
+            f" CAST((shiftright(h60, {4 * (n_digits - 1 - d)}) & 15) AS INT) + 1)"
+            f" AS p{d}"
             for d in range(n_digits)
         ],
     )
     packed = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(F.col(f"p{d}")).alias(f"h{d}") for d in range(SIMHASH_BITS // 4)],
+        *[F.sum(F.col(f"p{d}")).alias(f"h{d}") for d in range(n_digits)],
     )
-    sim = None
+    terms = []
     for b in range(SIMHASH_BITS):
-        lane = F.shiftright(F.col(f"h{b // 4}"), _PACK_FIELD_BITS * (b % 4)).bitwiseAND(
-            F.lit(_PACK_MAX_TOKENS)
-        )
-        term = F.when(lane * 2 > F.col("n_tok"), F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    guarded = F.when(
-        F.col("n_tok") <= _PACK_SAFE_TOKENS, sim.cast("long")
-    ).otherwise(F.raise_error(F.lit("simhash: doc exceeds 32767 tokens; pre-chunk the corpus")))
-    return packed.select("doc_id", guarded.alias("simhash"))
+        lane = f"(shiftright(h{b // 4}, {_PACK_FIELD_BITS * (b % 4)}) & {_PACK_MAX_TOKENS})"
+        terms.append(f"(CASE WHEN ({lane} * 2) > n_tok THEN {1 << b}L ELSE 0L END)")
+    sim_sql = " + ".join(terms)
+    guarded_sql = (
+        f"CASE WHEN n_tok <= {_PACK_SAFE_TOKENS} THEN CAST({sim_sql} AS BIGINT) "
+        "ELSE CAST(raise_error('simhash: doc exceeds 32767 tokens;"
+        " pre-chunk the corpus') AS BIGINT) END AS simhash"
+    )
+    return packed.selectExpr("doc_id", guarded_sql)
 
 
 # Above this corpus size the pigeonhole equi-join beats the all-pairs
@@ -570,17 +572,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
         if force_pigeonhole is not None
         else n_docs > SIMHASH_ALLPAIRS_MAX_DOCS
     )
-    sig = simhash_signatures(spark, sf_dir)
+    # Materialize the signatures and TRUNCATE LINEAGE on both branches
+    # (r11). Two reasons, both measured at sf0.1: (a) the all-pairs join
+    # references sig twice (stream + broadcast side) — uncached, the
+    # whole scan→Generate→16-sum aggregate subtree is planned and
+    # executed once per side, plus an isnotnull(<60-term reconstruction>)
+    # filter the join pushes onto each copy; (b) even with persist(),
+    # every downstream ACTION re-walks the giant reconstruction tree —
+    # cache canonicalization and AQE's per-stage re-optimization copy it
+    # with TreeNode.makeCopy (driver thread-dumped at ~9.7 s of CPU in
+    # one bench invocation; execution itself was 0.13 s).
+    # localCheckpoint cuts the pair stage's plan to a LogicalRDD leaf:
+    # the giant expression is planned exactly once, in sig's own job.
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     if use_pigeonhole:
-        sig = sig.persist()
-        # Materialize BEFORE the pair stage references sig through the
-        # 15-key union on BOTH join sides (30 lazy cache references): a
-        # lazy persist lets those branches race and recompute the whole
-        # token-explode signature aggregation several times over — same
-        # race minhash/jaccard pin with sh.count(). Invisible at driver
-        # SFs where signatures are cheap either way.
-        sig.count()
-        _register_scoped([sig])
         # third tier: composite (multi-index) keys only where the
         # single-chunk candidate volume n²/2¹² dominates the 3× key cost —
         # same-window crossover measured between 1 M (single 4.0 s vs

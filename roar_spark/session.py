@@ -116,6 +116,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark call-site capture (DataFrame debugging) costs THREE extra
+        # py4j round trips per DataFrame/Column API call (conf read +
+        # origin set + origin clear) plus a Python stack walk — measured
+        # ~0.7 s of the 1.6 s plan-BUILD time of the widest operator
+        # (dedup_simhash, 7.8k py4j messages). Plan construction is
+        # driver-side work repeated per query at any scale; the only cost
+        # of disabling is less-precise user-code line numbers in error
+        # messages (guide §5: the driver should do almost no work).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
