@@ -1584,10 +1584,10 @@ def _knn_screened_candidates(
         )
     else:
         # probe off (the default): corpus and query entry sets are byte-
-        # identical, so ONE explosion tagged "both" (side=2) halves the
+        # identical, so ONE explosion (every row is both sides) halves the
         # volume of the dim-wide embedding column through the (tbl, bkt)
         # shuffle vs. unioning two copies
-        tagged = base.select("vec_id", "tbl", "bkt", F.lit(2).alias("side"))
+        tagged = base.select("vec_id", "tbl", "bkt")
     if quantize:
         # int16 screen payload (scale cancels under renormalization): the
         # entry shrinks from ~620 B (array<float> + row overhead, measured
@@ -1614,27 +1614,17 @@ def _knn_screened_candidates(
         eps = math.sqrt(dim) * (0.5 / 32767.0)
         margin += 2.0 * (2.0 * eps / (1.0 - eps / 2.0))
 
-    # KEEP IN SYNC with _lsh_screened_pairs.screen (normalization + stack).
-    def screen_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        p = pdf[pdf["side"] != 1]  # corpus rows (side 0 or 2)
-        q = pdf[pdf["side"] != 0]  # query rows (side 1 or 2)
-        if p.empty or q.empty:
-            empty = pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
-            empty["cos"] = pd.Series([], dtype="float64")
-            return empty
-        mp = _unit_rows(np.stack(p["embedding"].to_numpy()).astype("float64"))
-        mq = _unit_rows(np.stack(q["embedding"].to_numpy()).astype("float64"))
-        ids_p = p["vec_id"].to_numpy()
-        ids_q = q["vec_id"].to_numpy()
+    def topk_keep(ids_q, ids_p, mq, mp):
+        """Per-group top-k-with-margin screen: returns the surviving
+        (query_row, corpus_row, cos) triples. Blocked over query rows so
+        peak memory is O(block × corpus) — bucket occupancy is ~32 by
+        construction, but hash skew (a duplicate-heavy corpus puts every
+        copy of a vector in ONE bucket in EVERY table) is unbounded, and
+        a dense d×d float64 cosine matrix at d=100k would be ~80 GB. Each
+        query row's top-k depends only on its own matrix row, so blocking
+        changes nothing semantically."""
         nc = len(ids_p)
         kk = min(k, nc)
-        # Block over query rows so peak memory is O(block × corpus), not
-        # O(queries × corpus): bucket occupancy is ~32 by construction,
-        # but hash skew (a duplicate-heavy corpus puts every copy of a
-        # vector in ONE bucket in EVERY table) is unbounded, and a dense
-        # d×d float64 cosine matrix at d=100k would be ~80 GB. Each query
-        # row's top-k depends only on its own row of the matrix, so
-        # blocking changes nothing semantically.
         block = max(1, _SCREEN_BLOCK_FLOATS // max(1, nc))
         out_q: list[np.ndarray] = []
         out_p: list[np.ndarray] = []
@@ -1655,16 +1645,106 @@ def _knn_screened_candidates(
             out_q.append(ids_q[s + iq])
             out_p.append(ids_p[ip])
             out_c.append(cos[iq, ip])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_p),
-                "cos": np.concatenate(out_c),
-            }
+        return out_q, out_p, out_c
+
+    if probe:
+        # KEEP IN SYNC with _lsh_screened_pairs.screen (normalization +
+        # stack). The asymmetric probed space keeps the grouped kernel
+        # (non-default; ann-style small query sets).
+        def screen_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            p = pdf[pdf["side"] != 1]  # corpus rows (side 0 or 2)
+            q = pdf[pdf["side"] != 0]  # query rows (side 1 or 2)
+            if p.empty or q.empty:
+                empty = pd.DataFrame({"query_id": [], "vec_id": []}).astype("int64")
+                empty["cos"] = pd.Series([], dtype="float64")
+                return empty
+            mp = _unit_rows(np.stack(p["embedding"].to_numpy()).astype("float64"))
+            mq = _unit_rows(np.stack(q["embedding"].to_numpy()).astype("float64"))
+            out_q, out_p, out_c = topk_keep(
+                q["vec_id"].to_numpy(), p["vec_id"].to_numpy(), mq, mp
+            )
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_p),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+        return tagged.groupBy("tbl", "bkt").applyInPandas(
+            screen_topk, "query_id long, vec_id long, cos double"
         )
 
-    return tagged.groupBy("tbl", "bkt").applyInPandas(
-        screen_topk, "query_id long, vec_id long, cos double"
+    # Probe-free (the default): SORTED-STREAM kernel, not applyInPandas —
+    # the same r10 rework _lsh_screened_pairs carries, applied to the
+    # bulk-kNN screen (r11). FlatMapGroupsInPandas calls Python once PER
+    # (tbl, bkt) GROUP (~4.5 ms/group measured in the r10 event-log
+    # attribution); at sf0.1 that is ~256 groups ≈ 1.2 s of pure call
+    # overhead for a 2k-row corpus, and at any scale it taxes the
+    # targeted ~32-row occupancy. Hash-repartition on a single packed
+    # group key + sort-within-partition gives the contiguous-groups
+    # layout; mapInPandas slices hundreds of groups per Arrow batch with
+    # one stack/normalize per batch, carrying the batch-tail group
+    # forward until its key changes. Exchange volume and screened pair
+    # space are identical to the grouped form.
+    key = F.col("tbl").cast("long") * F.lit(4294967296) + F.col("bkt")
+    tagged = (
+        tagged.withColumn("gk", key)
+        .repartition("gk")
+        .sortWithinPartitions("gk")
+        .select("gk", "vec_id", "embedding")
+    )
+
+    def screen_stream(batches):
+        def emit(ids, mat):
+            if len(ids) < 2:
+                # singleton bucket: the self row is masked to -2 and
+                # nothing survives the sentinel cut (grouped-form parity)
+                return None
+            u = _unit_rows(mat)
+            out_q, out_p, out_c = topk_keep(ids, ids, u, u)
+            if not out_q or not sum(len(a) for a in out_q):
+                return None
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_p),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+        carry = None  # (keys, ids, raw_rows) of the batch-tail group
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf["gk"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            if carry is not None:
+                ck, ci, cm = carry
+                keys = np.concatenate([ck, keys])
+                ids = np.concatenate([ci, ids])
+                mat = np.concatenate([cm, mat])
+                carry = None
+            # contiguous groups: starts[i]..starts[i+1] share a key
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            # the last group may continue in the next batch — carry it
+            carry = (keys[starts[-1]:], ids[starts[-1]:], mat[starts[-1]:])
+            out = []
+            for i in range(len(starts) - 1):
+                lo, hi = starts[i], starts[i + 1]
+                res = emit(ids[lo:hi], mat[lo:hi])
+                if res is not None:
+                    out.append(res)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None:
+            res = emit(carry[1], carry[2])
+            if res is not None:
+                yield res
+
+    return tagged.mapInPandas(
+        screen_stream, "query_id long, vec_id long, cos double"
     )
 
 

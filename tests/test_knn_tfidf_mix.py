@@ -368,10 +368,13 @@ def test_bulk_knn_screen_rerank_never_ships_embeddings_on_pairs(spark):
     )
     assert "q_emb" not in screen_plan
     assert "q_emb" in exact_plan
-    # still candidate equi-joins only, and exactly one grouped-Pandas screen
+    # still candidate equi-joins only; the probe-free screen is the r11
+    # sorted-stream MapInPandas kernel (per-batch group slicing), not a
+    # per-group FlatMapGroupsInPandas call
     assert "CartesianProduct" not in screen_plan
     assert "BroadcastNestedLoopJoin" not in screen_plan
-    assert screen_plan.count("FlatMapGroupsInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in screen_plan
+    assert "MapInPandas" in screen_plan
 
 
 def test_brute_matmul_dispatch_identical_output(spark, tmp_path_factory):
