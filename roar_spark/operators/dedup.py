@@ -318,15 +318,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heaviest shuffle: _verify_pairs' per-doc shingle-set collect over
     # the full ~SHINGLE_FANOUT-rows/doc table (no map-side reduction for
     # collect_list) — the 4M-doc spill SCALE.md records was exactly this
-    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
-    sh = _doc_shingles(spark, sf_dir, spread=True).persist()
-    # Materialize the cache before the plan branches (same rationale as
-    # dedup_ngram_jaccard): sh feeds the signature aggregation AND both
-    # verification sides; a lazy persist lets those branches race and
-    # recompute the shingle build several times over (measured 12-31 s for
-    # the full query cold vs ~3 s with the cache populated).
-    sh.count()
-    _register_scoped([sh])
+    n_docs = table_row_count("documents", sf_dir)
+    spark = tuned_session(spark, n_docs * SHINGLE_FANOUT)
+    # ONE doc_id exchange for the whole query (r11, guide §2.4): hash-
+    # partition the corpus by doc_id BEFORE shingling — Generate preserves
+    # the child's partitioning, so the signature aggregation AND the
+    # verification shingle-set collect (both keyed on doc_id) reuse this
+    # layout with zero further exchanges, where the spread round-robin
+    # form paid a full (doc_id, shingle) shuffle for each (measured
+    # 0.74 s + 0.42 s at sf0.1 vs a 0.49 s build). Width mirrors the
+    # tuned-session derivation so the 4M-doc collect_list spill fix
+    # (SCALE.md) is preserved; shuffling the corpus text once costs
+    # FEWER bytes than shuffling the ~SHINGLE_FANOUT-rows/doc shingle
+    # table twice. localCheckpoint (not persist+count) materializes it:
+    # same race-free sharing across the plan branches, and downstream
+    # actions plan over a partitioning-preserving LogicalRDD leaf
+    # instead of re-walking the tokenize+shingle subtree.
+    from roar_spark.session import shuffle_width_for
+
+    width = shuffle_width_for(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), n_docs * SHINGLE_FANOUT
+    )
+    docs = load_table(spark, "documents", sf_dir).repartition(width, "doc_id")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("shingle"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sig = sh.groupBy("doc_id").agg(
         *[F.min(minhash_str(F.col("shingle"), j)).alias(f"mh{j}") for j in range(N_MINHASH)]
     )
