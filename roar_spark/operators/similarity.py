@@ -279,6 +279,46 @@ def _block_screen_pairs(
     import numpy as np
     import pandas as pd
 
+    screen_min_single = threshold - 1e-6
+
+    if n_blocks <= _MIN_BLOCKS:
+        # Small-corpus fast path (r11): n_blocks floors at _MIN_BLOCKS,
+        # i.e. the corpus is ≤ ~2·TARGET_BLOCK_ROWS vectors — the whole
+        # cosine matrix is a few MB. The blocked machinery (two
+        # pair-table joins replicating every vector ~n_blocks times, a
+        # (blk_a, blk_b) shuffle, 36 grouped-Pandas calls) measured
+        # 1.5-1.7 s at sf0.1 for what is ONE ~2000² matmul; here the
+        # corpus is streamed into a single task and screened with the
+        # same threshold-with-margin criterion, so the survivor set is
+        # identical (exact semantics still come from the recheck stage).
+        def screen_single(batches):
+            ids_l, mat_l = [], []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids_l.append(pdf["vec_id"].to_numpy())
+                mat_l.append(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+            if not ids_l:
+                return
+            ids = np.concatenate(ids_l)
+            u = _unit_rows(np.concatenate(mat_l))
+            cos = u @ u.T
+            # zero-norm rows: NaN >= screen_min is False — dropped,
+            # matching the exact recheck's NULL-cosine rejection
+            ia, ib = np.nonzero(np.triu(cos >= screen_min_single, k=1))
+            if len(ia) == 0:
+                return
+            lo = np.minimum(ids[ia], ids[ib])
+            hi = np.maximum(ids[ia], ids[ib])
+            keep = lo < hi  # duplicate vec_ids: never self-pair
+            yield pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]}).drop_duplicates()
+
+        return (
+            emb.select("vec_id", "embedding")
+            .coalesce(1)
+            .mapInPandas(screen_single, "vec_id_a long, vec_id_b long")
+        )
+
     blocked = emb.select("vec_id", "embedding").withColumn(
         "blk", (F.col("vec_id") % n_blocks).cast("int")
     )

@@ -144,3 +144,27 @@ def test_star_components_compose_with_embedding_pairs(spark):
     assert len(got) == n_vecs
     for doc, lbl in got.items():
         assert lbl == find(doc)  # find() self-roots unseen (singleton) docs
+
+
+def test_block_screen_single_task_path_matches_blocked(spark):
+    """The r11 small-corpus single-task screen must yield the same survivor
+    pair set as the blocked applyInPandas screen — the n_blocks dispatch
+    must never change results."""
+    from roar_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+        _MIN_BLOCKS,
+        _block_screen_pairs,
+        _with_norm,
+    )
+    from roar_spark.catalog import load_table
+
+    emb = _with_norm(load_table(spark, "embeddings", SF))
+
+    def pairs(n_blocks):
+        df = _block_screen_pairs(spark, emb, n_blocks, COSINE_THRESHOLD)
+        return sorted(map(tuple, df.collect()))
+
+    single = pairs(_MIN_BLOCKS)          # fast path (gate: n_blocks <= _MIN_BLOCKS)
+    blocked = pairs(_MIN_BLOCKS + 3)     # forced blocked path
+    assert single == blocked
+    assert len(single) > 0

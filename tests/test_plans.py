@@ -95,10 +95,11 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_cosine_screen_is_arrow_batched(spark):
-    """The one sanctioned Python stage runs via Arrow (FlatMapGroupsInPandas),
-    never row-at-a-time."""
+    """The one sanctioned Python stage runs via Arrow — the blocked screen's
+    FlatMapGroupsInPandas or the small-corpus single-task MapInPandas (r11)
+    — never row-at-a-time."""
     plan = plan_of(spark, "sim_cosine_pairs")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
 
 
