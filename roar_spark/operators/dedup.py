@@ -934,12 +934,16 @@ def dedup_substring_spans(
     L = window
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(F.size("t") >= L)
     # one md5 per window start; posexplode keeps the 0-based start offset
+    # unhex: the window hash is internal (never output), so carry it as
+    # 16 raw bytes instead of 32 hex chars — halves the key bytes of the
+    # one big shuffle and cheapens its sort comparisons (guide §2.3
+    # "narrower types"). Same md5 → same collision behavior as the oracle.
     seeds = tok.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("t") - L),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, L))),
+                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("t", i + 1, L)))),
             )
         ).alias("start", "wh"),
     )
@@ -949,6 +953,12 @@ def dedup_substring_spans(
         .withColumn("mx", F.max("doc_id").over(wh_win))
         .filter(F.col("mn") != F.col("mx"))
         .select("doc_id", "start")
+        # RangePartitioning(doc_id) serves the island window, the span
+        # aggregation AND (as a prefix) the final orderBy(doc_id,
+        # span_start): one exchange over the corpus-sparse dup seeds
+        # instead of hash-exchange + final range-exchange (guide §2.4);
+        # no partition count forced, AQE sizes the shuffle.
+        .repartitionByRange("doc_id")
     )
     # gaps-and-islands: seeds of length L overlap/abut iff the next start
     # is within L of the previous; a running sum of break flags numbers
@@ -1004,12 +1014,14 @@ def dedup_substring_strip(
     docs = load_table(spark, "documents", sf_dir, spread=True)
     L = window
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # unhex: internal-only hash carried as 16 raw bytes, not 32 hex chars
+    # (see dedup_substring_spans — same §2.3 narrowing of the big shuffle)
     seeds = tok.filter(F.size("t") >= L).select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("t") - L),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, L))),
+                lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice("t", i + 1, L)))),
             )
         ).alias("start", "wh"),
     )

@@ -420,8 +420,17 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic family: running sum, lag, lead over each customer's order
-    history (frame = unbounded preceding → current row)."""
-    orders = load_table(spark, "orders", sf_dir)
+    history (frame = unbounded preceding → current row).
+
+    The window is seeded with repartitionByRange(o_custkey) instead of the
+    default hash exchange: RangePartitioning(custkey) satisfies both the
+    window's ClusteredDistribution AND — as a prefix — the final orderBy's
+    OrderedDistribution(custkey, orderdate, orderkey), so EnsureRequirements
+    plans ONE exchange and drops the global sort outright (the window's
+    partition-local sort already provides the full ordering). Guide §2.4:
+    two operations keyed the same way share one exchange. No partition
+    count is forced, so AQE stays free to size the shuffle."""
+    orders = load_table(spark, "orders", sf_dir).repartitionByRange("o_custkey")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
