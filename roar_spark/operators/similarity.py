@@ -584,38 +584,35 @@ def _entries_from_buckets(
     table's entries at a time bounds the LIVE shuffle to 1/n_tables of
     the full fan-out (SCALE.md r8: the all-tables 16M shuffle exceeded
     the box's disk)."""
+    # The entry array is built as ONE SQL string parsed server-side
+    # (identical expression tree to the per-Column form it replaces):
+    # tables x (1+planes) struct/XOR Column objects cost 3-5 py4j round
+    # trips EACH, ~0.3-0.4 s of pure driver socket wait per call at the
+    # default knobs — measured 44% of ann_lsh_topk's plan-build (guide
+    # §1 "the driver"; same idiom as the simhash signature rebuild).
     tables = range(n_tables) if tables is None else tables
     if probe == "higher":
         # flip bit p only when it is 0 in the bucket (XOR then increases
         # the id); emit NULL otherwise and compact it away
         entries = []
         for t in tables:
-            per_t = [
-                F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
-            ] + [
-                F.when(
-                    F.col(f"b{t}").bitwiseAND(F.lit(1 << p)) == 0,
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.col(f"b{t}").bitwiseXOR(F.lit(1 << p)).alias("bkt"),
-                    ),
-                )
+            entries.append(f"struct({t} as tbl, b{t} as bkt)")
+            entries.extend(
+                f"if((b{t} & {1 << p}) = 0,"
+                f" struct({t} as tbl, b{t} ^ {1 << p} as bkt), null)"
                 for p in range(n_planes)
-            ]
-            entries.extend(per_t)
-        arr = F.array_compact(F.array(*entries))
-        return with_buckets.select(
-            "vec_id", F.explode(arr).alias("e")
-        ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
-    flips = [F.lit(0)] + ([F.lit(1 << p) for p in range(n_planes)] if probe else [])
+            )
+        arr = f"array_compact(array({', '.join(entries)}))"
+        return with_buckets.selectExpr(
+            "vec_id", f"explode({arr}) as e"
+        ).selectExpr("vec_id", "e.tbl as tbl", "e.bkt as bkt")
+    flips = [0] + ([1 << p for p in range(n_planes)] if probe else [])
     entries = [
-        F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").bitwiseXOR(flip).alias("bkt"))
-        for t in tables
-        for flip in flips
+        f"struct({t} as tbl, b{t} ^ {flip} as bkt)" for t in tables for flip in flips
     ]
-    return with_buckets.select(
-        "vec_id", F.explode(F.array(*entries)).alias("e")
-    ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+    return with_buckets.selectExpr(
+        "vec_id", f"explode(array({', '.join(entries)})) as e"
+    ).selectExpr("vec_id", "e.tbl as tbl", "e.bkt as bkt")
 
 
 def _bucket_entries(emb: DataFrame, n_planes: int, dim: int, probe: bool) -> DataFrame:

@@ -187,9 +187,12 @@ def test_q20_semi_join_chain(spark):
 
 
 def test_dedup_embedding_screen_and_anti_join(spark):
-    # same Arrow-batched screen as sim_cosine_pairs, then an id-only anti-join
+    # same Arrow-batched screen as sim_cosine_pairs (either the blocked
+    # FlatMapGroupsInPandas or the small-corpus single-task MapInPandas
+    # kernel — r11, mirrors the sim_cosine_pairs pin), then an id-only
+    # anti-join
     p = plan_of(spark, "dedup_embedding")
-    assert "FlatMapGroupsInPandas" in p
+    assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p
     assert "LeftAnti" in p
     assert "BatchEvalPython" not in p
 
