@@ -68,7 +68,11 @@ def _scan_layout(path: str) -> tuple[int, int]:
 
 
 def load_table(
-    spark: SparkSession, name: str, directory: str | None = None, spread: bool | int = False
+    spark: SparkSession,
+    name: str,
+    directory: str | None = None,
+    spread: bool | int = False,
+    spread_key: str | None = None,
 ) -> DataFrame:
     """Read one corpus table. Plain parquet scan → full Catalyst pushdown
     (predicate pushdown, column pruning, partition pruning all apply).
@@ -100,7 +104,17 @@ def load_table(
     sim_brute_topk +0.34 s at the 2 k-row sf0.1 table) but gain hugely
     once the single-task stage dominates (80.8 s → 5.5 s at 1 M rows);
     the floor keeps both measurements. ``True`` keeps the 2 000-row
-    default floor for heavy-per-row callers (gopher wins at 5 k rows)."""
+    default floor for heavy-per-row callers (gopher wins at 5 k rows).
+
+    ``spread_key`` (r11, guide §2.4): spread with
+    ``repartitionByRange(parallelism, key)`` instead of round-robin.
+    For operators whose output is ``orderBy(key, ...)`` over a per-row
+    projection, RangePartitioning(key) both spreads the heavy first
+    stage AND satisfies the final OrderedDistribution (prefix rule), so
+    the one payload exchange replaces TWO exchanges + a global sort
+    (round-robin spread + final range). Costs one extra sampling pass
+    over just the key column; only sensible when the key is roughly
+    uniform (doc_id is)."""
     directory = directory or sf_dir()
     bucketed = _bucketed_tables.get((directory, name))
     if bucketed is not None:
@@ -147,7 +161,11 @@ def load_table(
         groups, rows = _scan_layout(path)
         min_rows = spread if isinstance(spread, int) and not isinstance(spread, bool) else 2000
         if groups < max(2, parallelism // 2) and rows >= min_rows:
-            df = df.repartition(parallelism)
+            df = (
+                df.repartitionByRange(parallelism, spread_key)
+                if spread_key is not None
+                else df.repartition(parallelism)
+            )
     return df
 
 

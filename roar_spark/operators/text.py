@@ -33,7 +33,7 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality signals: lengths, type-token ratio,
     punctuation ratio, stopword ratio, mean token length."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir, spread=True, spread_key="doc_id")
     toks = tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(F.col("text")).cast("long")
@@ -63,7 +63,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID (n-gram-free heuristic): count hits per
     language list, argmax with deterministic tie order en > es > de."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir, spread=True, spread_key="doc_id")
     toks = tokens(F.col("text"))
     s_en, s_es, s_de = (_count_in(toks, w) for w in (EN_STOP, ES_STOP, DE_STOP))
     pred = (
@@ -85,7 +85,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the normalized text (lowercase,
     punctuation stripped, whitespace collapsed) — the digest exact-dedup
     and incremental-crawl pipelines key on."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir, spread=True, spread_key="doc_id")
     normalized = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), PUNCT_CLASS, ""), r"\s+", " ")
     )
@@ -106,7 +106,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish: count pretokenizer matches (the standard
     proxy for LLM token budgets) next to whitespace tokens, plus the
     tokens-per-word expansion ratio."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir, spread=True, spread_key="doc_id")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)  # group 0 = full match
     ws = tokens(F.col("text"))
     n_bpe = F.size(bpe).cast("long")
@@ -289,7 +289,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: pure per-row projection, no shuffle but the final orderBy —
     scrubbing 100 TB is exactly a map-only scan and stays JVM-side
     (regexp_replace is a codegen'd Catalyst expression, no Python)."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir, spread=True, spread_key="doc_id")
     did = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -486,7 +486,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest. One scan, zero shuffles before the display sort; at 100 TB this
     parallelizes per input split with no data movement, and the ~w/s
     output-row amplification is the operator's contract, not a plan cost."""
-    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docs = load_table(spark, "documents", sf_dir, spread=True, spread_key="doc_id")
     toks = tokens(F.col("text"))
     w, s = CHUNK_TOKENS, CHUNK_STRIDE
     base = docs.select(
