@@ -100,7 +100,7 @@ def test_chunk_property_matches_python_reference(spark):
         )
         # drive the same expression pipeline text_chunk uses, over this df
         orig = X.load_table
-        X.load_table = lambda spark_, name, d=None, spread=False: df
+        X.load_table = lambda spark_, name, d=None, spread=False, spread_key=None: df
         try:
             rows = X.text_chunk(spark, "ignored").collect()
         finally:
