@@ -41,7 +41,9 @@ best-of-N session noise sub-second queries carry on this box
 (first-touch codegen, Python-worker residue after applyInPandas stages —
 measured identical on the r1 code); see the comment at
 REGRESSION_SLACK_SEC for its current value and calibration. Only applied
-at sf0.1 (budgets are sf-specific). Override with
+at sf0.1 (budgets are sf-specific) AND at the budget era's core width
+(BUDGET_CPUS — the driver's lower-core scaling runs print the same JSON
+but are not graded against 32-core budgets). Override with
 SPARK_GRAFT_BENCH_NO_GATE=1.
 
 Host normalization (r9, reworked r10): budgets are seconds on SOME
@@ -150,6 +152,19 @@ BUDGETS_SF01 = {
 # (2.9x session spread observed r10) — the median of three is what the
 # gate consumes, never one probe alone.
 PROBE_BUDGETS = {"cpu": 0.359, "shuffle": 0.728, "python": 1.584}
+
+# Core count of the anchor window (BENCH_r10.json ran on local[32]).
+# The regression gate only applies when the session runs at this width:
+# the driver ALSO benches at a LOWER core count to measure per-query
+# scaling, and budgets recorded at 32 cores cannot gate an 8-core run —
+# a query that parallelizes WELL (q3: 1.02 s budget, 3.7 s at 8 cores)
+# legitimately loses more than the 2x drift cap can refund, while a
+# query that parallelizes badly sails through; that exit code would
+# measure scaling behavior, not regressions (measurement-bug fix, r11 —
+# same era-mismatch class as the probe/query budget asymmetry fixed at
+# the round start; the full-width run keeps the gate unchanged, and the
+# JSON line is identical in both modes).
+BUDGET_CPUS = 32
 
 
 def probe_defs(spark):
@@ -295,6 +310,11 @@ HEADLINE = list(BUDGETS_SF01)
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # gate only at the budget era's core width (see BUDGET_CPUS): the
+    # driver's lower-core scaling runs report the same JSON but their
+    # exit code would grade 32-core budgets against a narrower box
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+    gated_width = cpus == BUDGET_CPUS
 
     from roar_spark.registry import QUERIES
     from roar_spark.session import get_spark
@@ -323,7 +343,7 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        budget = BUDGETS_SF01.get(name) if sf == "0.1" else None
+        budget = BUDGETS_SF01.get(name) if sf == "0.1" and gated_width else None
         # retry damping tracks the probe-measured host speed: on a slow
         # host every query runs over its recorded budget and the retry
         # rule would otherwise burn 4 attempts on all of them
@@ -364,7 +384,7 @@ def main() -> None:
     # time-varying host noise, never code slowness, into relief.
     recheck_probes = None
     drift_final = drift
-    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
+    if sf == "0.1" and gated_width and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
         if find_regressions(times, BUDGETS_SF01, drift):
             recheck_probes = run_probes(spark)
             drift_final = max(drift, probe_drift_ratio(recheck_probes))
@@ -385,7 +405,7 @@ def main() -> None:
         payload["host_drift_ratio_final"] = round(drift_final, 3)
     print(json.dumps(payload))
 
-    if sf == "0.1" and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
+    if sf == "0.1" and gated_width and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
         drift = drift_final
         if drift > 1.15:
             print(
