@@ -301,6 +301,15 @@ def find_regressions(
         if name in budgets and times[name] > allowed(name)
     ]
 
+
+def flagged_queries(
+    times: dict[str, float], budgets: dict[str, float], drift: float = 1.0
+) -> list[str]:
+    """Names of the queries find_regressions would flag — the set the
+    adjacent recheck re-runs (r12, one extra rep each, gate on the best).
+    Factored out so the rerun selection is unit-tested."""
+    return [line.split(":", 1)[0] for line in find_regressions(times, budgets, drift)]
+
 # The headline set IS the budget dict's key order (10 relational core +
 # 8 LLM-pipeline) — deriving it removes the drift mode where a new
 # headline query forgets its budget and runs ungated.
@@ -382,12 +391,31 @@ def main() -> None:
     # the larger of the two readings — a genuine engine regression leaves
     # both probe samples fast and still trips, so this only converts
     # time-varying host noise, never code slowness, into relief.
+    #
+    # r12 (verdict item 8): the recheck also RE-RUNS each still-flagged
+    # query once and gates on its best — direct evidence instead of
+    # probe inference. This is the same up-to-best-of-4 retry protocol
+    # the timed loop already applies to over-budget queries (steal bursts
+    # here have been measured landing on both initial reps); a genuine
+    # plan regression is slow on every rep and still trips. Both the
+    # pre-rerun number and the rerun are recorded in the JSON
+    # (recheck_reruns) so no relief is silent.
     recheck_probes = None
+    recheck_reruns: dict[str, list[float]] = {}
     drift_final = drift
     if sf == "0.1" and gated_width and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
         if find_regressions(times, BUDGETS_SF01, drift):
             recheck_probes = run_probes(spark)
             drift_final = max(drift, probe_drift_ratio(recheck_probes))
+            for name in flagged_queries(times, BUDGETS_SF01, drift_final):
+                t0 = time.perf_counter()
+                rows = QUERIES[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                _ = len(rows)
+                recheck_reruns[name] = [times[name], round(dt, 3)]
+                if dt < times[name]:
+                    times[name] = round(dt, 3)
+                    total = round(sum(times.values()), 3)
 
     payload = {
         "metric": "headline_queries_wall_clock",
@@ -399,10 +427,19 @@ def main() -> None:
         "query_drift_ratio": round(query_drift, 3),
         "calibration_probes": probes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r12 (ADVICE r11): record the width and whether the gate graded
+        # this run — a rc=0 from a narrower box was previously
+        # indistinguishable from a genuine gate pass
+        "cpus": cpus,
+        "gated": bool(
+            sf == "0.1" and gated_width and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE")
+        ),
     }
     if recheck_probes is not None:
         payload["recheck_probes"] = recheck_probes
         payload["host_drift_ratio_final"] = round(drift_final, 3)
+    if recheck_reruns:
+        payload["recheck_reruns"] = recheck_reruns
     print(json.dumps(payload))
 
     if sf == "0.1" and gated_width and not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):

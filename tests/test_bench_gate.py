@@ -4,6 +4,7 @@ that can never fire is decoration). Pure logic test — no Spark."""
 from __future__ import annotations
 
 import glob
+import itertools
 import json
 import os
 
@@ -64,7 +65,15 @@ def test_gate_calibrated_against_every_recorded_window():
             doc = json.load(fh)
         parsed = doc.get("parsed") or doc
         queries = parsed.get("queries")
-        round_no = int(os.path.basename(path)[len("BENCH_r") :].split(".")[0])
+        # filenames can carry a width suffix (BENCH_r11_c8.json is the
+        # driver's 8-core scaling window): parse the LEADING digits only,
+        # and skip windows recorded at a core width the gate never grades
+        # (BUDGET_CPUS scoping — 32-core budgets cannot calibrate an
+        # 8-core run; the gate itself skips those at runtime too)
+        stem = os.path.basename(path)[len("BENCH_r") :]
+        round_no = int("".join(itertools.takewhile(str.isdigit, stem)))
+        if doc.get("cpus") not in (None, bench.BUDGET_CPUS):
+            continue
         if not queries or round_no < 3:
             continue
         # replay each window the way the gate actually ran it: with the
@@ -90,6 +99,26 @@ def test_gate_calibrated_against_every_recorded_window():
 
 def test_budgets_cover_every_headline_query():
     assert set(bench.HEADLINE) == set(bench.BUDGETS_SF01)
+
+
+def test_recheck_rerun_vindicates_noise_but_not_regressions():
+    """r12 (verdict r11 item 8): when the gate flags a query, the recheck
+    re-runs the flagged QUERY once and gates on its best — a steal-burst
+    hit is vindicated by one clean rep, while a genuine plan regression
+    is slow on every rep and still trips."""
+    budgets = {"a": 1.0, "b": 1.0}
+    # both initial reps of `a` landed on a burst: 4.0 s against a 1.0 s
+    # budget flags it; `b` is clean
+    times = {"a": 4.0, "b": 0.9}
+    assert bench.flagged_queries(times, budgets, 1.0) == ["a"]
+    # the rerun reads clean -> merged best passes the gate
+    rerun = 1.1
+    merged = dict(times, a=min(times["a"], rerun))
+    assert bench.find_regressions(merged, budgets, 1.0) == []
+    # a genuine regression reruns slow -> still trips at the same bar
+    rerun = 3.8
+    merged = dict(times, a=min(times["a"], rerun))
+    assert bench.flagged_queries(merged, budgets, 1.0) == ["a"]
 
 
 def test_host_drift_relief_is_suite_wide_not_per_query():
