@@ -35,3 +35,25 @@ def register_scoped(cache: list, lock: threading.Lock, items: list) -> None:
         release = getattr(item, "unpersist", None) or getattr(item, "cleanup", None)
         if release is not None:
             release()
+
+
+class checkpoint_handle:
+    """register_scoped-compatible cleanup handle for a localCheckpointed
+    DataFrame (r12, ADVICE r11): ``Dataset.unpersist`` does not touch
+    checkpoint blocks — they are freed only when the RDD is GC'd through
+    the ContextCleaner, so long-lived sessions invoking a checkpointing
+    operator repeatedly accumulate executor block-store usage
+    nondeterministically. The handle reaches the checkpointed RDD through
+    the plan's LogicalRDD leaf and unpersists its blocks explicitly when
+    the family's next invocation swaps the cache. Best-effort by design:
+    a failure (plan-shape drift across Spark versions) degrades to the
+    old GC behavior, never to an error."""
+
+    def __init__(self, df) -> None:
+        self._df = df
+
+    def cleanup(self) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — degrade to ContextCleaner GC
+            pass

@@ -247,6 +247,20 @@ def register_views(spark: SparkSession, directory: str | None = None) -> dict[st
     return out
 
 
+def scan_underparallel(name: str, directory: str | None, parallelism: int) -> bool:
+    """True when the table's parquet layout yields fewer scan tasks than
+    half the session parallelism — the same footer condition load_table's
+    ``spread`` opt-in uses, exposed for operators that spread with their
+    own key/width (e.g. dedup_minhash_lsh's doc_id-clustered shingle
+    build). On a real multi-file corpus this is False and the caller
+    skips its repartition entirely — the scan itself provides the
+    parallelism, and forcing a corpus-wide exchange there would shuffle
+    full text for nothing (guide §2.4)."""
+    directory = directory or sf_dir()
+    groups, _rows = _scan_layout(f"{directory}/{name}.parquet")
+    return groups < max(2, parallelism // 2)
+
+
 def table_row_count(name: str, directory: str | None = None) -> int:
     """Exact row count from parquet footer metadata — a driver-side footer
     read, NO Spark job. Used where an operator dispatches on corpus size

@@ -51,6 +51,33 @@ def minhash_str(shingle: Column, salt: int, width: int = 16) -> Column:
     return F.substring(F.md5(F.concat(F.lit(f"{salt}|"), shingle)), 1, width)
 
 
+def minhash_signed_sql(md5_col: str) -> str:
+    """SQL snippet: the 16-hex-char prefix of ``md5_col`` as a SIGNED long
+    whose signed order equals the hex string's lexicographic order.
+
+    Why: ``min(string)`` is not hash-aggregable — Spark plans the minhash
+    signature aggregation as a SortAggregate, sorting the whole shingle
+    table twice (partial + final). A long min runs as a HashAggregate
+    (no sorts) and its shuffle rows are 8 B where the 16-char string is
+    ~2.2x wider (guide §2.3 "narrower types").
+
+    Construction: the prefix's unsigned 64-bit value u, reinterpreted as
+    a signed long with the top bit flipped (s = u XOR 2^63), preserves
+    order: signed(s) order == unsigned(u) order == lexicographic order of
+    the fixed-width lowercase hex string. Built without overflow as
+    ``shiftleft(digit1 XOR 8, 60) + value(digits 2..16)`` — the two terms
+    occupy disjoint bits (top 4 / low 60), and the top-bit flip is the
+    XOR 8 on digit 1. Inverse (when a caller needs the portable hex
+    string back): ``lower(lpad(hex(s XOR 2^63), 16, '0'))`` — but the
+    minhash consumers compare keys for equality/order only, and fixed-
+    width concatenation is injective, so banding on the longs directly
+    is exactly the oracle's banding on the concatenated hex strings."""
+    return (
+        f"(shiftleft(cast(conv(substring({md5_col}, 1, 1), 16, 10) as bigint) ^ 8, 60)"
+        f" + cast(conv(substring({md5_col}, 2, 15), 16, 10) as bigint))"
+    )
+
+
 def hex_digit_val(token_md5: Column, pos: int) -> Column:
     """Value 0-15 of the ``pos``-th (1-based) hex digit of an md5 string."""
     return F.instr(F.lit(HEX_DIGITS), F.substring(token_md5, pos, 1)) - 1
