@@ -283,14 +283,24 @@ def _block_screen_pairs(
 
     if n_blocks <= _MIN_BLOCKS:
         # Small-corpus fast path (r11): n_blocks floors at _MIN_BLOCKS,
-        # i.e. the corpus is ≤ ~2·TARGET_BLOCK_ROWS vectors — the whole
-        # cosine matrix is a few MB. The blocked machinery (two
-        # pair-table joins replicating every vector ~n_blocks times, a
-        # (blk_a, blk_b) shuffle, 36 grouped-Pandas calls) measured
-        # 1.5-1.7 s at sf0.1 for what is ONE ~2000² matmul; here the
-        # corpus is streamed into a single task and screened with the
-        # same threshold-with-margin criterion, so the survivor set is
-        # identical (exact semantics still come from the recheck stage).
+        # i.e. the corpus is ≤ _MIN_BLOCKS·TARGET_BLOCK_ROWS = 16,384
+        # vectors. The blocked machinery (two pair-table joins replicating
+        # every vector ~n_blocks times, a (blk_a, blk_b) shuffle, 36
+        # grouped-Pandas calls) measured 1.5-1.7 s at sf0.1 for what is
+        # ONE ~2000² matmul; here the corpus streams into a single task
+        # and is screened with the same threshold-with-margin criterion,
+        # so the survivor set is identical (exact semantics still come
+        # from the recheck stage).
+        #
+        # The in-task matmul is BLOCKED over query rows (r12, ADVICE r11):
+        # a dense 16384² float64 cosine matrix is ~2.1 GB in one Python
+        # worker — near task-memory limits. Strips of
+        # _SCREEN_BLOCK_FLOATS // n rows cap the live matrix at ~32 MB
+        # (plus the n×dim unit matrix, ≤ 8 MB at dim 64) with an
+        # identical survivor set: each row's comparisons depend only on
+        # its own matrix row, and the strict-upper-triangle cut is by
+        # GLOBAL row position (s + local row < column), exactly
+        # triu(k=1) of the full matrix.
         def screen_single(batches):
             ids_l, mat_l = [], []
             for pdf in batches:
@@ -302,16 +312,24 @@ def _block_screen_pairs(
                 return
             ids = np.concatenate(ids_l)
             u = _unit_rows(np.concatenate(mat_l))
-            cos = u @ u.T
-            # zero-norm rows: NaN >= screen_min is False — dropped,
-            # matching the exact recheck's NULL-cosine rejection
-            ia, ib = np.nonzero(np.triu(cos >= screen_min_single, k=1))
-            if len(ia) == 0:
-                return
-            lo = np.minimum(ids[ia], ids[ib])
-            hi = np.maximum(ids[ia], ids[ib])
-            keep = lo < hi  # duplicate vec_ids: never self-pair
-            yield pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]}).drop_duplicates()
+            n = len(ids)
+            block = max(1, _SCREEN_BLOCK_FLOATS // max(1, n))
+            out = []
+            for s in range(0, n, block):
+                cos = u[s : s + block] @ u.T  # strip × n
+                # zero-norm rows: NaN >= screen_min is False — dropped,
+                # matching the exact recheck's NULL-cosine rejection
+                iq, ip = np.nonzero(cos >= screen_min_single)
+                upper = (s + iq) < ip  # strict upper triangle, global rows
+                ia, ib = (s + iq)[upper], ip[upper]
+                if len(ia) == 0:
+                    continue
+                lo = np.minimum(ids[ia], ids[ib])
+                hi = np.maximum(ids[ia], ids[ib])
+                keep = lo < hi  # duplicate vec_ids: never self-pair
+                out.append(pd.DataFrame({"vec_id_a": lo[keep], "vec_id_b": hi[keep]}))
+            if out:
+                yield pd.concat(out, ignore_index=True).drop_duplicates()
 
         return (
             emb.select("vec_id", "embedding")
@@ -1103,7 +1121,13 @@ def _lsh_screened_pairs(
         # group of every batch carries forward until its key changes.
         # Same exchange volume and pair space as the grouped form —
         # only the Python-call granularity changes.
-        # single int64 group key: tbl < 2^6 tables, bkt < 2^planes <= 2^24
+        # single int64 group key: tbl < 2^6 tables, bkt < 2^planes <= 2^24.
+        # The key gives bkt 32 bits — n_planes > 32 would silently merge
+        # buckets ACROSS tables (a merged group shares one top-k/threshold
+        # cut and can screen out candidates that survive in their own
+        # bucket). n_planes_for caps at _MAX_PLANES = 24 today; enforce
+        # the invariant where the key is built (ADVICE r11).
+        assert n_planes <= 32, f"packed (tbl,bkt) key needs n_planes <= 32, got {n_planes}"
         key = F.col("tbl").cast("long") * F.lit(4294967296) + F.col("bkt")
         tagged = (
             tagged.withColumn("gk", key)
@@ -1261,6 +1285,8 @@ def _lsh_screened_pairs_staged(
     never the pair space."""
     from functools import reduce
 
+    from roar_spark.caching import checkpoint_handle, register_scoped
+
     spark = emb.sparkSession
     wb = _persist_bounded(_bucket_ids(emb, n_planes, dim, n_tables, emit_qemb=True))
     wb.count()  # eager: see _lsh_screened_pairs (concurrent-scan cache race)
@@ -1280,6 +1306,12 @@ def _lsh_screened_pairs_staged(
         # stage's shuffles become reclaimable before the next stage
         parts.append(stage.localCheckpoint(eager=True))
         _release_stage_shuffles(spark)
+    # Every stage has run: wb is spent — swap the family cache to the
+    # stages' cleanup handles (r12, ADVICE r11). This releases wb NOW
+    # instead of at the next operator, and frees the checkpointed stage
+    # blocks explicitly when the next similarity invocation swaps them
+    # out (they were previously freed only by GC).
+    register_scoped(_WB_CACHE, _WB_CACHE_LOCK, [checkpoint_handle(p) for p in parts])
     return reduce(DataFrame.unionAll, parts).distinct()
 
 
@@ -1724,6 +1756,9 @@ def _knn_screened_candidates(
     # one stack/normalize per batch, carrying the batch-tail group
     # forward until its key changes. Exchange volume and screened pair
     # space are identical to the grouped form.
+    # bkt gets 32 bits in the packed key — see the _lsh_screened_pairs
+    # assert: n_planes > 32 would merge buckets across tables (ADVICE r11)
+    assert n_planes <= 32, f"packed (tbl,bkt) key needs n_planes <= 32, got {n_planes}"
     key = F.col("tbl").cast("long") * F.lit(4294967296) + F.col("bkt")
     tagged = (
         tagged.withColumn("gk", key)

@@ -168,3 +168,32 @@ def test_block_screen_single_task_path_matches_blocked(spark):
     blocked = pairs(_MIN_BLOCKS + 3)     # forced blocked path
     assert single == blocked
     assert len(single) > 0
+
+
+def test_block_screen_single_task_strips_match_one_shot(spark, monkeypatch):
+    """The r12 strip-blocked in-task matmul (peak-memory fix, ADVICE r11)
+    must yield the identical survivor set as a one-shot matmul: shrink
+    _SCREEN_BLOCK_FLOATS so the corpus is forced through many strips and
+    compare against the unshrunken run."""
+    from roar_spark.operators import similarity
+    from roar_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+        _MIN_BLOCKS,
+        _block_screen_pairs,
+        _with_norm,
+    )
+    from roar_spark.catalog import load_table
+
+    emb = _with_norm(load_table(spark, "embeddings", SF))
+
+    def pairs():
+        df = _block_screen_pairs(spark, emb, _MIN_BLOCKS, COSINE_THRESHOLD)
+        return sorted(map(tuple, df.collect()))
+
+    one_shot = pairs()  # default budget: corpus fits one strip
+    # 1-2 rows per strip at the test corpus size: exercises strip
+    # boundaries, the cross-strip upper-triangle cut, and empty strips
+    monkeypatch.setattr(similarity, "_SCREEN_BLOCK_FLOATS", 1000)
+    stripped = pairs()
+    assert stripped == one_shot
+    assert len(one_shot) > 0
