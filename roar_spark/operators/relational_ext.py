@@ -19,8 +19,19 @@ from roar_spark.operators.relational import _scaled, davg, dsum
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame: per customer, total spend in the trailing 90 days of
     each order (value-based frame, not row-based — orders on the same day
-    all see the same window). Frame bounds on integral epoch days."""
-    orders = load_table(spark, "orders", sf_dir)
+    all see the same window). Frame bounds on integral epoch days.
+
+    Seeded with repartitionByRange(o_custkey) — the window_running §2.4
+    prefix rule (r12 window-family audit): RangePartitioning(custkey)
+    satisfies the window's ClusteredDistribution AND, as a prefix, the
+    final orderBy's OrderedDistribution(custkey, order_day, orderkey),
+    so ONE exchange replaces hash(custkey) + range(custkey, order_day,
+    orderkey) and the final sort runs partition-local instead of global.
+    Unlike the rejected candidates (window_rank/topk/ntile, sessionize),
+    the exchange removed here carried the FULL per-order window output —
+    the trade the events_sessionize calculus requires. No partition count
+    is forced, so AQE stays free to size the shuffle."""
+    orders = load_table(spark, "orders", sf_dir).repartitionByRange("o_custkey")
     # timezone-free day number (o_orderdate is TIMESTAMP_NTZ; epoch-micros
     # functions would need an LTZ cast that shifts under non-UTC sessions)
     day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
