@@ -128,13 +128,48 @@ _DRIVER_GREEN_R5_FLOOR = frozenset({
 })
 
 
+# Queries whose implementation was touched in the CURRENT optimization
+# round: rotated to the front even when cumulatively green, so the driver
+# re-verifies exactly the rows whose engine code changed (verdict r11
+# item 3 — embedding_knn_classify_bulk and text_pii_scrub were touched in
+# r11 on local-oracle evidence only and never re-entered the sample).
+# With the whole registry cumulatively green the front is otherwise
+# empty, so this spends sample slots on precisely the changed queries.
+_TOUCHED_THIS_ROUND = frozenset({
+    # r12 optimization surface (see OPTIMIZATION_r12.md)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "sim_cosine_pairs",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "embedding_knn_classify_bulk",
+    "window_range_frame",
+    "window_running",
+    # touched in r11, never driver-re-verified since
+    "text_pii_scrub",
+})
+
+
 def _rotated() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
     from roar_spark.registry import QUERIES
 
     items = list(QUERIES.items())
-    front = [(k, v) for k, v in items if k not in _DRIVER_GREEN]
-    back = [(k, v) for k, v in items if k in _DRIVER_GREEN]
-    return dict(front + back)
+    never_green = [(k, v) for k, v in items if k not in _DRIVER_GREEN]
+    touched = [
+        (k, v)
+        for k, v in items
+        if k in _DRIVER_GREEN and k in _TOUCHED_THIS_ROUND
+    ]
+    back = [
+        (k, v)
+        for k, v in items
+        if k in _DRIVER_GREEN and k not in _TOUCHED_THIS_ROUND
+    ]
+    # never-sampled queries keep absolute priority; this round's touched
+    # (but green) queries come next; settled greens last
+    return dict(never_green + touched + back)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

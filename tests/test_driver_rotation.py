@@ -77,3 +77,21 @@ def test_every_green_query_sorts_behind_every_never_sampled_one():
 def test_oracle_sql_order_matches_queries_order():
     qorder = [k for k in entry.queries() if k in ORACLES]
     assert list(entry.oracle_sql()) == qorder
+
+
+def test_touched_queries_front_run_settled_greens():
+    """r12: queries whose engine code changed this round re-enter the
+    driver sample ahead of settled greens (verdict r11 item 3), but never
+    ahead of a never-green query."""
+    order = list(entry.queries())
+    settled = [
+        n
+        for n in order
+        if n in entry._DRIVER_GREEN and n not in entry._TOUCHED_THIS_ROUND
+    ]
+    first_settled = order.index(settled[0])
+    for name in entry._TOUCHED_THIS_ROUND & entry._DRIVER_GREEN:
+        assert order.index(name) < first_settled, name
+    # every touched name must exist in the registry (a typo here would
+    # silently waste the re-verify slot)
+    assert entry._TOUCHED_THIS_ROUND <= set(QUERIES)
