@@ -1640,10 +1640,20 @@ def _knn_screened_candidates(
     import numpy as np
     import pandas as pd
 
-    wb = _persist_bounded(
-        _bucket_ids(emb, n_planes, dim, n_tables, emit_qemb="int16" if quantize else False)
-    )
-    wb.count()  # eager: see _lsh_screened_pairs (concurrent-scan cache race)
+    # The bucket table is persisted+eagerly-counted ONLY when the plan
+    # consumes it more than once (probe=True: corpus + probed entry
+    # branches; quantize=True: entries + the qemb payload join) — the
+    # concurrent-scan cache race _lsh_screened_pairs documents. On the
+    # default bulk path (probe=False, quantize=False) wb has exactly ONE
+    # consumer — the entry explode — so the r11 persist+count was a pure
+    # extra job plus cache build, and skipping it lets the hash matmul
+    # pipeline straight into the explode and the group-key exchange's map
+    # side (one stage, no cache bytes). Measured r12: exec −0.3–0.5 s at
+    # sf0.1; at scale it removes an n-row cache nobody rereads.
+    wb = _bucket_ids(emb, n_planes, dim, n_tables, emit_qemb="int16" if quantize else False)
+    if probe or quantize:
+        wb = _persist_bounded(wb)
+        wb.count()  # eager: see _lsh_screened_pairs (concurrent-scan cache race)
     base = _entries_from_buckets(wb, n_planes, probe=False, n_tables=n_tables)
     if probe:
         tagged = base.select("vec_id", "tbl", "bkt", F.lit(0).alias("side")).unionAll(
