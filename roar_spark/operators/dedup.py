@@ -283,7 +283,7 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, prune: bool = False) -> DataFr
     sb = sets.select(
         F.col("doc_id").alias("doc_id_b"), F.col("sset").alias("sset_b"), F.col("n_shingles").alias("n_b")
     )
-    return (
+    joined = (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .withColumn("n_common", F.size(F.array_intersect("sset_a", "sset_b")))
@@ -296,6 +296,25 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, prune: bool = False) -> DataFr
             ),
         )
         .drop("sset_a", "sset_b")
+    )
+    # Pushdown barrier (r12, guide §7.2 "duplicated UDF/expression
+    # evaluation" applied to a builtin): every caller filters this result
+    # on jaccard, and Catalyst pushes that filter INTO the pair join's
+    # condition — where array_intersect is then evaluated per candidate
+    # probe on the join's interpreted (non-codegen) path. Measured at
+    # sf0.1 on dedup_ngram_jaccard's 125k candidates, same session,
+    # back-to-back: joins + intersect in a codegen Project 1.9 s vs the
+    # SAME work with the filter inside the join condition 6.5 s quiet /
+    # 43-70 s under host steal. The single-row-group aggregate below is a
+    # semantic identity — (doc_id_a, doc_id_b) is unique by candidate
+    # construction (both generators end in .distinct()), so first() just
+    # re-emits each row's values — but a predicate on an aggregated
+    # column cannot be pushed below an Aggregate, so the threshold filter
+    # stays ABOVE and the intersect runs exactly once per pair, in
+    # whole-stage codegen. Cost: one hash aggregation over pair-numeric
+    # rows (no arrays), ∝ candidates.
+    return joined.groupBy("doc_id_a", "doc_id_b").agg(
+        *[F.first(c).alias(c) for c in ("n_a", "n_b", "n_common", "jaccard")]
     )
 
 
