@@ -1068,12 +1068,16 @@ def dedup_substring_spans(
         .withColumn("mx", F.max("doc_id").over(wh_win))
         .filter(F.col("mn") != F.col("mx"))
         .select("doc_id", "start")
-        # RangePartitioning(doc_id) serves the island window, the span
-        # aggregation AND (as a prefix) the final orderBy(doc_id,
-        # span_start): one exchange over the corpus-sparse dup seeds
-        # instead of hash-exchange + final range-exchange (guide §2.4);
-        # no partition count forced, AQE sizes the shuffle.
-        .repartitionByRange("doc_id")
+        # r12: the r11 repartitionByRange(doc_id) seed here was REVERTED
+        # on a drift-1.000 interleaved A/B (old best/median 1.105/1.182 s
+        # vs seeded 1.203/1.230 s over 5 rep pairs): the exchange the seed
+        # removes carries only the corpus-sparse dup seeds, while the
+        # range SAMPLING pass re-executes the full per-window-hash window
+        # subtree above — the events_sessionize trade calculus, which the
+        # r11 bundle A/B (seed + unhex key together) mis-attributed to
+        # the seed. The unhex narrow-key half of that bundle stays (it is
+        # what the strip variant measured alone). SCALE.md r12 records
+        # both numbers.
     )
     # gaps-and-islands: seeds of length L overlap/abut iff the next start
     # is within L of the previous; a running sum of break flags numbers

@@ -21,17 +21,20 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     each order (value-based frame, not row-based — orders on the same day
     all see the same window). Frame bounds on integral epoch days.
 
-    Seeded with repartitionByRange(o_custkey) — the window_running §2.4
-    prefix rule (r12 window-family audit): RangePartitioning(custkey)
-    satisfies the window's ClusteredDistribution AND, as a prefix, the
-    final orderBy's OrderedDistribution(custkey, order_day, orderkey),
-    so ONE exchange replaces hash(custkey) + range(custkey, order_day,
-    orderkey) and the final sort runs partition-local instead of global.
-    Unlike the rejected candidates (window_rank/topk/ntile, sessionize),
-    the exchange removed here carried the FULL per-order window output —
-    the trade the events_sessionize calculus requires. No partition count
-    is forced, so AQE stays free to size the shuffle."""
-    orders = load_table(spark, "orders", sf_dir).repartitionByRange("o_custkey")
+    §2.4 range-seed audit note (r12): the window_running prefix-rule seed
+    (repartitionByRange(o_custkey)) was applied, plan-verified (2
+    exchanges → 1, plans/r12/window_range_frame_after.txt) — and then
+    REVERTED on measurement: a drift-1.000 interleaved A/B read the
+    seeded form ~10-15% SLOWER (old best/median 0.946/1.029 s vs seeded
+    1.053/1.188 s over 5 rep pairs). Unlike window_running — whose window
+    sort keys equal the output order, so the seed deletes the global
+    sort outright — this window sorts on (custkey, order_day) while the
+    output adds an orderkey tiebreak: the seeded plan still pays a full
+    3-key partition-local sort ON TOP of the window's 2-key sort, plus
+    the range-sampling pass, and those together cost more than the
+    removed exchange returns at this row width. SCALE.md r12 records
+    both numbers."""
+    orders = load_table(spark, "orders", sf_dir)
     # timezone-free day number (o_orderdate is TIMESTAMP_NTZ; epoch-micros
     # functions would need an LTZ cast that shifts under non-UTC sessions)
     day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
