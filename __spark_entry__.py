@@ -147,6 +147,12 @@ _TOUCHED_THIS_ROUND = frozenset({
     "embedding_knn_classify_bulk",
     "window_range_frame",
     "window_running",
+    # seed revert (r12) touched the spans island stage
+    "dedup_substring_spans",
+    # remaining _verify_pairs consumers (the r12 single-row-group
+    # aggregate barrier sits under all five)
+    "dedup_clusters_star",
+    "dedup_decontaminate",
     # touched in r11, never driver-re-verified since
     "text_pii_scrub",
 })

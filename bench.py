@@ -126,6 +126,20 @@ BUDGETS_SF01 = {
     # Re-anchor alongside everything else at the next budget re-base.
     "dedup_substring_spans": 1.145,
     "dedup_substring_strip": 1.429,
+    # r12 additions (verdict r11 item 6: the two most expensive never-
+    # benched registry queries enter the gated set). Budgets converted
+    # into anchor-era units by tools/budget_convert.py — ROUND-INTERLEAVED
+    # protocol (anchors and new queries alternate within each round, so a
+    # steal burst biases both lanes equally; this box's within-session
+    # drift swings 2-4x and the r11 sequential protocol mis-converted by
+    # 40% across two windows). Conversion window: 3 rounds, best-of-3,
+    # anchored median ratio 0.724 (q1 0.72, minhash 0.71, fingerprint
+    # 0.53, agg_distinct 0.97, window_running 0.82); a second (sequential)
+    # window agreed on ngram within 7% (6.31). dedup_ngram_jaccard is
+    # timed AFTER this round's verify-join fix (11.4 s warm before it).
+    # Re-anchor alongside everything else at the next budget re-base.
+    "dedup_ngram_jaccard": 6.729,
+    "text_tfidf": 2.961,
 }
 
 # --- code-independent host calibration (r10; closes the r9 ADVICE hole
