@@ -536,39 +536,51 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-window sf0.1 A/B shows the exchange is free there). No-op on
     real multi-file corpora."""
     docs = load_table(spark, "documents", sf_dir, spread=True)
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    # parse the 15-digit hex prefix into ONE long (a single conv), then
-    # per-digit values are shift+mask arithmetic and an array-literal
-    # lookup turns each into its packed lanes. The previous form probed
-    # each digit with its own strpos+substr — 15 string scans per token —
-    # which the 4M e2e run exposed as the operator's dominant cost
-    # (sig build 51.8 s -> 22-28 s with conv, same-window 4M measures).
+    # Per-doc ARRAY FOLD instead of explode + hash aggregate (r12, guide
+    # §1.2 "remove unnecessary shuffles and passes"): the signature is a
+    # per-document reduction over that document's own tokens, so it never
+    # needed the (doc_id, token) row table — `transform` parses each
+    # token's 15-digit md5 hex prefix into ONE long (a single conv, the
+    # r6 rework) exactly once, and 15 `aggregate` folds accumulate the
+    # packed 16-bit-lane histograms over the in-memory array. That
+    # removes, per corpus pass: the ~SHINGLE_FANOUT×n_docs-row Generate,
+    # the 16-state hash-aggregation machinery, and the doc_id exchange —
+    # the build is now a pure narrow map (scan → project), and the
+    # operator's only remaining shuffles are the pair stage's own.
+    # Higher-order functions are interpreted (no whole-stage codegen),
+    # but the per-token md5 dominates either way: interleaved same-
+    # session A/B at sf0.1, 5 rep pairs — fold 1.17/1.45 s vs explode+agg
+    # 1.61/1.99 s (best/median, ~1.4×), outputs exactly equal both
+    # directions (exceptAll = 0; test_simhash_fold_matches_reference pins
+    # a pure-Python md5 reference).
     #
-    # The projection / reconstruction expressions are built as SQL strings
-    # and parsed server-side in ONE call each (r11): the Column-API form
-    # of the 60-term majority reconstruction cost ~7.8k py4j round trips
-    # (~1.6 s of driver time PER INVOCATION — measured with cProfile,
-    # 97% of the operator's sf0.1 cost was plan build + planning, 0.13 s
-    # execution). Semantics are expression-for-expression identical; the
-    # oracle and the packing property tests pin that.
+    # All expressions are built as SQL strings and parsed server-side in
+    # ONE call each (r11): the Column-API form of the 60-term majority
+    # reconstruction cost ~7.8k py4j round trips (~1.6 s of driver time
+    # PER INVOCATION — measured with cProfile). Semantics are expression-
+    # for-expression identical; the oracle and the packing property tests
+    # pin that.
     n_digits = SIMHASH_BITS // 4
-    tok = tok.selectExpr(
-        "doc_id",
-        f"CAST(conv(substring(md5(tok), 1, {n_digits}), 16, 10) AS BIGINT) AS h60",
-    )
     lookup_sql = ",".join(f"{v}L" for v in _PACK_LOOKUP)
-    tok = tok.selectExpr(
-        "doc_id",
-        *[
-            f"element_at(array({lookup_sql}),"
-            f" CAST((shiftright(h60, {4 * (n_digits - 1 - d)}) & 15) AS INT) + 1)"
-            f" AS p{d}"
-            for d in range(n_digits)
-        ],
+    hs_sql = (
+        "transform(split(lower(trim(text)), '\\\\s+'), t -> "
+        f"CAST(conv(substring(md5(t), 1, {n_digits}), 16, 10) AS BIGINT))"
     )
-    packed = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(F.col(f"p{d}")).alias(f"h{d}") for d in range(n_digits)],
+    packed = (
+        docs.selectExpr("doc_id", f"{hs_sql} AS _hs")
+        # NULL text: explode() dropped the doc row; the fold must too
+        .filter("_hs IS NOT NULL")
+        .selectExpr(
+            "doc_id",
+            "size(_hs) AS n_tok",
+            *[
+                f"aggregate(_hs, 0L, (acc, x) -> acc +"
+                f" element_at(array({lookup_sql}),"
+                f" CAST((shiftright(x, {4 * (n_digits - 1 - d)}) & 15) AS INT) + 1))"
+                f" AS h{d}"
+                for d in range(n_digits)
+            ],
+        )
     )
     terms = []
     for b in range(SIMHASH_BITS):

@@ -80,3 +80,38 @@ def test_hex_prefix_long_equals_digit_loop(spark):
 
     mismatch = df.filter(functools.reduce(operator.or_, checks))
     assert mismatch.count() == 0
+
+
+def test_simhash_fold_matches_python_reference(spark):
+    """The r12 array-fold signature build (transform + 15 aggregate folds,
+    no explode / no aggregation exchange) must reproduce, bit for bit, a
+    pure-Python md5 majority-vote simhash computed independently per doc —
+    an implementation-independent pin that survives any future reshaping
+    of the Spark expression."""
+    import hashlib
+    import re
+
+    from roar_spark.operators.dedup import SIMHASH_BITS, simhash_signatures
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(docs) == len(got)
+    n_digits = SIMHASH_BITS // 4
+    for row in docs:
+        toks = re.split(r"\s+", row["text"].strip().lower())
+        counts = [0] * SIMHASH_BITS
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:n_digits], 16)
+            # signature bit b votes on bit (b%4) of hex digit (b//4),
+            # where digit 0 is the MOST significant nibble of the prefix
+            for b in range(SIMHASH_BITS):
+                v = (h >> (4 * (n_digits - 1 - b // 4))) & 15
+                counts[b] += 1 if (v >> (b % 4)) & 1 else -1
+        expected = sum(1 << b for b in range(SIMHASH_BITS) if counts[b] > 0)
+        assert got[row["doc_id"]] == expected, row["doc_id"]
