@@ -277,6 +277,15 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, prune: bool = False) -> DataFr
         F.sort_array(F.collect_list("shingle")).alias("sset"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+    return _verify_pairs_sets(cand, sets)
+
+
+def _verify_pairs_sets(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Join/intersect half of _verify_pairs, taking the per-doc shingle
+    sets as a ready (doc_id, sset ARRAY, n_shingles) table — the entry for
+    operators that carry shingles as per-doc arrays end to end (r12:
+    dedup_minhash_lsh) and so never build the exploded row table that
+    _verify_pairs' collect_list half exists to fold back up."""
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("sset_a"), F.col("n_shingles").alias("n_a")
     )
@@ -362,43 +371,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probabilistic part.
     """
     # heaviest shuffle: the shingle build (when the scan is under-parallel
-    # and must be spread) and — pre-r12 — _verify_pairs' per-doc shingle-
-    # set collect over the full table (no map-side reduction for
-    # collect_list; the 4M-doc spill SCALE.md records was exactly this,
-    # and the r12 candidate-id semi-join prunes it to candidate docs)
+    # and must be spread); verification joins the per-doc arrays to the
+    # candidate pairs (prune-gated at scale, below)
     n_docs = table_row_count("documents", sf_dir)
     spark = tuned_session(spark, n_docs * SHINGLE_FANOUT)
-    # Shingle-table layout (r12 rework; corrects the r11 commit's false
-    # mechanism claim — verdict r11 "what's wrong" item 1 / ADVICE. The
-    # r11 comment said "ONE doc_id exchange reused by both aggregations",
-    # which its own after-plan refuted: localCheckpoint returns a
-    # LogicalRDD with UnknownPartitioning, so EnsureRequirements
-    # re-inserted three hashpartitioning(doc_id) exchanges; the measured
-    # r11 win was materialization + lineage truncation, not reuse.)
+    # Per-doc shingle ARRAYS end to end (r12, guide §1.2 — the simhash
+    # fold lesson applied to this family): both consumers of the shingle
+    # table are per-document reductions — the signature is 8 mins over
+    # the doc's own shingles, verification intersects two docs' sets — so
+    # the exploded (doc_id, shingle) row table was never needed. One
+    # materialized table of (doc_id, sorted distinct shingle array):
+    # signatures become 8 array_min(transform(...)) in-row folds (the
+    # r12 signed-long mapping keeps them longs — minhash_signed_sql, and
+    # fixed-width band-key equality stays EXACTLY the oracle's hex-concat
+    # equality; tests/test_minhash_signed.py), and verification reads the
+    # arrays directly. Removed per corpus pass vs the r11/r12-row shape:
+    # the ~57×n_docs-row explode, the 8-state signature HashAggregate and
+    # its exchange, and the per-doc collect_list re-aggregation (whose
+    # 4M-doc spill SCALE.md records). Interleaved A/B at sf0.1 on a
+    # drift-0.6 quiet window: old 1.294/1.404 s vs new 1.135/1.239 s
+    # (best/median), outputs identical.
     #
-    # Honest design, measured this round (interleaved 6-rep best-of on
-    # one session, sf0.1):
     # - the upfront repartition(width, doc_id) is a SPREAD, not a
-    #   reusable layout: it parallelizes the tokenize+shingle map work
-    #   when the footer shows an under-parallel scan, with a
+    #   reusable layout: it parallelizes the tokenize+shingle+8×md5 map
+    #   work when the footer shows an under-parallel scan, with a
     #   deterministic hash key (round-robin pays sort-before-repartition
     #   and is retry-unsafe, guide §2.5). On a real multi-file corpus the
     #   condition is False and full text never shuffles.
     # - localCheckpoint (not persist): materializes the branch-shared
-    #   table race-free and cuts the lineage so both verification sides
-    #   plan over a LogicalRDD leaf. The persist variant — which WOULD
-    #   preserve partitioning and make the doc_id aggregations
-    #   exchange-free — measured SLOWER (best-of 2.24 s vs 1.91 s): the
-    #   columnar cache build plus full-lineage replanning per action cost
-    #   more than the removed exchanges return, because the exchanges it
-    #   removes are narrow anyway (the signature exchange carries
-    #   post-partial-agg rows, ~1 row/doc of 8 longs; each doc's shingles
-    #   sit in one partition — one input row explodes in place — so
-    #   partial min-agg collapses them before the shuffle at ANY layout).
+    #   table race-free and cuts the lineage so the banding pipeline and
+    #   both verification sides plan over a LogicalRDD leaf (the persist
+    #   variant measured slower in the r12 row-table A/B: columnar cache
+    #   build + full-lineage replanning cost more than they return).
     #   Executor-loss caveat and cleanup: registered below via
     #   checkpoint_handle (ADVICE r11); trade adjudicated in SCALE.md.
-    # Width mirrors the tuned-session derivation so the 4M-doc
-    # collect_list spill fix (SCALE.md) is preserved.
     from roar_spark.caching import checkpoint_handle
     from roar_spark.catalog import scan_underparallel
     from roar_spark.session import shuffle_width_for
@@ -409,36 +415,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     if scan_underparallel("documents", sf_dir, spark.sparkContext.defaultParallelism):
         docs = docs.repartition(width, "doc_id")
-    sh = (
+    docsets = (
         docs.select("doc_id", tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("shingle"),
+            F.sort_array(F.array_distinct(word_shingles(F.col("t")))).alias("sset"),
         )
         .localCheckpoint(eager=True)
     )
-    # Signature aggregation as HASH aggregation (r12, guide §2.3/§7.2):
-    # min(string) is not hash-aggregable — the r11 plan ran the whole
-    # shingle table through a partial+final SortAggregate (two sorts).
-    # The 16-hex-char minhash prefix maps order-isomorphically onto a
-    # SIGNED long (minhash_signed_sql), so 8 min(bigint) plan as one
-    # HashAggregate with no sorts, and a signature row is 8×8 B instead
-    # of 8×16 chars. Banding then groups on the long pairs directly:
-    # fixed-width concatenation is injective, so (band, s_{2b}, s_{2b+1})
-    # equality is EXACTLY the oracle's (band, h_{2b} || h_{2b+1})
-    # equality — the candidate set is identical (equivalence pinned in
-    # tests/test_minhash_signed.py; md5 is computed once per salt in its
-    # own projection, which CollapseProject keeps separate because each
-    # m{j} is referenced twice).
-    m_cols = [f"md5(concat('{j}|', shingle)) AS m{j}" for j in range(N_MINHASH)]
-    s_cols = [f"{minhash_signed_sql(f'm{j}')} AS s{j}" for j in range(N_MINHASH)]
-    sig = (
-        sh.selectExpr("doc_id", *m_cols)
-        .selectExpr("doc_id", *s_cols)
-        .groupBy("doc_id")
-        .agg(*[F.min(f"s{j}").alias(f"mh{j}") for j in range(N_MINHASH)])
-    )
+    sig_cols = []
+    for j in range(N_MINHASH):
+        signed = minhash_signed_sql(f"md5(concat('{j}|', s))")
+        sig_cols.append(f"array_min(transform(sset, s -> {signed})) AS mh{j}")
+    sig = docsets.selectExpr("doc_id", *sig_cols)
     rows_per_band = N_MINHASH // N_BANDS
     key_fields = [f"k{r}" for r in range(rows_per_band)]
     # Single-pass banding: explode one array of (band, k0..k{r-1}) structs
@@ -472,26 +462,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item 1 — guide §2.2/§3), SIZE-GATED: above the cutoff, cand is
     # materialized (persist+count — the prune consumes it twice: id
     # derivation + the pair join; unmaterialized, each consumer would
-    # re-execute the whole banding pipeline) and _verify_pairs semi-joins
-    # the shingle table to the candidate doc ids BEFORE the per-doc
-    # collect_list, so verification state/shuffle scales with
-    # |candidates| · shingles/doc, never with the corpus. Below the
-    # cutoff the extra eager candidate action is pure fixed overhead
-    # that the savings cannot repay (interleaved decomposition at sf0.1:
-    # cand materialization +1.4-1.5 s vs ≤ 0.4 s saved in the collect —
-    # the events_sessionize trade calculus); the driver SFs keep the
-    # single-action shape, where the unpruned collect over the whole
-    # (small) corpus is the cheaper plan. Equal outputs on both sides of
-    # the gate are pinned by tests/test_minhash_signed.py.
+    # re-execute the whole banding pipeline) and the set table is
+    # semi-joined to the candidate doc ids BEFORE the pair join, so
+    # verification state/shuffle scales with |candidates| · shingles/doc,
+    # never with the corpus (the 1M-doc probe in SCALE.md: 65% of total
+    # shuffle bytes removed). Below the cutoff the extra eager candidate
+    # action is pure fixed overhead that the savings cannot repay
+    # (interleaved decomposition at sf0.1: cand materialization
+    # +1.4-1.5 s vs ≤ 0.4 s saved — the events_sessionize trade
+    # calculus); the driver SFs keep the single-action shape. Equal
+    # outputs on both sides of the gate are pinned by
+    # tests/test_minhash_signed.py.
     prune = n_docs > MINHASH_PRUNE_MIN_DOCS
+    sets = docsets.select("doc_id", "sset", F.size("sset").alias("n_shingles"))
     if prune:
         cand = cand.persist()
         cand.count()
-        _register_scoped([checkpoint_handle(sh), cand])
+        _register_scoped([checkpoint_handle(docsets), cand])
+        ids = cand.selectExpr(
+            "explode(array(doc_id_a, doc_id_b)) as doc_id"
+        ).distinct()
+        sets = sets.join(ids, "doc_id", "left_semi")
     else:
-        _register_scoped([checkpoint_handle(sh)])
+        _register_scoped([checkpoint_handle(docsets)])
     return (
-        _verify_pairs(cand, sh, prune=prune)
+        _verify_pairs_sets(cand, sets)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_id_a", "doc_id_b", "jaccard")
         .orderBy("doc_id_a", "doc_id_b")
