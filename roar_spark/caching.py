@@ -17,6 +17,29 @@ from __future__ import annotations
 import threading
 
 
+def drain_scoped(cache: list, lock: threading.Lock) -> None:
+    """Release the previous invocation's set NOW — call this at OPERATOR
+    ENTRY, before this invocation persists its own tables.
+
+    Why the drain cannot wait for the register-at-end call (r12, found
+    live): back-to-back invocations of one operator build canonically
+    IDENTICAL plans, so the second invocation's ``persist()`` does not
+    create a cache entry — the CacheManager logs "Asked to cache already
+    cached data" and adopts the FIRST invocation's live entry. A
+    register-at-end drain then unpersists the previous handle, which IS
+    that shared entry, and every downstream action of the current
+    invocation runs fully uncached — each consumer branch re-executes
+    the whole supposedly-cached pipeline. Measured on
+    dedup_ngram_jaccard at sf0.1: rep0 3.3 s, reps 1+ 13-20 s (the
+    candidate subtree re-ran inside the broadcast build, the set sides
+    re-tokenized the corpus twice); bench.py's per-rep rebuild hits
+    exactly this pattern, so gated best-of-N times silently measured the
+    uncached path. Draining FIRST frees the old entry before the new
+    ``persist()``, which then creates a fresh one that lives until the
+    family's next invocation."""
+    register_scoped(cache, lock, [])
+
+
 def register_scoped(cache: list, lock: threading.Lock, items: list) -> None:
     """Swap the family's cache to ``items`` and release the previous set.
 

@@ -85,6 +85,17 @@ def _register_scoped(dfs: list[DataFrame]) -> None:
     register_scoped(_DEDUP_CACHE, _DEDUP_CACHE_LOCK, dfs)
 
 
+def _drain_scoped() -> None:
+    """Release the previous dedup invocation's tables at OPERATOR ENTRY —
+    before this invocation's persist() calls, which on a repeated
+    identical plan would otherwise adopt (and then lose, when
+    _register_scoped drains) the previous invocation's live cache entry.
+    See roar_spark.caching.drain_scoped for the measured failure."""
+    from roar_spark.caching import drain_scoped
+
+    drain_scoped(_DEDUP_CACHE, _DEDUP_CACHE_LOCK)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content digest, keep the smallest doc_id.
     Shuffles 16-byte digests, not document bodies."""
@@ -184,13 +195,16 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     shingle hot (the prefix filter's adversarial case), this cuts
     candidates 409k → 125k at sf0.1.
 
-    Plan shape: freq and size/rank come from two count windows over the
-    one shingle table (no aggregate-then-join-back — the text_dup_ngrams
-    lesson), then one groupBy(shingle) collects (doc_id, rk, n) structs
-    and the i<j expansion applies the positional bound map-side before
-    anything reaches the distinct."""
+    Plan shape: ``sh`` arrives as (doc_id, n, shingle) with n — the doc's
+    distinct-shingle count — already attached by the caller's projection
+    from its per-doc array table (r12; the per-doc count window this
+    function used to run was a whole extra pass over the explode), freq
+    comes from one count window over the shingle table (no
+    aggregate-then-join-back — the text_dup_ngrams lesson), then one
+    groupBy(shingle) collects (doc_id, rk, n) structs and the i<j
+    expansion applies the positional bound map-side before anything
+    reaches the distinct."""
     x = sh.withColumn("freq", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-    x = x.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     x = x.withColumn(
         "rk",
         F.row_number().over(
@@ -243,49 +257,37 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame, prune: bool = False) -> DataFrame:
-    """Candidate-driven exact Jaccard (shared with dedup_minhash_lsh's
-    verification): collect each doc's distinct shingles into a sorted
-    array ONCE, join candidates to the two per-doc arrays, and compute
-    |A∩B| map-side with ``array_intersect`` inside codegen.
+def _prune_sets_to_candidates(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Semi-join the per-doc set table to the candidate pairs' doc ids
+    (r12, verdict r11 item 1 — guide §2.2/§3): the verification join then
+    holds only documents that appear in some candidate pair, so its
+    state/shuffle scales with |candidates| · shingles/doc, never with the
+    corpus (the 1M-doc probe in SCALE.md measured 65% of
+    dedup_minhash_lsh's total shuffle bytes removed). Callers gate on
+    corpus size AND must have ``cand`` materialized — the id derivation
+    is a second consumer of the candidate plan, and an unmaterialized
+    plan would recompute its whole candidate pipeline."""
+    ids = cand.selectExpr("explode(array(doc_id_a, doc_id_b)) as doc_id").distinct()
+    return sets.join(ids, "doc_id", "left_semi")
 
-    The earlier form expanded every candidate to one row PER SHINGLE and
+
+def _verify_pairs_sets(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Candidate-driven exact Jaccard (shared by dedup_ngram_jaccard and
+    dedup_minhash_lsh): join candidates to the two per-doc
+    (doc_id, sset ARRAY, n_shingles) sides and compute |A∩B| map-side
+    with ``array_intersect`` inside codegen.
+
+    The r10 form expanded every candidate to one row PER SHINGLE and
     re-joined the shingle table — O(|cand| · shingles/doc) rows through a
     hash-join shuffle (measured 21M rows / ~9 s at sf0.1 where the corpus'
     30-word vocabulary makes 409k of the 12.5M doc pairs candidates).
     Here the shuffled volume is |cand| + 2 scans of doc-sized arrays, and
     the per-pair set intersection is pure whole-stage-codegen compute —
-    the same work lands in the CPU, not the network.
-
-    ``prune=True`` (r12, verdict r11 item 1 — guide §2.2/§3): semi-join
-    the shingle table to the candidate pairs' doc ids BEFORE the per-doc
-    collect_list, so the set tables hold only documents that appear in
-    some candidate pair. Without it the collect branches aggregate (and
-    the pair join materializes) EVERY document's full shingle set — fine
-    on a corpus where most docs are candidates, dead at 100 TB where
-    candidates are sparse: verification state must scale with
-    |candidates| · shingles/doc, not with the corpus. Callers pass
-    prune=True when ``cand`` is materialized (persisted/checkpointed) —
-    the id derivation is a second consumer of the candidate plan, and an
-    unmaterialized plan would recompute its whole candidate pipeline."""
-    if prune:
-        ids = cand.selectExpr(
-            "explode(array(doc_id_a, doc_id_b)) as doc_id"
-        ).distinct()
-        sh = sh.join(ids, "doc_id", "left_semi")
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("sset"),
-        F.count(F.lit(1)).alias("n_shingles"),
-    )
-    return _verify_pairs_sets(cand, sets)
-
-
-def _verify_pairs_sets(cand: DataFrame, sets: DataFrame) -> DataFrame:
-    """Join/intersect half of _verify_pairs, taking the per-doc shingle
-    sets as a ready (doc_id, sset ARRAY, n_shingles) table — the entry for
-    operators that carry shingles as per-doc arrays end to end (r12:
-    dedup_minhash_lsh) and so never build the exploded row table that
-    _verify_pairs' collect_list half exists to fold back up."""
+    the same work lands in the CPU, not the network. (An r11-r12
+    intermediate collected the arrays from an exploded row table with
+    sort_array(collect_list(...)); both remaining callers now carry
+    per-doc arrays end to end, so the collect half was deleted — the
+    array table IS the materialized intermediate.)"""
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("sset_a"), F.col("n_shingles").alias("n_a")
     )
@@ -334,28 +336,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from the prefix filter (rarest-shingle prefixes only —
     see _prefix_candidates) and are verified with the candidate-driven
     exact Jaccard; output is provably identical to the full co-shingle
-    join the DuckDB oracle computes."""
-    # heaviest shuffles: the freq/size count windows and per-doc shingle-
-    # set collects over the full ~SHINGLE_FANOUT-rows/doc table — width
+    join the DuckDB oracle computes.
+
+    Per-doc shingle ARRAYS are the materialized intermediate (r12 — the
+    minhash/simhash fold lesson): the (doc_id, shingle) row table is
+    derived by a NARROW explode only where rows are genuinely needed
+    (the global shingle-frequency window and the prefix groupBy), and it
+    carries n = size(sset) from the projection, so the per-doc count
+    window _prefix_candidates used to run is gone; verification reads
+    the cached arrays directly (no collect_list re-aggregation). The
+    cache itself shrinks from ~57 rows/doc to 1. Interleaved A/B at
+    sf0.1, 3 clean rep pairs: old 6.12/6.21 s vs new 3.08/3.31 s
+    (best/median, ~2×), outputs identical."""
+    n_docs = table_row_count("documents", sf_dir)
+    # heaviest shuffles: the shingle-frequency window and the prefix
+    # groupBy over the full ~SHINGLE_FANOUT-rows/doc explode — width
     # travels with this plan via the (possibly cloned) session
-    spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
-    sh = _doc_shingles(spark, sf_dir, spread=True).persist()
-    # Materialize the cache BEFORE the plan branches: sh feeds the
-    # frequency/size/prefix pipeline AND both verification sides. A lazy
+    spark = tuned_session(spark, n_docs * SHINGLE_FANOUT)
+    _drain_scoped()  # BEFORE this invocation's persists (caching.drain_scoped)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    docsets = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        # filter BEFORE shingling: F.sequence(0, size-3) runs backwards
+        # for size < 3 and would fabricate wrap-around shingles
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.sort_array(F.array_distinct(word_shingles(F.col("t")))).alias("sset"),
+        )
+        .persist()
+    )
+    # Materialize the cache BEFORE the plan branches: docsets feeds the
+    # frequency/prefix pipeline AND both verification sides. A lazy
     # persist populates per-partition on first touch, and the branches of
     # one action race — each can miss and recompute the whole
     # tokenize+shingle build (measured: the no-op count is ~0.3 s; the
     # racing recompute costs multiples of the full query).
-    sh.count()
+    docsets.count()
+    sh = docsets.select(
+        "doc_id", F.size("sset").alias("n"), F.explode("sset").alias("shingle")
+    )
     # Materialized too: without stats Catalyst guesses the candidate side
     # small and broadcasts it — which executes the whole
     # freq-join+window+bucket-pair subtree ON THE DRIVER (measured ~20 s);
     # cached, the broadcast is a cheap cache read and AQE sees real sizes.
     cand = _prefix_candidates(sh, JACCARD_THRESHOLD).persist()
     cand.count()
-    _register_scoped([sh, cand])
+    _register_scoped([docsets, cand])
+    sets = docsets.select("doc_id", "sset", F.size("sset").alias("n_shingles"))
+    # candidate-id prune, same gate as dedup_minhash_lsh — free here
+    # (cand is ALWAYS materialized for the stats reason above, so the
+    # prune's only cost is the semi-join itself, which below the gate
+    # buys nothing: the adversarial sf corpus makes most docs candidates)
+    if n_docs > MINHASH_PRUNE_MIN_DOCS:
+        sets = _prune_sets_to_candidates(cand, sets)
     return (
-        _verify_pairs(cand, sh)
+        _verify_pairs_sets(cand, sets)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", "jaccard")
         .orderBy("doc_id_a", "doc_id_b")
@@ -412,6 +448,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = shuffle_width_for(
         int(spark.conf.get("spark.sql.shuffle.partitions")), n_docs * SHINGLE_FANOUT
     )
+    _drain_scoped()  # BEFORE this invocation's persists (caching.drain_scoped)
     docs = load_table(spark, "documents", sf_dir)
     if scan_underparallel("documents", sf_dir, spark.sparkContext.defaultParallelism):
         docs = docs.repartition(width, "doc_id")
@@ -479,10 +516,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = cand.persist()
         cand.count()
         _register_scoped([checkpoint_handle(docsets), cand])
-        ids = cand.selectExpr(
-            "explode(array(doc_id_a, doc_id_b)) as doc_id"
-        ).distinct()
-        sets = sets.join(ids, "doc_id", "left_semi")
+        sets = _prune_sets_to_candidates(cand, sets)
     else:
         _register_scoped([checkpoint_handle(docsets)])
     return (
@@ -727,6 +761,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, force_pigeonhole: bool | Non
     # than paying reliable-checkpoint I/O per invocation (SCALE.md r12).
     from roar_spark.caching import checkpoint_handle
 
+    _drain_scoped()  # release the previous invocation's blocks up front
     sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     _register_scoped([checkpoint_handle(sig)])
     if use_pigeonhole:
@@ -989,6 +1024,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the corpus is reused by the training-side stream instead of
     # re-tokenizing the full corpus (SCALE.md 1M sweep).
     spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
+    _drain_scoped()  # BEFORE this invocation's persists (caching.drain_scoped)
     sh = _doc_shingles(spark, sf_dir, spread=True).persist()
     _register_scoped([sh])
     train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)

@@ -41,8 +41,13 @@ _WB_CACHE_LOCK = threading.Lock()
 
 
 def _persist_bounded(df: "DataFrame") -> "DataFrame":
-    from roar_spark.caching import register_scoped
+    from roar_spark.caching import drain_scoped, register_scoped
 
+    # drain the previous invocation's entry BEFORE persisting: a repeated
+    # identical plan would otherwise adopt the live entry and the
+    # register below would unpersist it out from under this invocation
+    # (caching.drain_scoped documents the measured failure)
+    drain_scoped(_WB_CACHE, _WB_CACHE_LOCK)
     register_scoped(_WB_CACHE, _WB_CACHE_LOCK, [df.persist()])
     return df
 

@@ -198,8 +198,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release the previous invocation's cache first (shared contract:
     # roar_spark.caching — bounding the leak to ONE cached TF table per
     # session; sweeps call this dozens of times)
-    from roar_spark.caching import register_scoped
+    from roar_spark.caching import drain_scoped, register_scoped
 
+    # drain BEFORE persisting (caching.drain_scoped): a repeated identical
+    # TF plan adopts the previous invocation's live entry, and a
+    # register-after drain would unpersist it mid-query
+    drain_scoped(_TF_CACHE, _TF_CACHE_LOCK)
     tf = _hashed_tf(spark, sf_dir).persist()
     register_scoped(_TF_CACHE, _TF_CACHE_LOCK, [tf])
     # Materialize before the plan branches (the dedup-family lesson):
@@ -410,6 +414,10 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = tuned_session(spark, table_row_count("documents", sf_dir) * SHINGLE_FANOUT)
     from roar_spark.caching import register_scoped
 
+    from roar_spark.caching import drain_scoped
+
+    # drain BEFORE persisting (caching.drain_scoped, same as the TF cache)
+    drain_scoped(_GOPHER_CACHE, _GOPHER_CACHE_LOCK)
     docs = load_table(spark, "documents", sf_dir, spread=True)
     tok_df = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
     register_scoped(_GOPHER_CACHE, _GOPHER_CACHE_LOCK, [tok_df])

@@ -82,3 +82,18 @@ def test_minhash_prune_gate_sides_agree(spark, monkeypatch):
     pruned = sorted(map(tuple, dedup.dedup_minhash_lsh(spark, sf).collect()))
     assert plain == pruned
     assert len(plain) > 0
+
+
+def test_ngram_prune_gate_sides_agree(spark, monkeypatch):
+    """dedup_ngram_jaccard shares dedup_minhash_lsh's candidate-id prune
+    gate (r12, free there because cand is always materialized): forcing
+    the pruned path on a corpus below the gate must produce the identical
+    result set."""
+    from roar_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    plain = sorted(map(tuple, dedup.dedup_ngram_jaccard(spark, sf).collect()))
+    monkeypatch.setattr(dedup, "MINHASH_PRUNE_MIN_DOCS", 0)
+    pruned = sorted(map(tuple, dedup.dedup_ngram_jaccard(spark, sf).collect()))
+    assert plain == pruned
+    assert len(plain) > 0
