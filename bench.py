@@ -128,18 +128,21 @@ BUDGETS_SF01 = {
     "dedup_substring_strip": 1.429,
     # r12 additions (verdict r11 item 6: the two most expensive never-
     # benched registry queries enter the gated set). Budgets converted
-    # into anchor-era units by tools/budget_convert.py — ROUND-INTERLEAVED
-    # protocol (anchors and new queries alternate within each round, so a
-    # steal burst biases both lanes equally; this box's within-session
-    # drift swings 2-4x and the r11 sequential protocol mis-converted by
-    # 40% across two windows). Conversion window: 3 rounds, best-of-3,
-    # anchored median ratio 0.724 (q1 0.72, minhash 0.71, fingerprint
-    # 0.53, agg_distinct 0.97, window_running 0.82); a second (sequential)
-    # window agreed on ngram within 7% (6.31). dedup_ngram_jaccard is
-    # timed AFTER this round's verify-join fix (11.4 s warm before it).
-    # Re-anchor alongside everything else at the next budget re-base.
-    "dedup_ngram_jaccard": 6.729,
-    "text_tfidf": 2.961,
+    # into anchor-era units from a drift-1.000 full-bench window (every
+    # probe UNDER its anchor budget; the 12 UNTOUCHED gated queries read
+    # a 1.02 median ratio against their anchor budgets in the same run),
+    # taken AFTER this round's three fixes on these paths (verify-join
+    # pushdown barrier, per-doc array layout, scoped-cache drain-at-entry
+    # — ngram was 11.4 s warm at round start, 2.797 s in that window;
+    # tfidf 2.284 s). ngram's budget carries headroom over the window
+    # best because its warm best-of-N varies 2.8-3.1 s across clean
+    # windows (cache-build reps + GC); the earlier interleaved-protocol
+    # conversion (tools/budget_convert.py, pre-fix: 6.729/2.961) is
+    # superseded — those numbers measured the uncached-rep bug the r12
+    # drain fix removed. Re-anchor alongside everything else at the next
+    # budget re-base.
+    "dedup_ngram_jaccard": 3.5,
+    "text_tfidf": 2.3,
 }
 
 # --- code-independent host calibration (r10; closes the r9 ADVICE hole
