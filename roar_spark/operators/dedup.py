@@ -438,7 +438,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   table race-free and cuts the lineage so the banding pipeline and
     #   both verification sides plan over a LogicalRDD leaf (the persist
     #   variant measured slower in the r12 row-table A/B: columnar cache
-    #   build + full-lineage replanning cost more than they return).
+    #   build + full-lineage replanning cost more than they return —
+    #   RE-VERIFIED after the drain-at-entry cache fix, which had made
+    #   every repeat-invocation persist comparison suspect: interleaved
+    #   array-form A/B, checkpoint best 1.37 s vs persist 1.86 s).
     #   Executor-loss caveat and cleanup: registered below via
     #   checkpoint_handle (ADVICE r11); trade adjudicated in SCALE.md.
     from roar_spark.caching import checkpoint_handle
