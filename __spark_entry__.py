@@ -153,6 +153,12 @@ _TOUCHED_THIS_ROUND = frozenset({
     # aggregate barrier sits under all five)
     "dedup_clusters_star",
     "dedup_decontaminate",
+    # scoped-cache drain-at-entry fix (r12) touched these persist-based
+    # operator families too
+    "text_tfidf",
+    "text_gopher_quality",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     # touched in r11, never driver-re-verified since
     "text_pii_scrub",
 })
