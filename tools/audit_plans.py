@@ -12,10 +12,34 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_counts(p: str) -> dict:
+    """Structural node counts for one explain("formatted") string.
+
+    Join tree-lines carry the join type between the node name and the id
+    ("SortMergeJoin LeftOuter (53)"), so a bare 'Name (' pattern NEVER
+    matches them — count the numbered detail headers instead, which are
+    one per node and type-free ("(53) SortMergeJoin"). The r11 audit's
+    smj/bnlj counters had the unmatched pattern and read 0 unconditionally
+    (found + fixed r12; pinned in tests/test_audit_counts.py against a
+    committed plan dump)."""
+    return {
+        "exch": p.count("+- Exchange") + p.count(":- Exchange"),
+        "bcast": p.count("BroadcastExchange ("),
+        "smj": len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)),
+        "bnlj": len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, re.M)),
+        "cart": len(re.findall(r"^\(\d+\) CartesianProduct", p, re.M)),
+        "rowudf": p.count("BatchEvalPython (") + p.count("ArrowEvalPython ("),
+        "arrow_kernels": p.count("MapInPandas (")
+        + p.count("FlatMapGroupsInPandas ("),
+        "wind": p.count("Window ("),
+    }
 
 
 def main() -> None:
@@ -38,16 +62,7 @@ def main() -> None:
                 {
                     "q": name,
                     "build_s": round(time.perf_counter() - t0, 2),
-                    "exch": p.count("+- Exchange") + p.count(":- Exchange"),
-                    "bcast": p.count("BroadcastExchange ("),
-                    "smj": p.count("SortMergeJoin ("),
-                    "bnlj": p.count("BroadcastNestedLoopJoin ("),
-                    "cart": p.count("CartesianProduct ("),
-                    "rowudf": p.count("BatchEvalPython (")
-                    + p.count("ArrowEvalPython ("),
-                    "arrow_kernels": p.count("MapInPandas (")
-                    + p.count("FlatMapGroupsInPandas ("),
-                    "wind": p.count("Window ("),
+                    **plan_counts(p),
                 }
             )
         except Exception as e:  # noqa: BLE001 — audit must cover every row
